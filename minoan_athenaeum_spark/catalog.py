@@ -1,0 +1,72 @@
+"""Parquet catalog over the driver testdata directories.
+
+The reference resolves ``<name>.table.json`` files relative to CWD as its
+catalog (``/root/reference/database.py:905-996``); ours is a directory of
+parquet files registered as temp views. Loading is lazy (Spark scans) —
+no eager materialization, so the same code handles 100 TB directories.
+
+Special case: ``events.parquet`` stores its ``ts`` column as parquet
+TIMESTAMP(NANOS), which Spark's parquet reader rejects
+(PARQUET_TYPE_ILLEGAL). We read the physical INT64 with an explicit
+schema and convert ns → a microsecond TIMESTAMP column (session tz is
+UTC, so values agree with DuckDB's naive TIMESTAMP_NS truncated to µs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Physical read schema for events: ts as raw int64 nanoseconds.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register: bool = True
+) -> dict[str, DataFrame]:
+    """Open every testdata table in ``sf_dir`` and (optionally) register
+    each as a temp view so ``spark.sql`` sees the same names the DuckDB
+    oracle does."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        dfs[name] = df
+    return dfs

@@ -1,0 +1,120 @@
+"""Deduplication operator builders: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB:
+  - exact dedup = hash-groupBy on a fingerprint (one shuffle, map-side
+    partial aggregation);
+  - near-dup never does the O(n²) cross join at scale: candidates come
+    from an inverted index (shared shingle / LSH band bucket / SimHash
+    band), i.e. explode → shuffle-on-key → within-bucket pairs → verify.
+    Bucket sizes are bounded (hot buckets can be salted/capped), so the
+    pair blowup is local, not global.
+
+All hashing is JVM-side (xxhash64 / md5) — deterministic, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(col: str = "text") -> Column:
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string column (JVM transform —
+    no UDF)."""
+    s = col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+            lambda i: s.substr(i, F.lit(n)),
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two distinct-element array columns (double
+    division of exact int sizes — engine-portable)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return inter / union
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation MinHash signature: min over shingles of
+    xxhash64(shingle ++ '#' ++ i) for each of k salted hash functions."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """LSH banding: hash each contiguous ``rows``-slice of the signature
+    into one bucket key per band. Equal band key ⇒ candidate pair."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(
+            F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b.cast("string")
+        ),
+    )
+
+
+def simhash64(tokens: Column) -> Column:
+    """64-bit SimHash over a token array: per bit, sum ±1 votes from
+    xxhash64(token); bit set iff the vote is positive."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                tokens,
+                F.lit(0),
+                lambda a, tok: a
+                + F.when(
+                    F.shiftright(F.xxhash64(tok), i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), i),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def candidate_pairs(
+    df: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Inverted-index candidate generation: explode bucket keys, shuffle
+    on bucket, emit each unordered id pair once (a < b), dedup pairs that
+    collide in multiple buckets. This is the scale-path skeleton shared
+    by MinHash-LSH / SimHash-band / shingle-index dedup."""
+    ex = df.select(
+        F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket"), *payload_cols
+    )
+    left = ex.alias("l")
+    right = ex.alias("r")
+    pairs = left.join(
+        right,
+        (F.col("l.bucket") == F.col("r.bucket"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    )
+    cols = [
+        F.col(f"l.{id_col}").alias("a"),
+        F.col(f"r.{id_col}").alias("b"),
+        *[F.col(f"l.{c}").alias(f"a_{c}") for c in payload_cols],
+        *[F.col(f"r.{c}").alias(f"b_{c}") for c in payload_cols],
+    ]
+    return pairs.select(*cols).dropDuplicates(["a", "b"])

@@ -1,0 +1,83 @@
+"""Similarity-search operator builders over embedding columns.
+
+Brute-force cosine top-k is the correctness baseline; the scale paths
+are sign-LSH bucketing (random-hyperplane) and a simple IVF-style
+coarse quantizer. All vector math is JVM-side (`zip_with`/`aggregate`)
+— no Python in the scoring loop. Quantized-int dot products are used
+whenever a DuckDB oracle needs bit-exact agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def quantize(col: Column, scale: int = 10000) -> Column:
+    """float array → bigint array via round(x·scale): exact integer dot
+    products afterwards (engine-portable)."""
+    return F.transform(col, lambda x: F.round(x.cast("double") * scale).cast("bigint"))
+
+
+def dot_int(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_int(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x).cast(
+            "double"
+        )
+    )
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized int vectors — bit-identical across engines."""
+    return dot_int(a, b).cast("double") / (norm_int(a) * norm_int(b))
+
+
+def sign_lsh_key(q: Column, n_bits: int = 8) -> Column:
+    """Random-hyperplane LSH reduced to sign bits: bit i = sign of a
+    pseudo-random ±1 combination of vector components, with deterministic
+    weights from xxhash64(i, j). Vectors in the same bucket are likely
+    cosine-close; probe = same-bucket join."""
+    dim_idx = F.sequence(F.lit(0), F.size(q) - 1)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    q,
+                    dim_idx,
+                    lambda x, j: F.when(
+                        F.xxhash64(
+                            F.concat(i.cast("string"), F.lit("_"), j.cast("string"))
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        x,
+                    ).otherwise(-x),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda a2, x: a2 + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1), i),
+        ).otherwise(0),
+    )
+
+
+def ivf_key(q: Column, n_dims: int = 6) -> Column:
+    """IVF-style coarse cell id: sign pattern of the first ``n_dims``
+    components (a fixed, data-independent coarse quantizer)."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_dims - 1)),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(F.element_at(q, i + 1) > 0, F.shiftleft(F.lit(1), i)).otherwise(0),
+    )

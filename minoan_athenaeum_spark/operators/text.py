@@ -1,0 +1,63 @@
+"""Text-analysis operator builders (pure JVM-side column expressions).
+
+Everything here is whole-stage-codegen-able — no Python UDFs — so the
+same expressions run unchanged over 100 TB of documents. Each helper
+returns a Column; the queries module wires them to the documents table
+and mirrors them in DuckDB oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the language-ID heuristic and
+# quality scoring. Kept identical in the DuckDB oracles (sql_list below).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "les", "et", "des", "une", "est", "dans", "pour"],
+    "es": ["el", "los", "y", "un", "una", "es", "que", "por"],
+}
+
+
+def sql_list(words: list[str]) -> str:
+    """Render a python list as a SQL array literal (same text works in
+    Spark SQL `array(...)`? no — DuckDB `[...]`; Spark uses array())."""
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def spark_array(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of lowercased text."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str = "text") -> Column:
+    return F.length(F.col(col))
+
+
+def punct_count(col: str = "text") -> Column:
+    """Number of punctuation chars (fixed class, mirrored in oracle)."""
+    return F.length(F.regexp_replace(F.col(col), r"[^.,;:!?]", ""))
+
+
+def stopword_hits(col: str, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    arr = spark_array(STOPWORDS[lang])
+    return F.expr(
+        f"size(filter(split(lower(trim({col})), '\\\\s+'), t -> array_contains({arr}, t)))"
+    )
+
+
+def fingerprint(col: str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (deterministic, engine-portable)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " "))

@@ -1,0 +1,194 @@
+"""Strict-dialect validator + DataFrame executor.
+
+Reproduces the reference's error semantics (SURVEY.md §2 E2–E6) as a
+pre-plan validation pass — Spark/Catalyst is more permissive (implicit
+casts, constant predicates), so strictness lives here, then execution is
+pure declarative DataFrame ops that Catalyst optimizes.
+
+Error-message text mirrors the reference's observable stderr output
+(golden example-error-1.out; sites /root/reference/database.py:216-419).
+
+Behavioral divergence (documented improvement): tables not connected by
+any join predicate produce a cross join — the reference's executor
+loops forever on that input (/root/reference/database.py:663-673).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from minoan_athenaeum_spark.plans.dialect import (
+    ColumnRef,
+    Comparison,
+    DialectError,
+    Literal,
+    Query,
+)
+
+_OPS = {
+    "=": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+def _ref_type(dtype: T.DataType) -> str:
+    """Collapse Spark types onto the reference's two-type system."""
+    if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "int"
+    if isinstance(dtype, T.StringType):
+        return "str"
+    return dtype.simpleString()
+
+
+@dataclass
+class ResolvedColumn:
+    table: str  # effective (aliased) table name
+    name: str
+    ref_type: str
+
+
+class Executor:
+    """Executes one parsed dialect query against named DataFrames."""
+
+    def __init__(self, tables: dict[str, DataFrame]):
+        # effective name -> aliased DataFrame (alias applied once so
+        # qualified refs resolve through Catalyst too)
+        self.tables = {name: df.alias(name) for name, df in tables.items()}
+        self.schemas: dict[str, dict[str, str]] = {
+            name: {f.name: _ref_type(f.dataType) for f in df.schema.fields}
+            for name, df in tables.items()
+        }
+
+    # ------------------------------------------------------- resolution
+
+    def resolve(self, ref: ColumnRef) -> ResolvedColumn:
+        if ref.table is not None:
+            if ref.table not in self.schemas:
+                raise DialectError(
+                    f'ERROR: Column reference "{ref.name}" does not exist in table "{ref.table}"'
+                )
+            schema = self.schemas[ref.table]
+            if ref.name not in schema:
+                raise DialectError(
+                    f'ERROR: Column reference "{ref.name}" does not exist in table "{ref.table}"'
+                )
+            return ResolvedColumn(ref.table, ref.name, schema[ref.name])
+        present = [t for t, s in self.schemas.items() if ref.name in s]
+        if not present:
+            tables = ", ".join(self.schemas)
+            raise DialectError(
+                f'ERROR: Column reference "{ref.name}" does not exist in table "{tables}"'
+            )
+        if len(present) > 1:
+            listed = ", ".join(f'"{t}"' for t in present)
+            raise DialectError(
+                f'ERROR: Column reference "{ref.name}" is ambiguous; '
+                f"present in multiple tables: {listed}."
+            )
+        return ResolvedColumn(present[0], ref.name, self.schemas[present[0]][ref.name])
+
+    # -------------------------------------------------------- planning
+
+    def plan(self, q: Query) -> DataFrame:
+        filters: list[tuple[ResolvedColumn, str, Literal]] = []
+        joins: list[tuple[ResolvedColumn, str, ResolvedColumn]] = []
+        _REVERSED = {"=": "=", "!=": "!=", ">": "<", ">=": "<=", "<": ">", "<=": ">="}
+
+        for cmp in q.where:
+            lcol = isinstance(cmp.left, ColumnRef)
+            rcol = isinstance(cmp.right, ColumnRef)
+            if not lcol and not rcol:
+                raise DialectError(
+                    f'Both sides of the filter are literals "{cmp.left.value}" and "{cmp.right.value}"'
+                )
+            if lcol and rcol:
+                left, right = self.resolve(cmp.left), self.resolve(cmp.right)
+                if left.ref_type != right.ref_type:
+                    raise DialectError("ERROR: Column join types are incompatible.")
+                joins.append((left, cmp.op, right))
+            else:
+                # Normalize `lit OP col` to `col OP' lit` (reference
+                # reverse_operation, /root/reference/database.py:177-189).
+                if lcol:
+                    col, op, lit = self.resolve(cmp.left), cmp.op, cmp.right
+                else:
+                    col, op, lit = self.resolve(cmp.right), _REVERSED[cmp.op], cmp.left
+                if col.ref_type != lit.type_name:
+                    raise DialectError("ERROR: Column filter types are incompatible.")
+                filters.append((col, op, lit))
+
+        # Validate selectors before executing (reference validates
+        # select list up front — golden example-error-1).
+        projected = []
+        for sel in q.select:
+            rc = self.resolve(sel.column)
+            out_name = sel.alias or sel.column.name
+            projected.append((rc, out_name))
+
+        # Assemble: start from the first table, attach join-connected
+        # tables, cross-join anything disconnected.
+        order = [t.effective_name for t in q.tables]
+        df = self.tables[order[0]]
+        joined = {order[0]}
+        remaining = order[1:]
+        conds_used: set[int] = set()
+        while remaining:
+            progressed = False
+            for name in list(remaining):
+                conds = []
+                for i, (lc, op, rc) in enumerate(joins):
+                    if i in conds_used:
+                        continue
+                    sides = {lc.table, rc.table}
+                    if name in sides and (sides - {name}) <= joined:
+                        conds.append((i, lc, op, rc))
+                if conds:
+                    cond_expr = None
+                    for i, lc, op, rc in conds:
+                        conds_used.add(i)
+                        e = _OPS[op](
+                            F.col(f"{lc.table}.{lc.name}"), F.col(f"{rc.table}.{rc.name}")
+                        )
+                        cond_expr = e if cond_expr is None else (cond_expr & e)
+                    df = df.join(self.tables[name], cond_expr, "inner")
+                    joined.add(name)
+                    remaining.remove(name)
+                    progressed = True
+            if not progressed:
+                # Disconnected table(s): cross join (reference hangs here;
+                # we implement the grammar's meaning).
+                name = remaining.pop(0)
+                df = df.crossJoin(self.tables[name])
+                joined.add(name)
+
+        # Any remaining join predicates between already-joined tables
+        # (e.g. cycles) become post-hoc filters.
+        for i, (lc, op, rc) in enumerate(joins):
+            if i not in conds_used:
+                df = df.filter(
+                    _OPS[op](F.col(f"{lc.table}.{lc.name}"), F.col(f"{rc.table}.{rc.name}"))
+                )
+
+        for col, op, lit in filters:
+            df = df.filter(_OPS[op](F.col(f"{col.table}.{col.name}"), F.lit(lit.value)))
+
+        return df.select(
+            *[F.col(f"{rc.table}.{rc.name}").alias(out) for rc, out in projected]
+        )
+
+
+def check_duplicate_aliases(q: Query) -> None:
+    seen: set[str] = set()
+    for tref in q.tables:
+        name = tref.effective_name
+        if name in seen:
+            raise DialectError(f'The table alias "{name}" has already been loaded')
+        seen.add(name)

@@ -1,0 +1,18 @@
+"""Shared helpers for query builders."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from minoan_athenaeum_spark.catalog import load_table
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def dec(col: Column, prec: int = 12, scale: int = 4) -> Column:
+    """Exact-decimal cast used so aggregate arithmetic matches the DuckDB
+    oracle bit-for-bit (both engines do exact decimal math, then an
+    identical value→double cast)."""
+    return col.cast(f"decimal({prec},{scale})")

@@ -1,0 +1,210 @@
+"""Deduplication queries over the documents / embeddings tables.
+
+Oracle strategy: exact dedup and n-gram Jaccard are fully
+SQL-expressible (DuckDB list functions mirror Spark array functions;
+both do exact int arithmetic then identical double division). MinHash
+and SimHash rely on xxhash64, which DuckDB lacks → rows-only driver
+check, with recall/correctness pinned instead by pytest against a
+brute-force computation (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.operators.dedup import (
+    band_keys,
+    candidate_pairs,
+    char_shingles,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    normalized,
+    simhash64,
+)
+from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.registry import query
+
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: group by content fingerprint, keep min doc_id.
+    One shuffle on the fingerprint; at 100 TB this is the standard
+    hash-partitioned exact dedup (fingerprint first so the shuffle moves
+    32-byte keys, not document bodies)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(normalized()).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("dup_count"))
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 0) + 1),
+               i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+             )) AS sh
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+             AS jacc
+    FROM s a, s b
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (CAST(len(a.sh) + len(b.sh) AS DOUBLE) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+          >= 0.5
+    """,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by character-3-gram Jaccard ≥ 0.5 (bounded to
+    doc_id < 300 so the oracle's brute-force stays cheap).
+
+    Spark side uses the scale path — inverted shingle index for
+    candidates, then exact verification — which returns exactly the
+    brute-force result because candidates ⊇ true matches (any pair with
+    Jaccard > 0 shares ≥ 1 shingle)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+    )
+    cand = candidate_pairs(d, "doc_id", "sh", ["sh"])
+    j = jaccard(F.col("a_sh"), F.col("b_sh"))
+    return cand.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+
+
+@query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(k=16) + LSH(4 bands × 4 rows) near-dup detection over ALL
+    documents, verified with exact Jaccard ≥ 0.5.
+
+    Scale path: shingle → 16-min signature (map-only) → explode 4 band
+    keys (4× rows) → shuffle on band bucket → in-bucket pairs → exact
+    verify. No cross join anywhere; this is the shape that runs on
+    100 TB. No SQL oracle (DuckDB lacks xxhash64) — correctness pinned
+    vs brute force in tests/test_dedup.py."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", char_shingles(normalized(), 3).alias("sh")
+    )
+    sig = d.select(
+        "doc_id", "sh", band_keys(minhash_signature(F.col("sh"), 16), 4, 4).alias("bk")
+    )
+    cand = candidate_pairs(sig, "doc_id", "bk", ["sh"])
+    j = jaccard(F.col("a_sh"), F.col("b_sh"))
+    return cand.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+
+
+@query("dedup_simhash", tags=("dedup", "simhash"))
+def dedup_simhash(spark, sf_dir):
+    """SimHash64 near-dup: 4×16-bit band blocking, verify Hamming ≤ 3.
+
+    Any pair within Hamming 3 shares at least one exact 16-bit band
+    (pigeonhole), so band blocking has perfect recall for d ≤ 3. No SQL
+    oracle (xxhash64) — pinned vs brute force in tests/test_dedup.py."""
+    toks = F.split(normalized(), " ")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", simhash64(toks).alias("sh64")
+    )
+    banded = d.select(
+        "doc_id",
+        "sh64",
+        F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}:"),
+                    F.shiftright(F.col("sh64"), 16 * b)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .cast("string"),
+                )
+                for b in range(4)
+            ]
+        ).alias("bands"),
+    )
+    cand = candidate_pairs(banded, "doc_id", "bands", ["sh64"])
+    return (
+        cand.select(
+            "a", "b", hamming64(F.col("a_sh64"), F.col("b_sh64")).alias("hamming")
+        )
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings WHERE vec_id % 5 = 0
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> a.q[i] * b.q[i])) AS DOUBLE)
+             / (a.nrm * b.nrm) AS cos_sim
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                       i -> a.q[i] * b.q[i])) AS DOUBLE)
+            / (a.nrm * b.nrm) >= 0.8
+    """,
+    tags=("dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: cosine ≥ 0.8 between quantized vectors
+    (round(x·1e4) int arithmetic ⇒ exact dot products; sqrt/division on
+    identical doubles ⇒ bit-identical across engines). Subset
+    vec_id % 5 = 0 keeps the O(n²) oracle bounded; the Spark plan is the
+    same blocked pairwise join used at scale with LSH prefilter."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 10000).cast("bigint"),
+    )
+    v = e.select("vec_id", q.alias("q"))
+    n = v.select(
+        "vec_id",
+        "q",
+        F.sqrt(
+            F.aggregate(
+                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
+            ).cast("double")
+        ).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a"),
+            F.col("b.vec_id").alias("b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.8)
+    )

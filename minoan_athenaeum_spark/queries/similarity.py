@@ -1,0 +1,174 @@
+"""Similarity-search queries over the embeddings table.
+
+``sim_knn_cosine_brute`` is the oracle-checked correctness baseline
+(quantized-int math ⇒ bit-exact vs DuckDB). The LSH/IVF variants are the
+scale paths — driver rows-only check; recall pinned vs brute force in
+tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.operators.similarity import (
+    cosine_q,
+    ivf_key,
+    quantize,
+    sign_lsh_key,
+)
+from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.registry import query
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+
+
+@query(
+    "sim_knn_cosine_brute",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    )
+    SELECT n.vec_id AS nn_id,
+           CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                        i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+             / (n.nrm * qv.nrm0) AS cos_sim
+    FROM n, qv
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+    """,
+    tags=("similarity", "knn", "brute"),
+)
+def sim_knn_cosine_brute(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of vec_id=0. The query vector
+    broadcasts (single-row cross join); scoring is a JVM map over all
+    vectors + TakeOrdered — embarrassingly parallel, no shuffle of the
+    corpus. This is the exact baseline the ANN variants are measured
+    against."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qv = v.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("q0")
+    )
+    scored = v.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    return (
+        scored.select(
+            F.col("vec_id").alias("nn_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )
+
+
+@query("sim_ann_lsh_topk", tags=("similarity", "ann", "lsh"))
+def sim_ann_lsh_topk(spark, sf_dir):
+    """ANN top-10 for vec_id=0 via sign-LSH bucketing: score only vectors
+    whose 8-bit hyperplane signature is within Hamming ≤ 2 of the query's
+    (multi-probe). At scale the bucket key is the shuffle/partition key;
+    scoring touches a small fraction of the corpus. Recall vs brute force
+    is asserted in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    keyed = v.select("vec_id", "q", sign_lsh_key(F.col("q"), 8).alias("lsh"))
+    qv = keyed.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("q0"), F.col("lsh").alias("lsh0")
+    )
+    cand = keyed.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv)).filter(
+        F.bit_count(
+            F.col("lsh").bitwiseXOR(F.col("lsh0")).cast("bigint")
+        )
+        <= 2
+    )
+    return (
+        cand.select(
+            F.col("vec_id").alias("nn_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )
+
+
+@query("sim_ann_ivf_topk", tags=("similarity", "ann", "ivf"))
+def sim_ann_ivf_topk(spark, sf_dir):
+    """ANN top-10 for vec_id=0 via IVF-style coarse cells (sign pattern
+    of leading dims): probe only the query's cell. Cell id doubles as a
+    partition key at scale (bucketed layout ⇒ no shuffle per query)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    keyed = v.select("vec_id", "q", ivf_key(F.col("q"), 6).alias("cell"))
+    qv = keyed.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("q0"), F.col("cell").alias("cell0")
+    )
+    cand = (
+        keyed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv), F.col("cell") == F.col("cell0"))
+    )
+    return (
+        cand.select(
+            F.col("vec_id").alias("nn_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "sim_label_centroid_top3",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, label, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    ), scored AS (
+      SELECT n.label,
+             n.vec_id,
+             CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                          i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+               / (n.nrm * qv.nrm0) AS cos_sim
+      FROM n, qv WHERE n.vec_id != 0
+    )
+    SELECT label, vec_id AS nn_id, cos_sim, rn FROM (
+      SELECT label, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("similarity", "window"),
+)
+def sim_label_centroid_top3(spark, sf_dir):
+    """Top-3 most-similar vectors to vec_id=0 within every label group
+    (grouped k-NN — window over the scored corpus; one shuffle on
+    label)."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    scored = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "label",
+            F.col("vec_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("label").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", F.col("vec_id").alias("nn_id"), "cos_sim", "rn")
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis queries over the documents table (training-data
+pipeline surface: token counting, quality scoring, language ID,
+fingerprinting). All JVM-side expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.operators.text import (
+    STOPWORDS,
+    char_count,
+    fingerprint,
+    punct_count,
+    spark_array,
+    sql_list,
+    stopword_hits,
+    token_count,
+)
+from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.registry import query
+
+_EN = sql_list(STOPWORDS["en"])
+
+
+@query(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id, len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark, sf_dir):
+    """Whitespace token count + char count per document."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count().alias("n_tokens"),
+        char_count().alias("n_chars_m"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_m,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> list_contains({_EN}, x))) AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_punct,
+           n_punct / n_chars_m AS punct_ratio,
+           n_stop / n_tokens AS stop_ratio,
+           least(n_tokens / 100.0, 1.0) * 0.5
+             + (1.0 - n_punct / n_chars_m) * 0.3
+             + (n_stop / n_tokens) * 0.2 AS quality
+    FROM m
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Heuristic document quality score from length / punctuation /
+    stopword ratios (all-double arithmetic, bit-identical to oracle)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        char_count().cast("double").alias("n_chars_m"),
+        token_count().cast("double").alias("n_tokens"),
+        punct_count().cast("double").alias("n_punct"),
+        stopword_hits("text", "en").cast("double").alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct") / F.col("n_chars_m")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    quality = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - punct_ratio) * 0.3
+        + stop_ratio * 0.2
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_punct",
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _langid_oracle() -> str:
+    hits = ",\n             ".join(
+        rf"len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),"
+        rf" x -> list_contains({sql_list(ws)}, x))) AS c_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    return rf"""
+    WITH m AS (
+      SELECT doc_id, lang AS labeled_lang,
+             {hits}
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE
+             WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+             WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+             WHEN c_fr >= c_es THEN 'fr'
+             ELSE 'es'
+           END AS pred_lang,
+           c_en, c_de, c_fr, c_es
+    FROM m
+    """
+
+
+@query("text_lang_id", oracle=_langid_oracle(), tags=("text", "langid"))
+def text_lang_id(spark, sf_dir):
+    """N-gram/stopword language-ID heuristic: count stopword hits per
+    language, argmax with fixed tie-break order (en > de > fr > es)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[stopword_hits("text", lang).alias(f"c_{lang}") for lang in STOPWORDS],
+    )
+    pred = (
+        F.when(
+            (F.col("c_en") >= F.col("c_de"))
+            & (F.col("c_en") >= F.col("c_fr"))
+            & (F.col("c_en") >= F.col("c_es")),
+            F.lit("en"),
+        )
+        .when((F.col("c_de") >= F.col("c_fr")) & (F.col("c_de") >= F.col("c_es")), "de")
+        .when(F.col("c_fr") >= F.col("c_es"), "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", "labeled_lang", pred.alias("pred_lang"), "c_en", "c_de", "c_fr", "c_es"
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark, sf_dir):
+    """MD5 fingerprint of normalized text (dedup key / provenance id)."""
+    return t(spark, sf_dir, "documents").select("doc_id", fingerprint().alias("fp"))
+
+
+@query(
+    "text_source_stats",
+    oracle=r"""
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY source, lang
+    """,
+    tags=("text", "agg"),
+)
+def text_source_stats(spark, sf_dir):
+    """Corpus composition stats by source × language."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -1,0 +1,62 @@
+"""Named-query registry.
+
+Each operator from SURVEY.md §2 (and each extension operator) registers:
+  - a Spark builder  ``fn(spark, sf_dir) -> DataFrame``
+  - optionally a DuckDB-runnable ANSI-SQL oracle string computing the
+    same result on the same parquet tables (views pre-registered by the
+    driver). Oracle-less entries get a weaker rows-only check.
+
+Exactness discipline for oracles: aggregates over doubles go through
+DECIMAL casts (exact in both engines) and are cast to DOUBLE at the end;
+averages are computed as exact-decimal-sum / count in double (IEEE
+division is deterministic), never via engine AVG; timestamps are never
+output raw — they are formatted to strings or epoch seconds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator: register ``fn(spark, sf_dir) -> DataFrame`` under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (side effect: registration) and return
+    the registry."""
+    from minoan_athenaeum_spark.queries import (  # noqa: F401
+        aggregates,
+        dedup,
+        events,
+        multimodal,
+        parity,
+        similarity,
+        text,
+        windows,
+    )
+
+    return REGISTRY
