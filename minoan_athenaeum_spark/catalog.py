@@ -46,9 +46,8 @@ EVENTS_RAW_SCHEMA = T.StructType(
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer division — float division loses µs precision on 19-digit ns.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -68,11 +68,14 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
-def simhash64(tokens: Column) -> Column:
-    """64-bit SimHash over a token array: per bit, sum ±1 votes from
-    xxhash64(token); bit set iff the vote is positive."""
+def simhash63(tokens: Column) -> Column:
+    """63-bit SimHash over a token array: per bit, sum ±1 votes from
+    xxhash64(token); bit set iff the vote is positive. 63 bits (not 64)
+    so the accumulated value stays inside a signed bigint; `getbit` and
+    pow-of-two arithmetic are used because shiftleft/shiftright only
+    take literal shift amounts."""
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
+        F.sequence(F.lit(0), F.lit(62)),
         F.lit(0).cast("bigint"),
         lambda acc, i: acc
         + F.when(
@@ -80,12 +83,10 @@ def simhash64(tokens: Column) -> Column:
                 tokens,
                 F.lit(0),
                 lambda a, tok: a
-                + F.when(
-                    F.shiftright(F.xxhash64(tok), i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
+                + F.when(F.getbit(F.xxhash64(tok), i) == 1, 1).otherwise(-1),
             )
             > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), i),
+            F.pow(F.lit(2.0), i).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
 
@@ -95,26 +96,61 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def candidate_pairs(
-    df: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str]
+    df: DataFrame, id_col: str, bucket_col: str, payload_cols: list[str] | None = None
 ) -> DataFrame:
     """Inverted-index candidate generation: explode bucket keys, shuffle
     on bucket, emit each unordered id pair once (a < b), dedup pairs that
     collide in multiple buckets. This is the scale-path skeleton shared
-    by MinHash-LSH / SimHash-band / shingle-index dedup."""
-    ex = df.select(
-        F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket"), *payload_cols
-    )
+    by MinHash-LSH / SimHash-band / shingle-index dedup.
+
+    Only (id, bucket) flows through the pair join — payloads are joined
+    back AFTER the distinct-pair set is known, so wide columns (shingle
+    arrays, signatures) never ride the candidate explosion."""
+    ex = df.select(F.col(id_col), F.explode(F.col(bucket_col)).alias("bucket"))
     left = ex.alias("l")
     right = ex.alias("r")
-    pairs = left.join(
-        right,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .dropDuplicates(["a", "b"])
     )
-    cols = [
-        F.col(f"l.{id_col}").alias("a"),
-        F.col(f"r.{id_col}").alias("b"),
-        *[F.col(f"l.{c}").alias(f"a_{c}") for c in payload_cols],
-        *[F.col(f"r.{c}").alias(f"b_{c}") for c in payload_cols],
-    ]
-    return pairs.select(*cols).dropDuplicates(["a", "b"])
+    if not payload_cols:
+        return pairs
+    pay = df.select(F.col(id_col), *payload_cols)
+    a_pay = pay.select(
+        F.col(id_col).alias("a"), *[F.col(c).alias(f"a_{c}") for c in payload_cols]
+    )
+    b_pay = pay.select(
+        F.col(id_col).alias("b"), *[F.col(c).alias(f"b_{c}") for c in payload_cols]
+    )
+    return pairs.join(a_pay, "a").join(b_pay, "b")
+
+
+def shared_count_pairs(df: DataFrame, id_col: str, item_col: str) -> DataFrame:
+    """Count-based set-similarity join: explode distinct items, self-join
+    on item, count co-occurrences per (a, b) pair → |A ∩ B| without ever
+    materializing arrays in the join. With per-id set sizes joined on,
+    Jaccard = shared / (|A| + |B| − shared). This is the shape that
+    scales: narrow rows, one shuffle on the item, partial counts."""
+    ex = df.select(F.col(id_col), F.explode(F.col(item_col)).alias("item"))
+    sizes = df.select(F.col(id_col), F.size(F.col(item_col)).alias("set_size"))
+    l, r = ex.alias("l"), ex.alias("r")
+    shared = (
+        l.join(
+            r,
+            (F.col("l.item") == F.col("r.item"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("a_size")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("b_size")), "b")
+    )

@@ -67,7 +67,7 @@ def sign_lsh_key(q: Column, n_bits: int = 8) -> Column:
                 lambda a2, x: a2 + x,
             )
             > 0,
-            F.shiftleft(F.lit(1), i),
+            F.pow(F.lit(2.0), i).cast("int"),
         ).otherwise(0),
     )
 
@@ -79,5 +79,7 @@ def ivf_key(q: Column, n_dims: int = 6) -> Column:
         F.sequence(F.lit(0), F.lit(n_dims - 1)),
         F.lit(0),
         lambda acc, i: acc
-        + F.when(F.element_at(q, i + 1) > 0, F.shiftleft(F.lit(1), i)).otherwise(0),
+        + F.when(F.element_at(q, i + 1) > 0, F.pow(F.lit(2.0), i).cast("int")).otherwise(
+            0
+        ),
     )

@@ -20,7 +20,8 @@ from minoan_athenaeum_spark.operators.dedup import (
     jaccard,
     minhash_signature,
     normalized,
-    simhash64,
+    shared_count_pairs,
+    simhash63,
 )
 from minoan_athenaeum_spark.queries._util import t
 from minoan_athenaeum_spark.registry import query
@@ -84,10 +85,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+        .persist()  # referenced by both self-join sides + the size join
     )
-    cand = candidate_pairs(d, "doc_id", "sh", ["sh"])
-    j = jaccard(F.col("a_sh"), F.col("b_sh"))
-    return cand.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+    counted = shared_count_pairs(d, "doc_id", "sh")
+    shared = F.col("shared").cast("double")
+    j = shared / (
+        (F.col("a_size") + F.col("b_size")).cast("double") - shared
+    )
+    return counted.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
 
 
 @query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
@@ -100,15 +105,24 @@ def dedup_minhash_lsh(spark, sf_dir):
     verify. No cross join anywhere; this is the shape that runs on
     100 TB. No SQL oracle (DuckDB lacks xxhash64) — correctness pinned
     vs brute force in tests/test_dedup.py."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", char_shingles(normalized(), 3).alias("sh")
+    # Persist the shingle sets and band keys: both are referenced from
+    # multiple join branches, and Spark would otherwise recompute the
+    # (expensive) minhash expression once per branch. At cluster scale
+    # these materialize to MEMORY_AND_DISK across executors.
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+        .persist()
     )
     sig = d.select(
-        "doc_id", "sh", band_keys(minhash_signature(F.col("sh"), 16), 4, 4).alias("bk")
-    )
-    cand = candidate_pairs(sig, "doc_id", "bk", ["sh"])
+        "doc_id", band_keys(minhash_signature(F.col("sh"), 16), 4, 4).alias("bk")
+    ).persist()
+    cand = candidate_pairs(sig, "doc_id", "bk")
+    verified = cand.join(
+        d.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")), "a"
+    ).join(d.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")), "b")
     j = jaccard(F.col("a_sh"), F.col("b_sh"))
-    return cand.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+    return verified.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
 
 
 @query("dedup_simhash", tags=("dedup", "simhash"))
@@ -120,8 +134,8 @@ def dedup_simhash(spark, sf_dir):
     oracle (xxhash64) — pinned vs brute force in tests/test_dedup.py."""
     toks = F.split(normalized(), " ")
     d = t(spark, sf_dir, "documents").select(
-        "doc_id", simhash64(toks).alias("sh64")
-    )
+        "doc_id", simhash63(toks).alias("sh64")
+    ).persist()
     banded = d.select(
         "doc_id",
         "sh64",
