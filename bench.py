@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed by a full count() (runs the whole pipeline,
+skips driver-side result transfer). The headline set covers the scan/
+agg/join/window/dedup/similarity/text/events surfaces; quadratic-output
+near-dup queries (minhash on the pathologically self-similar synthetic
+corpus) are exercised by tests, not the bench, so bench time measures
+engine speed rather than output materialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+HEADLINE = [
+    "agg_tpch_q1",
+    "agg_tpch_q3_top10",
+    "agg_tpch_q5_region_revenue",
+    "parity_j9_multiway_join",
+    "parity_j1_equijoin",
+    "win_row_number_topk_per_group",
+    "agg_outer_join_coalesce",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "sim_knn_cosine_brute",
+    "text_quality_score",
+    "text_lang_id",
+    "evt_sessionize",
+    "evt_tumbling_window",
+    "mm_fake_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from minoan_athenaeum_spark.registry import load_all
+    from minoan_athenaeum_spark.session import get_spark
+
+    specs = load_all()
+    spark = get_spark(app_name="mas-bench")
+    # Warm the JVM / file listing outside the timed region.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    spark.stop()
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,126 @@
+"""Structured Streaming operators over the events stream.
+
+The reference has no streaming at all (read-only batch SELECT;
+SURVEY §2 "confirmed absences") — this module is extension surface,
+built on readStream → transform → writeStream with watermarks.
+
+Batch twins of these operators live in queries/events.py and are
+oracle-checked against DuckDB; the tests in tests/test_streaming.py
+assert stream-vs-batch equivalence (availableNow trigger drains the
+whole file source, so results must match the batch computation).
+
+Scale posture: stateful aggregation state is keyed by (window,
+event_type) / user — bounded by watermark eviction; file source at
+100 TB becomes Kafka with the same DataFrame code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; the testdata ships
+    a single file. Expose it through a per-sf symlink directory (a real
+    deployment streams from a directory or Kafka anyway)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"mas_events_stream_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """events.parquet as a file-source stream (ns→µs conversion as in
+    the batch catalog)."""
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.format("parquet").load(_events_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. Late rows
+    beyond the watermark are dropped; state for closed windows is
+    evicted (bounded state at scale)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min (watermarked)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based) per user — the streaming
+    analogue of queries/events.py::evt_sessionize."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.col("n_events"),
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on event_id within the watermark horizon
+    (dropDuplicates keeps first arrival; state bounded by watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain a stream with the availableNow trigger into an in-memory
+    table and return the materialized result (test/inspection helper).
+    Use mode="complete" for aggregations (emits all windows regardless
+    of watermark progress) and mode="append" for row streams."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,89 @@
+"""Brute-force pins for the hash-based operators that have no DuckDB
+oracle (minhash/simhash use xxhash64; ANN is approximate by design).
+Data and hashing are deterministic, so measured quality is stable —
+bounds are set just under the measured values at sf0.001.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.operators.dedup import char_shingles, normalized, simhash63
+from minoan_athenaeum_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def brute_jaccard_pairs(spark, sf_dir, threshold=0.5):
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+        .collect()
+    )
+    sets = {r.doc_id: set(r.sh) for r in d}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_precision_and_recall(spark, sf_dir):
+    true_pairs = brute_jaccard_pairs(spark, sf_dir, 0.5)
+    got = {(r.a, r.b): r.jacc for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()}
+    # Precision is exact by construction (candidates are verified with
+    # true Jaccard) — every reported pair must be a true pair with the
+    # exact score.
+    for p, j in got.items():
+        assert p in true_pairs and abs(true_pairs[p] - j) < 1e-12
+    # S-curve recall: near-threshold pairs are allowed to be missed,
+    # high-similarity pairs must all be found (measured: 0.688 / 1.0).
+    recall_all = len(got.keys() & true_pairs.keys()) / len(true_pairs)
+    assert recall_all >= 0.6
+    hi = {p for p, j in true_pairs.items() if j >= 0.7}
+    assert hi and len(got.keys() & hi) == len(hi)
+
+
+def test_simhash_matches_direct_hamming(spark, sf_dir):
+    # Recompute 63-bit simhashes, then the banding+verify output must
+    # equal the direct all-pairs Hamming≤3 set (pigeonhole: ≤3 flipped
+    # bits leave at least one of the 4 16-bit bands untouched).
+    toks = F.split(normalized(), " ")
+    vals = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", simhash63(toks).alias("sh"))
+        .collect()
+    )
+    hashes = {r.doc_id: r.sh for r in vals}
+    ids = sorted(hashes)
+    expected = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {(r.a, r.b) for r in SPECS["dedup_simhash"].fn(spark, sf_dir).collect()}
+    assert got == expected
+
+
+def test_ann_recall_vs_brute(spark, sf_dir):
+    brute = [r.nn_id for r in SPECS["sim_knn_cosine_brute"].fn(spark, sf_dir).collect()]
+    lsh = [r.nn_id for r in SPECS["sim_ann_lsh_topk"].fn(spark, sf_dir).collect()]
+    ivf = [r.nn_id for r in SPECS["sim_ann_ivf_topk"].fn(spark, sf_dir).collect()]
+    assert len(brute) == 10
+    # Isotropic random embeddings: recall ≈ fraction of corpus probed.
+    # sign-LSH probes Hamming≤2 of 8 bits (~36%); IVF probes 3/8 cells.
+    assert len(set(brute) & set(lsh)) / 10 >= 0.3
+    assert len(set(brute) & set(ivf)) / 10 >= 0.3
+
+
+def test_exact_dedup_keeps_all_distinct(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = SPECS["dedup_exact"].fn(spark, sf_dir)
+    assert out.agg(F.sum("dup_count")).collect()[0][0] == docs.count()

@@ -1,0 +1,68 @@
+"""Structured Streaming correctness: drain the events file source with
+availableNow and assert equivalence with the oracle-checked batch twins
+(queries/events.py) or direct batch computations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_events
+from minoan_athenaeum_spark.queries.events import evt_tumbling_window
+from minoan_athenaeum_spark.streaming.ops import (
+    read_events_stream,
+    run_to_memory,
+    session_windows,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_tumbling", mode="complete")
+    expected = evt_tumbling_window(spark, sf_dir)
+    assert rows(got) == rows(expected)
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_sliding", mode="complete")
+    batch = load_events(spark, sf_dir)
+    expected = (
+        batch.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart"),
+            "event_type",
+            "cnt",
+        )
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_stream_session_windows(spark, sf_dir):
+    stream = session_windows(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_sessions", mode="complete")
+    # Same gap semantics as the batch lag/cumsum sessionizer: compare
+    # (user_id, n_events) multiset and total event conservation.
+    batch = load_events(spark, sf_dir)
+    assert got.agg(F.sum("n_events")).collect()[0][0] == batch.count()
+    # Session starts must be actual event timestamps.
+    starts = {r.start_us for r in got.collect()}
+    event_us = {
+        r[0] for r in batch.select(F.unix_micros(F.col("ts"))).collect()
+    }
+    assert starts <= event_us
+
+
+def test_streaming_dedup(spark, sf_dir):
+    stream = streaming_dedup(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_dedup", mode="append")
+    batch = load_events(spark, sf_dir)
+    assert got.count() == batch.select("event_id").distinct().count()
