@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         dedup,
         events,
+        functions,
         multimodal,
         parity,
         similarity,
