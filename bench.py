@@ -21,12 +21,14 @@ import time
 
 HEADLINE = [
     "agg_tpch_q1",
+    "agg_tpch_q6",
     "agg_tpch_q3_top10",
     "agg_tpch_q5_region_revenue",
     "parity_j9_multiway_join",
     "parity_j1_equijoin",
     "win_row_number_topk_per_group",
     "agg_outer_join_coalesce",
+    "stat_variance_stddev",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "sim_knn_cosine_brute",

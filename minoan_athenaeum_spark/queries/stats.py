@@ -1,0 +1,245 @@
+"""Statistical aggregates, grouping sets, and remaining join types.
+
+Variance/stddev/correlation are computed from exact decimal power sums
+(Σx, Σx², Σxy) cast to double at the end — the engines' built-in
+moment aggregations use different summation orders (not reproducible),
+but power sums of decimals are exact, and the final double formula is
+deterministic IEEE arithmetic. This is also how the partial/merge
+phases work at scale: power sums are associative, so the map-side
+partial aggregation Spark plans for them is exact too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_tables
+from minoan_athenaeum_spark.queries._util import dec, t
+from minoan_athenaeum_spark.registry import query
+
+
+@query(
+    "stat_variance_stddev",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS rflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT rflag, n,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty
+    FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def stat_variance_stddev(spark, sf_dir):
+    """Sample variance/stddev of quantity per return flag via exact
+    power sums (see module docstring)."""
+    li = t(spark, sf_dir, "lineitem")
+    q = dec(F.col("l_quantity"), 12, 2)
+    s = li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
+        F.count("*").alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(q * q).cast("double").alias("sxx"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select("rflag", "n", var.alias("var_qty"), F.sqrt(var).alias("std_qty"))
+
+
+@query(
+    "stat_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
+    FROM s
+    """,
+    tags=("stats", "agg"),
+)
+def stat_correlation(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price from exact
+    power sums (single-pass, associative — one shuffle of 6 numbers)."""
+    li = t(spark, sf_dir, "lineitem")
+    x = dec(F.col("l_quantity"), 12, 2)
+    y = dec(F.col("l_extendedprice"), 12, 2)
+    s = li.agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sxx") - sx * sx) * F.sqrt(n * F.col("syy") - sy * sy)
+    )
+    return s.select("n", corr.alias("corr_qty_price"))
+
+
+@query(
+    "agg_tpch_q6",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecasting revenue change — pure scan+filter+agg; every
+    predicate pushes to parquet (row-group min/max skipping at scale)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.06)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(dec(F.col("l_extendedprice"), 12, 2) * dec(F.col("l_discount"), 6, 2))
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS cnt,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers (SQL API —
+    registered temp views + spark.sql; same Catalyst plan as the DSL)."""
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS cnt,
+               CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.nk, b.nk) AS nk,
+           a.n_cust AS n_cust, b.n_supp AS n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer WHERE c_acctbal > 9000 GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier WHERE s_acctbal > 3000 GROUP BY 1) b
+      ON a.nk = b.nk
+    """,
+    tags=("join", "outer"),
+)
+def join_full_outer(spark, sf_dir):
+    """FULL OUTER join of two aggregates (reference is inner-only —
+    extension surface)."""
+    a = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    b = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 3000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return a.join(b, "nk", "full_outer").select(
+        F.col("nk"), F.col("n_cust"), F.col("n_supp")
+    )
+
+
+@query(
+    "stat_exact_median",
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    )
+    SELECT seg,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN c_acctbal ELSE 0 END)
+                / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN 1 END) AS DOUBLE) AS median_bal
+    FROM r GROUP BY seg
+    """,
+    tags=("stats", "median"),
+)
+def stat_exact_median(spark, sf_dir):
+    """Exact median per group via rank selection (engine-portable:
+    built-in medians differ in interpolation; selecting the middle
+    rank(s) and averaging is deterministic). Distributed shape: one
+    shuffle on the group key, no global sort."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    wn = W.partitionBy("c_mktsegment")
+    r = c.select(
+        F.col("c_mktsegment").alias("seg"),
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    return r.groupBy("seg").agg(
+        (
+            F.sum(F.when(is_mid, F.col("c_acctbal")).otherwise(0.0))
+            / F.count(F.when(is_mid, 1))
+        )
+        .cast("double")
+        .alias("median_bal")
+    )
+
+
+@query(
+    "agg_count_if_bool",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           count_if(o_totalprice > 200000) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("agg", "conditional"),
+)
+def agg_count_if_bool(spark, sf_dir):
+    """count_if / bool_and / bool_or conditional aggregates."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )

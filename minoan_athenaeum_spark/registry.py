@@ -56,6 +56,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         parity,
         similarity,
+        stats,
         text,
         windows,
     )

@@ -66,3 +66,26 @@ def test_streaming_dedup(spark, sf_dir):
     got = run_to_memory(stream, "t_dedup", mode="append")
     batch = load_events(spark, sf_dir)
     assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_stateful_running_totals(spark, sf_dir):
+    import math
+
+    from minoan_athenaeum_spark.streaming.stateful import user_running_totals
+
+    stream = user_running_totals(read_events_stream(spark, sf_dir))
+    got = run_to_memory(stream, "t_stateful", mode="update")
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    expected = {r.user_id: (r.n, r.v) for r in batch.collect()}
+    # Single input file → one microbatch → totals equal the batch agg
+    # (values via isclose: pandas and Spark sum doubles in different
+    # orders).
+    rows_got = {r.user_id: (r.total_events, r.total_value) for r in got.collect()}
+    assert rows_got.keys() == expected.keys()
+    for uid, (n, v) in expected.items():
+        gn, gv = rows_got[uid]
+        assert gn == n and math.isclose(gv, v, rel_tol=1e-9)
