@@ -1,0 +1,134 @@
+"""Remaining relational surface: pivot, lateral explode, arg-extremes,
+ordered string aggregation, LIKE family, deterministic sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.registry import query
+
+
+@query(
+    "misc_pivot_api",
+    oracle="""
+    SELECT l_returnflag AS rflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS f_qty,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS o_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pivot",),
+)
+def misc_pivot_api(spark, sf_dir):
+    """groupBy().pivot() with explicit pivot values (one-pass plan; the
+    explicit value list avoids the extra distinct-scan Spark needs to
+    discover pivot columns — at 100 TB, always pass the values)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy(F.col("l_returnflag").alias("rflag"))
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"))
+    )
+    return p.select("rflag", F.col("F").alias("f_qty"), F.col("O").alias("o_qty"))
+
+
+@query(
+    "misc_lateral_explode",
+    oracle=r"""
+    SELECT doc_id, tok, CAST(pos AS INTEGER) AS pos
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(lower(trim(text)), '\s+'), 1) - 1 AS pos
+      FROM documents WHERE doc_id < 20
+    )
+    WHERE tok LIKE 's%'
+    """,
+    tags=("explode", "lateral"),
+)
+def misc_lateral_explode(spark, sf_dir):
+    """posexplode (lateral unnest with ordinality): token stream with
+    positions, filtered post-explode."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    ex = d.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    return ex.filter(F.col("tok").startswith("s")).select("doc_id", "tok", "pos")
+
+
+@query(
+    "misc_arg_extremes",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           arg_max(c_name, c_acctbal) AS richest,
+           arg_min(c_name, c_acctbal) AS poorest,
+           MAX(c_acctbal) AS max_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "argmax"),
+)
+def misc_arg_extremes(spark, sf_dir):
+    """max_by/min_by (arg_max/arg_min). c_acctbal values are unique per
+    segment in this data, so the result is deterministic."""
+    c = t(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.max_by("c_name", "c_acctbal").alias("richest"),
+        F.min_by("c_name", "c_acctbal").alias("poorest"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "misc_string_agg_sorted",
+    oracle="""
+    SELECT n_regionkey AS rkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names
+    FROM nation GROUP BY n_regionkey
+    """,
+    tags=("agg", "string-agg"),
+)
+def misc_string_agg_sorted(spark, sf_dir):
+    """Ordered string aggregation (collect → sort → join keeps it
+    deterministic and engine-portable)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy(F.col("n_regionkey").alias("rkey")).agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names")
+    )
+
+
+@query(
+    "misc_like_family",
+    oracle="""
+    SELECT p_partkey AS pkey, p_name AS pname
+    FROM part
+    WHERE p_name LIKE 'Part%1' AND p_brand NOT LIKE '%#00'
+      AND regexp_matches(p_type, '^(STANDARD|SMALL)')
+    """,
+    tags=("filter", "like"),
+)
+def misc_like_family(spark, sf_dir):
+    """LIKE / NOT LIKE / regex predicate filters."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("Part%1")
+        & ~F.col("p_brand").like("%#00")
+        & F.col("p_type").rlike("^(STANDARD|SMALL)")
+    ).select(F.col("p_partkey").alias("pkey"), F.col("p_name").alias("pname"))
+
+
+@query(
+    "misc_deterministic_sample",
+    oracle="""
+    SELECT o_orderkey AS okey, o_totalprice AS price
+    FROM orders WHERE (o_orderkey * 37 + 11) % 100 < 7
+    """,
+    tags=("sample",),
+)
+def misc_deterministic_sample(spark, sf_dir):
+    """Deterministic ~7% sample via modular arithmetic on the key —
+    reproducible across engines/runs (unlike TABLESAMPLE), the standard
+    trick for repeatable pipeline sampling at scale."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter((F.col("o_orderkey") * 37 + 11) % 100 < 7).select(
+        F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
+    )

@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         events,
         functions,
+        misc,
         multimodal,
         parity,
         similarity,

@@ -1,0 +1,83 @@
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+from minoan_athenaeum_spark.operators.skew import salted_agg, salted_join
+from minoan_athenaeum_spark.sources.parquet_sink import read_parquet, write_parquet
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r.l_returnflag, r.cnt, float(r.sq))
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sq"),
+        )
+        .collect()
+    }
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "cnt": F.count("*"),
+            "sq": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+        },
+        salt_buckets=16,
+    ).select(
+        "l_returnflag", F.col("cnt"), F.col("sq").cast("double").alias("sq")
+    )
+    got = {(r.l_returnflag, r.cnt, float(r.sq)) for r in salted.collect()}
+    assert got == plain
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    plain = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name")
+        .collect()
+    )
+    got = salted_join(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_name"
+    ).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in plain}
+    assert len(got) == len(plain)
+
+
+def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "orders_by_year")
+        write_parquet(
+            orders,
+            path,
+            partition_by=["o_year"],
+            sort_within_partitions=["o_custkey"],
+            target_file_partitions=2,
+        )
+        # Hive layout on disk.
+        assert any(d.startswith("o_year=") for d in os.listdir(path))
+        back = read_parquet(spark, path)
+        assert back.count() == orders.count()
+        # Partition pruning: a year filter must only list that partition.
+        pruned = back.filter(F.col("o_year") == 1996)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            pruned.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year = 1996" in plan
+        assert pruned.count() == orders.filter(F.col("o_year") == 1996).count()
