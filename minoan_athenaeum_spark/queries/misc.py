@@ -101,7 +101,7 @@ def misc_string_agg_sorted(spark, sf_dir):
     oracle="""
     SELECT p_partkey AS pkey, p_name AS pname
     FROM part
-    WHERE p_name LIKE 'Part%1' AND p_brand NOT LIKE '%#00'
+    WHERE p_name LIKE '%widget%' AND p_brand NOT LIKE '%#1_'
       AND regexp_matches(p_type, '^(STANDARD|SMALL)')
     """,
     tags=("filter", "like"),
@@ -110,8 +110,8 @@ def misc_like_family(spark, sf_dir):
     """LIKE / NOT LIKE / regex predicate filters."""
     p = t(spark, sf_dir, "part")
     return p.filter(
-        F.col("p_name").like("Part%1")
-        & ~F.col("p_brand").like("%#00")
+        F.col("p_name").like("%widget%")
+        & ~F.col("p_brand").like("%#1_")
         & F.col("p_type").rlike("^(STANDARD|SMALL)")
     ).select(F.col("p_partkey").alias("pkey"), F.col("p_name").alias("pname"))
 
