@@ -1,0 +1,76 @@
+"""Property-based randomized predicate testing (SURVEY §5 strategy):
+random conjunctions of the six comparison ops over lineitem, executed
+on Spark and DuckDB, must agree row-for-row. This generalizes the
+reference's four golden queries to the whole filter algebra.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+
+OPS = ["=", "!=", ">", ">=", "<", "<="]
+# (column, literal strategy, is_string)
+COLS = [
+    ("l_linenumber", st.integers(min_value=0, max_value=8), False),
+    ("l_quantity", st.integers(min_value=0, max_value=55), False),
+    ("l_returnflag", st.sampled_from(["A", "N", "R", "X"]), True),
+    ("l_linestatus", st.sampled_from(["F", "O"]), True),
+    ("l_suppkey", st.integers(min_value=0, max_value=120), False),
+]
+
+predicate = st.sampled_from(COLS).flatmap(
+    lambda c: st.tuples(st.just(c[0]), st.sampled_from(OPS), c[1], st.just(c[2]))
+)
+conjunction = st.lists(predicate, min_size=1, max_size=4)
+
+_SPARK_OPS = {
+    "=": lambda c, v: c == v,
+    "!=": lambda c, v: c != v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(conj=conjunction)
+def test_random_filter_conjunctions(spark, sf_dir, duck, conj):
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = None
+    frags = []
+    for col, op, lit, is_str in conj:
+        e = _SPARK_OPS[op](F.col(col), F.lit(lit))
+        cond = e if cond is None else (cond & e)
+        sql_lit = f"'{lit}'" if is_str else str(lit)
+        sql_op = "<>" if op == "!=" else op
+        frags.append(f"{col} {sql_op} {sql_lit}")
+    sdf = li.filter(cond).select("l_orderkey", "l_linenumber")
+    got = {tuple(r) for r in sdf.collect()}
+    q = (
+        "SELECT l_orderkey, l_linenumber FROM lineitem WHERE "
+        + " AND ".join(frags)
+    )
+    expected = {tuple(r) for r in duck.execute(q).fetchall()}
+    assert got == expected
