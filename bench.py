@@ -25,6 +25,8 @@ HEADLINE = [
     "agg_tpch_q3_top10",
     "agg_tpch_q5_region_revenue",
     "parity_j9_multiway_join",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
     "parity_j1_equijoin",
     "win_row_number_topk_per_group",
     "agg_outer_join_coalesce",

@@ -59,6 +59,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity,
         stats,
         text,
+        tpch,
         windows,
     )
 

@@ -89,3 +89,47 @@ def test_stateful_running_totals(spark, sf_dir):
     for uid, (n, v) in expected.items():
         gn, gv = rows_got[uid]
         assert gn == n and math.isclose(gv, v, rel_tol=1e-9)
+
+
+def test_stateful_accumulates_across_microbatches(spark, sf_dir, tmp_path):
+    """Split events into 4 files; maxFilesPerTrigger=1 forces 4
+    microbatches, so GroupState must carry totals across batches."""
+    import math
+
+    from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+    from minoan_athenaeum_spark.streaming.stateful import user_running_totals
+
+    batch = load_events(spark, sf_dir)
+    src = str(tmp_path / "events_split")
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    raw.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream_raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream = stream_raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    got = run_to_memory(user_running_totals(stream), "t_multibatch", mode="update")
+    rows = got.collect()
+    # More emissions than users ⇒ state actually spanned >1 microbatch.
+    n_users = batch.select("user_id").distinct().count()
+    assert len(rows) > n_users
+    # Final (max) running totals equal the batch aggregate.
+    final = {}
+    for r in rows:
+        cur = final.get(r.user_id)
+        if cur is None or r.total_events > cur[0]:
+            final[r.user_id] = (r.total_events, r.total_value)
+    expected = {
+        r.user_id: (r.n, r.v)
+        for r in batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert final.keys() == expected.keys()
+    for uid, (n, v) in expected.items():
+        gn, gv = final[uid]
+        assert gn == n and math.isclose(gv, v, rel_tol=1e-9)
