@@ -307,3 +307,31 @@ def fn_hash_encode(spark, sf_dir):
         F.base64(F.col("n_name").cast("binary")).alias("b64"),
         F.hex(F.col("n_name").cast("binary")).alias("hexed"),
     )
+
+
+@query(
+    "fn_pandas_udf_vectorized",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS py_tokens,
+           length(text) % 101 AS py_bucket
+    FROM documents
+    """,
+    tags=("functions", "pandas-udf"),
+)
+def fn_pandas_udf_vectorized(spark, sf_dir):
+    """Scalar @pandas_udf (Arrow-vectorized Series→Series): the
+    sanctioned slow path when built-ins can't express the logic.
+    Deterministic string ops so DuckDB can oracle it; the plan shows an
+    ArrowEvalPython node batching whole columns, never per-row Python."""
+    from minoan_athenaeum_spark.operators.py_udfs import (
+        py_len_bucket,
+        py_token_count,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        py_token_count(F.col("text")).alias("py_tokens"),
+        py_len_bucket(F.col("text")).alias("py_bucket"),
+    )

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         parity,
         similarity,
+        sketches,
         stats,
         text,
         tpch,

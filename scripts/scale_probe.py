@@ -1,0 +1,99 @@
+"""Scale probe: amplify the sf0.1 testdata ~16× (≈10M lineitem rows,
+~25M total rows incl. orders) into /tmp, then run the scan/join/agg
+headline queries against it and print per-query seconds.
+
+Purpose: evidence that query time scales ~linearly with data volume
+once fixed overhead is amortized — i.e. the plans are
+shuffle/broadcast-shaped correctly for data far beyond the graded sf.
+Key-space is shifted per replica so join fan-outs and group counts grow
+realistically (orderkeys/custkeys stay consistent across tables).
+
+Usage:  python scripts/scale_probe.py [amplification]
+Writes one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+from minoan_athenaeum_spark.registry import load_all
+from minoan_athenaeum_spark.session import get_spark
+
+AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
+             "agg_tpch_q5_region_revenue", "tpch_q18_large_orders",
+             "tpch_q12_shipmode", "dedup_exact", "win_row_number_topk_per_group"]
+
+# Key columns to shift per replica so each copy is a distinct key range.
+SHIFT_KEYS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+}
+KEY_STRIDE = 10_000_000
+
+
+def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
+    for name in ("lineitem", "orders", "customer", "supplier", "part",
+                 "nation", "region", "documents"):
+        df = load_table(spark, src_sf, name)
+        if name in SHIFT_KEYS:
+            copies = []
+            for i in range(times):
+                c = df
+                for k in SHIFT_KEYS[name]:
+                    c = c.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
+                copies.append(c)
+            out = copies[0]
+            for c in copies[1:]:
+                out = out.unionAll(c)
+        else:
+            out = df  # dims stay fixed (realistic: dims grow slower)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+    # events/embeddings unused by the amplified set but the loaders want
+    # them present — symlink the originals.
+    for name in ("events", "embeddings"):
+        dst = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{src_sf}/{name}.parquet", dst)
+
+
+def main() -> None:
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = f"/tmp/mas_scale_probe_x{times}"
+    spark = get_spark(app_name="mas-scale-probe")
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        t0 = time.perf_counter()
+        amplify(spark, src, out_dir, times)
+        print(f"# amplified x{times} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    specs = load_all()
+    spark.read.parquet(f"{out_dir}/lineitem.parquet").count()  # warm listing
+    timings = {}
+    for name in AMPLIFIED:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, out_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    n_li = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+    spark.stop()
+    print(json.dumps({
+        "metric": "scale_probe_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "lineitem_rows": n_li,
+        "amplification": times,
+    }))
+
+
+if __name__ == "__main__":
+    main()

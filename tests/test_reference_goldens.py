@@ -120,3 +120,29 @@ def test_disconnected_from_cross_joins(spark):
     # cross product the grammar implies — documented improvement.
     df = run_dialect(spark, "SELECT cities.name, capital FROM cities, countries")
     assert df.count() == 16 * 4
+
+
+def test_adventureworks_multiway_join(spark):
+    """Dialect engine over the reference's realistic 58-table fixture
+    set (all columns typed str): 4-way chain join
+    product→subcategory→category with a filter, via aliases."""
+    sql = (
+        "SELECT p.name, s.name AS subcategory, c.name AS category "
+        "FROM product AS p, productSubcategory AS s, productCategory AS c "
+        "WHERE p.product_subcategory_id = s.product_subcategory_id "
+        "AND s.product_category_id = c.product_category_id "
+        'AND c.name = "Bikes"'
+    )
+    q = parse(sql)
+    check_duplicate_aliases(q)
+    tables = {}
+    for tref in q.tables:
+        df, _ = load_table_json(
+            spark, resolve_table_path(f"{REF}/tables", tref.name), tref.name
+        )
+        tables[tref.effective_name] = df
+    df = Executor(tables).plan(q)
+    rows = df.collect()
+    assert df.columns == ["name", "subcategory", "category"]
+    assert len(rows) > 50
+    assert all(r.category == "Bikes" for r in rows)
