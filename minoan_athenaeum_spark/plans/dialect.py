@@ -146,8 +146,13 @@ Term = ColumnRef | Literal
 
 @dataclass(frozen=True)
 class Selector:
-    column: ColumnRef
+    column: ColumnRef | None  # None for COUNT(*)
     alias: str | None = None
+    # Aggregate selector support: the reference *designed* COUNT/SUM and
+    # GROUP BY but never implemented them (commented-out productions,
+    # /root/reference/sql-to-json:146-149,175-181) — we complete that
+    # intent. agg is None (plain column), "count" or "sum".
+    agg: str | None = None
 
 
 @dataclass(frozen=True)
@@ -172,6 +177,7 @@ class Query:
     select: tuple[Selector, ...]
     tables: tuple[TableRef, ...]
     where: tuple[Comparison, ...]
+    group_by: tuple[ColumnRef, ...] = ()
 
 
 class Parser:
@@ -213,8 +219,16 @@ class Parser:
             while self.cur.kind == "kw" and self.cur.value == "AND":
                 self.pos += 1
                 where.append(self.parse_comparison())
+        group_by: list[ColumnRef] = []
+        if self.cur.kind == "kw" and self.cur.value == "GROUP":
+            self.pos += 1
+            self.eat("kw", "BY")
+            group_by.append(self.parse_column_ref())
+            while self.cur.kind == "delim" and self.cur.value == ",":
+                self.pos += 1
+                group_by.append(self.parse_column_ref())
         self.eat("end")
-        return Query(tuple(select), tuple(tables), tuple(where))
+        return Query(tuple(select), tuple(tables), tuple(where), tuple(group_by))
 
     def parse_column_ref(self) -> ColumnRef:
         first = self.eat("ident").value
@@ -225,12 +239,24 @@ class Parser:
         return ColumnRef(name=str(first))
 
     def parse_selector(self) -> Selector:
-        col = self.parse_column_ref()
+        agg = None
+        col: ColumnRef | None
+        if self.cur.kind == "kw" and self.cur.value in ("COUNT", "SUM"):
+            agg = str(self.cur.value).lower()
+            self.pos += 1
+            self.eat("delim", "(")
+            if agg == "count" and self.cur.kind == "delim" and self.cur.value == ")":
+                col = None  # COUNT()
+            else:
+                col = self.parse_column_ref()
+            self.eat("delim", ")")
+        else:
+            col = self.parse_column_ref()
         alias = None
         if self.cur.kind == "kw" and self.cur.value == "AS":
             self.pos += 1
             alias = str(self.eat("ident").value)
-        return Selector(col, alias)
+        return Selector(col, alias, agg)
 
     def parse_table_ref(self) -> TableRef:
         name = str(self.eat("ident").value)

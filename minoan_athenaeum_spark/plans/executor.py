@@ -127,11 +127,34 @@ class Executor:
 
         # Validate selectors before executing (reference validates
         # select list up front — golden example-error-1).
-        projected = []
+        # Aggregates (COUNT/SUM + GROUP BY) complete the reference's
+        # vestigial G1 design (/root/reference/sql-to-json:146-149,175-181).
+        projected: list[tuple[ResolvedColumn | None, str, str | None]] = []
+        has_agg = False
         for sel in q.select:
-            rc = self.resolve(sel.column)
-            out_name = sel.alias or sel.column.name
-            projected.append((rc, out_name))
+            if sel.agg == "sum":
+                rc = self.resolve(sel.column)
+                if rc.ref_type != "int":
+                    raise DialectError("ERROR: SUM requires an int column.")
+            elif sel.agg == "count":
+                rc = self.resolve(sel.column) if sel.column is not None else None
+            else:
+                rc = self.resolve(sel.column)
+            has_agg = has_agg or sel.agg is not None
+            default = (
+                sel.agg
+                if sel.column is None
+                else (f"{sel.agg}_{sel.column.name}" if sel.agg else sel.column.name)
+            )
+            projected.append((rc, sel.alias or default, sel.agg))
+        group_cols = [self.resolve(g) for g in q.group_by]
+        if has_agg:
+            grouped_names = {(g.table, g.name) for g in group_cols}
+            for rc, _, agg in projected:
+                if agg is None and (rc.table, rc.name) not in grouped_names:
+                    raise DialectError(
+                        f'ERROR: Column reference "{rc.name}" must appear in GROUP BY.'
+                    )
 
         # Assemble: start from the first table, attach join-connected
         # tables, cross-join anything disconnected.
@@ -180,8 +203,31 @@ class Executor:
         for col, op, lit in filters:
             df = df.filter(_OPS[op](F.col(f"{col.table}.{col.name}"), F.lit(lit.value)))
 
+        if has_agg:
+            aggs = []
+            for rc, out, agg in projected:
+                if agg == "count":
+                    aggs.append(
+                        F.count("*").alias(out)
+                        if rc is None
+                        else F.count(F.col(f"{rc.table}.{rc.name}")).alias(out)
+                    )
+                elif agg == "sum":
+                    aggs.append(F.sum(F.col(f"{rc.table}.{rc.name}")).alias(out))
+            keys = [F.col(f"{g.table}.{g.name}") for g in group_cols]
+            grouped = df.groupBy(*keys) if keys else df.groupBy()
+            out_df = grouped.agg(*aggs)
+            # Re-project in SELECT order with output names.
+            order = []
+            for rc, out, agg in projected:
+                if agg is None:
+                    order.append(F.col(rc.name).alias(out))
+                else:
+                    order.append(F.col(out))
+            return out_df.select(*order)
+
         return df.select(
-            *[F.col(f"{rc.table}.{rc.name}").alias(out) for rc, out in projected]
+            *[F.col(f"{rc.table}.{rc.name}").alias(out) for rc, out, _ in projected]
         )
 
 

@@ -37,6 +37,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
+        # Managed-table warehouse (bucketed tables) outside the repo.
+        .config("spark.sql.warehouse.dir", "/tmp/mas_spark_warehouse")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

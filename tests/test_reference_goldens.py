@@ -146,3 +146,37 @@ def test_adventureworks_multiway_join(spark):
     assert df.columns == ["name", "subcategory", "category"]
     assert len(rows) > 50
     assert all(r.category == "Bikes" for r in rows)
+
+
+def test_dialect_group_by_count_sum(spark):
+    """G1 completed at the dialect level: the COUNT/SUM/GROUP BY grammar
+    the reference reserved but never shipped
+    (/root/reference/sql-to-json:146-149,175-181)."""
+    df = run_dialect(
+        spark,
+        "SELECT country, COUNT() AS cities, SUM(population) AS pop "
+        "FROM cities GROUP BY country",
+    )
+    got = {tuple(r) for r in df.collect()}
+    assert got == {
+        ("USA", 5, 8537 + 3976 + 2704 + 2303 + 681),
+        ("Canada", 4, 2731 + 1701 + 1239 + 934),
+        ("India", 3, 12442 + 11034 + 8443),
+        ("Japan", 4, 13513 + 9127 + 8838 + 7484),
+    }
+
+
+def test_dialect_global_agg(spark):
+    df = run_dialect(spark, "SELECT COUNT(), SUM(population) FROM cities")
+    assert df.columns == ["count", "sum_population"]
+    assert [tuple(r) for r in df.collect()] == [(16, 95687)]
+
+
+def test_dialect_sum_requires_int(spark):
+    with pytest.raises(DialectError, match="SUM requires an int column"):
+        run_dialect(spark, "SELECT SUM(name) FROM cities")
+
+
+def test_dialect_ungrouped_column_rejected(spark):
+    with pytest.raises(DialectError, match="must appear in GROUP BY"):
+        run_dialect(spark, "SELECT name, COUNT() FROM cities GROUP BY country")

@@ -81,3 +81,39 @@ def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir):
         plan = buf.getvalue()
         assert "PartitionFilters: [isnotnull(o_year" in plan or "o_year = 1996" in plan
         assert pruned.count() == orders.filter(F.col("o_year") == 1996).count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Co-located bucketed join: both sides bucketed+sorted by the join
+    key ⇒ the join plan contains NO Exchange (the shuffle happened once
+    at write time — the decisive layout for recurring 100 TB joins)."""
+    import contextlib
+    import io
+
+    from minoan_athenaeum_spark.sources.bucketed import read_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    bo, bl = read_table(spark, "b_orders"), read_table(spark, "b_lineitem")
+    # Force the shuffle-join path (at this sf the dim would broadcast,
+    # which also avoids a shuffle but hides the bucketing effect).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bl.join(bo, bl.l_orderkey == bo.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        j.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("simple")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # And the result matches the plain (shuffled) join.
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
