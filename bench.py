@@ -39,6 +39,7 @@ HEADLINE = [
     "evt_sessionize",
     "evt_tumbling_window",
     "mm_fake_decode_features",
+    "pipeline_clean_corpus",
 ]
 
 

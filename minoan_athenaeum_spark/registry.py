@@ -56,9 +56,11 @@ def load_all() -> dict[str, QuerySpec]:
         misc,
         multimodal,
         parity,
+        pipeline,
         similarity,
         sketches,
         stats,
+        streaming_exec,
         text,
         tpch,
         windows,
