@@ -133,3 +133,76 @@ def test_stateful_accumulates_across_microbatches(spark, sf_dir, tmp_path):
     for uid, (n, v) in expected.items():
         gn, gv = final[uid]
         assert gn == n and math.isclose(gv, v, rel_tol=1e-9)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Late-data policy: an event older than the watermark horizon is
+    dropped. Two sequential availableNow runs share a checkpoint, so
+    run 2 starts with the watermark advanced by run 1 — deterministic
+    batch ordering."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_events")
+    cp = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-03-01 10:00:00")
+
+    def write_batch(offsets_minutes, start_id):
+        pdf = pd.DataFrame(
+            {
+                "event_id": range(start_id, start_id + len(offsets_minutes)),
+                "ts": [
+                    int((base + pd.Timedelta(minutes=m)).value)  # ns
+                    for m in offsets_minutes
+                ],
+                "user_id": [1] * len(offsets_minutes),
+                "event_type": ["click"] * len(offsets_minutes),
+                "value": [1.0] * len(offsets_minutes),
+                "props": ["{}"] * len(offsets_minutes),
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+
+    out = str(tmp_path / "late_out")
+
+    def run_once(_name):
+        stream_raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(src)
+        events = stream_raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+        agg = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count("*").alias("cnt"))
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias("wstart"), "cnt"
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.wstart: r.cnt for r in spark.read.parquet(out).collect()}
+
+    # Run 1: on-time events 10:05..12:00 → final watermark 11:00; the
+    # [10:00, 11:00) window (2 events) finalizes and is emitted.
+    write_batch([5, 15, 65, 120], 0)
+    rows1 = run_once("t_late_r1")
+    ten = int(pd.Timestamp("2024-03-01 10:00:00").timestamp())
+    nine = int(pd.Timestamp("2024-03-01 09:00:00").timestamp())
+    assert rows1 == {ten: 2}
+
+    # Run 2 (same checkpoint → inherited watermark 11:00): a LATE event
+    # at 09:30 must be dropped; 12:30 goes into open state. Nothing new
+    # finalizes below the new watermark, so run 2 emits no rows — and in
+    # particular no [09:00) window ever appears.
+    write_batch([-30, 150], 10)
+    rows2 = run_once("t_late_r2")  # cumulative file-sink contents
+    assert nine not in rows2
+    assert rows2 == rows1  # nothing new emitted; late event vanished
