@@ -50,10 +50,22 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# Per-session handle cache: re-creating a DataFrame re-reads parquet
+# footers and re-lists files; reusing the analyzed relation skips that
+# (plans are immutable, so sharing is safe). Keyed by JVM session id.
+_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (str(id(spark._jsparkSession)), sf_dir, name)
+    df = _HANDLE_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _HANDLE_CACHE[key] = df
+    return df
 
 
 def load_tables(
