@@ -5,7 +5,7 @@ SQL-expressible (DuckDB list functions mirror Spark array functions;
 both do exact int arithmetic then identical double division). MinHash
 and SimHash rely on xxhash64, which DuckDB lacks → rows-only driver
 check, with recall/correctness pinned instead by pytest against a
-brute-force computation (tests/test_dedup.py).
+brute-force computation (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
@@ -104,7 +104,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     keys (4× rows) → shuffle on band bucket → in-bucket pairs → exact
     verify. No cross join anywhere; this is the shape that runs on
     100 TB. No SQL oracle (DuckDB lacks xxhash64) — correctness pinned
-    vs brute force in tests/test_dedup.py."""
+    vs brute force in tests/test_dedup_similarity.py."""
     # Persist the shingle sets and band keys: both are referenced from
     # multiple join branches, and Spark would otherwise recompute the
     # (expensive) minhash expression once per branch. At cluster scale
@@ -131,7 +131,7 @@ def dedup_simhash(spark, sf_dir):
 
     Any pair within Hamming 3 shares at least one exact 16-bit band
     (pigeonhole), so band blocking has perfect recall for d ≤ 3. No SQL
-    oracle (xxhash64) — pinned vs brute force in tests/test_dedup.py."""
+    oracle (xxhash64) — pinned vs brute force in tests/test_dedup_similarity.py."""
     toks = F.split(normalized(), " ")
     d = t(spark, sf_dir, "documents").select(
         "doc_id", simhash63(toks).alias("sh64")

@@ -50,6 +50,17 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def duck2(sf_dir):
+    con = duckdb.connect()
+    for name in ("nation", "region"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
 @settings(
     max_examples=30,
     deadline=None,
@@ -73,4 +84,39 @@ def test_random_filter_conjunctions(spark, sf_dir, duck, conj):
         + " AND ".join(frags)
     )
     expected = {tuple(r) for r in duck.execute(q).fetchall()}
+    assert got == expected
+
+
+# ---- random theta-join properties -----------------------------------
+
+join_op = st.sampled_from(OPS)
+nation_bound = st.integers(min_value=0, max_value=25)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(op=join_op, bound=nation_bound)
+def test_random_theta_joins(spark, sf_dir, duck2, op, bound):
+    """Random theta joins nation×region over all six ops, with a random
+    pushed filter, vs DuckDB."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= bound)
+    r = load_table(spark, sf_dir, "region")
+    e = _SPARK_OPS[op](n.n_regionkey, r.r_regionkey)
+    got = {
+        tuple(row)
+        for row in n.join(r, e)
+        .select("n_nationkey", "r_regionkey")
+        .collect()
+    }
+    sql_op = "<>" if op == "!=" else op
+    expected = {
+        tuple(row)
+        for row in duck2.execute(
+            f"SELECT n_nationkey, r_regionkey FROM nation n, region r "
+            f"WHERE n.n_regionkey {sql_op} r.r_regionkey AND n.n_nationkey <= {bound}"
+        ).fetchall()
+    }
     assert got == expected
