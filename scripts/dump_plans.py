@@ -1,0 +1,44 @@
+"""Dump the executed physical plan of every headline query to
+PLANS.md — reviewable evidence that each plan has the shape the
+docstrings claim (pushdown, broadcast, partial agg, no cartesian
+products). Run per round after bench changes.
+
+Usage: python scripts/dump_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE
+from minoan_athenaeum_spark.registry import load_all
+from minoan_athenaeum_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    specs = load_all()
+    spark = get_spark(app_name="mas-plans", cpus=8)
+    out = ["# PLANS — executed physical plans of the headline queries",
+           f"\nGenerated from {sf_dir} (AQE final plans, post-execution).\n"]
+    for name in HEADLINE:
+        df = specs[name].fn(spark, sf_dir)
+        df.collect()  # finalize the AQE plan
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("simple")
+        out.append(f"## {name}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    spark.stop()
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
