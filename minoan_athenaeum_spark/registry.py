@@ -62,6 +62,7 @@ def load_all() -> dict[str, QuerySpec]:
         stats,
         streaming_exec,
         text,
+        timeseries,
         tpch,
         windows,
     )
