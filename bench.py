@@ -37,6 +37,7 @@ HEADLINE = [
     "text_quality_score",
     "text_lang_id",
     "evt_sessionize",
+    "ts_asof_join",
     "evt_tumbling_window",
     "mm_fake_decode_features",
     "pipeline_clean_corpus",

@@ -8,14 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from minoan_athenaeum_spark.queries._util import dec, t
+from minoan_athenaeum_spark.queries._util import REV_SQL, dec, rev, t
 from minoan_athenaeum_spark.registry import query
 
-_REV = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))"
-
-
-def _rev():
-    return dec(F.col("l_extendedprice"), 12, 2) * (1 - dec(F.col("l_discount"), 6, 2))
+_REV = REV_SQL
+_rev = rev
 
 
 @query(
