@@ -1,0 +1,82 @@
+"""Hypertable-style continuous-aggregate rollups.
+
+Materialize time-bucketed aggregates at multiple grains (e.g. 1h, 1d)
+once; answer queries from the coarsest grain that divides the request.
+At 100 TB this converts repeated full scans into reads of tiny rollup
+tables; rollups are themselves re-aggregable (sums of sums) because
+every stored aggregate is decomposable (count/sum/min/max).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAINS = {"1h": 3600, "1d": 86400}
+
+
+def build_rollups(
+    events: DataFrame, out_dir: str, grains: dict[str, int] | None = None
+) -> None:
+    """Write one parquet rollup table per grain, partitioned by
+    event_type (partition pruning on the common filter column)."""
+    grains = grains or GRAINS
+    base = events.select(
+        "event_type",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    for name, secs in grains.items():
+        rolled = (
+            base.withColumn(
+                "bucket", (F.floor(F.expr("us div 1000000") / secs) * secs).cast("long")
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+                F.countDistinct("user_id").alias("nd_users"),
+            )
+        )
+        rolled.write.mode("overwrite").partitionBy("event_type").parquet(
+            f"{out_dir}/rollup_{name}"
+        )
+
+
+def pick_grain(requested_secs: int, grains: dict[str, int] | None = None) -> str:
+    """Coarsest materialized grain that divides the requested bucket."""
+    grains = grains or GRAINS
+    fitting = [(s, n) for n, s in grains.items() if requested_secs % s == 0]
+    if not fitting:
+        raise ValueError(f"no rollup grain divides {requested_secs}s")
+    return max(fitting)[1]
+
+
+def query_rollup(
+    spark: SparkSession, out_dir: str, requested_secs: int, event_type: str | None = None
+) -> DataFrame:
+    """Re-aggregate the chosen rollup to the requested bucket size.
+    countDistinct is NOT re-aggregable and is only exposed when the
+    requested grain equals the stored grain."""
+    grain = pick_grain(requested_secs)
+    df = spark.read.parquet(f"{out_dir}/rollup_{grain}")
+    if event_type is not None:
+        df = df.filter(F.col("event_type") == event_type)
+    exact_grain = GRAINS[grain] == requested_secs
+    rolled = (
+        df.withColumn(
+            "bucket", (F.floor(F.col("bucket") / requested_secs) * requested_secs).cast("long")
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+            *( [F.sum("nd_users").alias("nd_users")] if exact_grain else [] ),
+        )
+    )
+    return rolled
