@@ -271,3 +271,86 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     return j.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(F.sum(_rev()).cast("double").alias("revenue"))
+
+
+@query(
+    "tpch_q22_global_scalar_subquery",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("tpch", "scalar-subquery"),
+)
+def tpch_q22_global_scalar_subquery(spark, sf_dir):
+    """Q22-shape: scalar subquery (global average balance, computed with
+    the exact decimal-sum/count discipline) + NOT EXISTS anti-join.
+    The scalar aggregates to one row → broadcast into the filter; the
+    anti join hashes on custkey."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(dec(F.col("c_acctbal"), 12, 2)).cast("double") / F.count("*")).alias(
+                "avg_bal"
+            )
+        )
+    )
+    filtered = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = filtered.join(o, filtered.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("n_cust"),
+        F.sum(dec(F.col("c_acctbal"), 12, 2)).cast("double").alias("total_bal"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_REV}) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS skey, s.s_name AS sname, r.total_revenue AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "cte", "scalar-subquery"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15: top supplier by quarterly revenue — CTE reused twice (once
+    for the scalar MAX, once for the join). The revenue aggregate is
+    persisted so the two consumers share one computation."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    revenue = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
+        .persist()
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("skey"),
+            F.col("s_name").alias("sname"),
+            F.col("total_revenue"),
+        )
+    )

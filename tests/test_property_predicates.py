@@ -120,3 +120,39 @@ def test_random_theta_joins(spark, sf_dir, duck2, op, bound):
         ).fetchall()
     }
     assert got == expected
+
+
+# ---- random group-by aggregation properties -------------------------
+
+group_col = st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"])
+agg_col = st.sampled_from(["l_quantity", "l_extendedprice"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(g=group_col, a=agg_col, flt=st.integers(min_value=1, max_value=50))
+def test_random_groupby_aggregates(spark, sf_dir, duck, g, a, flt):
+    """Random (group key, decimal-summed measure, pushed filter) combos
+    must match DuckDB bit-for-bit under the decimal discipline."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= flt)
+    got = {
+        tuple(r)
+        for r in li.groupBy(F.col(g).alias("k"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col(a).cast("decimal(12,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    expected = {
+        tuple(r)
+        for r in duck.execute(
+            f"SELECT {g} AS k, COUNT(*) AS cnt, "
+            f"CAST(SUM(CAST({a} AS DECIMAL(12,2))) AS DOUBLE) AS s "
+            f"FROM lineitem WHERE l_quantity >= {flt} GROUP BY {g}"
+        ).fetchall()
+    }
+    assert got == expected
