@@ -422,14 +422,19 @@ def agg_outer_join_coalesce(spark, sf_dir):
     "agg_anti_join",
     oracle="""
     SELECT c_custkey AS ckey FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     """,
     tags=("join", "anti"),
 )
 def agg_anti_join(spark, sf_dir):
-    """NOT EXISTS — left-anti hash join (customers with no orders)."""
+    """NOT EXISTS — left-anti hash join (customers with no orders since
+    2000; every customer has *some* order in this data, so the date
+    restriction keeps the result non-trivial)."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         F.col("c_custkey").alias("ckey")
     )

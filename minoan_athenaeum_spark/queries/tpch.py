@@ -282,7 +282,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                               / COUNT(*)
                        FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
     GROUP BY c_mktsegment
     """,
     tags=("tpch", "scalar-subquery"),
@@ -291,9 +292,12 @@ def tpch_q22_global_scalar_subquery(spark, sf_dir):
     """Q22-shape: scalar subquery (global average balance, computed with
     the exact decimal-sum/count discipline) + NOT EXISTS anti-join.
     The scalar aggregates to one row → broadcast into the filter; the
-    anti join hashes on custkey."""
+    anti join hashes on custkey. The NOT EXISTS is date-restricted:
+    every customer in this data has at least one all-time order."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
