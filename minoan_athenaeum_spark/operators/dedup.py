@@ -15,7 +15,7 @@ All hashing is JVM-side (xxhash64 / md5) — deterministic, no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,8 +134,13 @@ def shared_count_pairs(df: DataFrame, id_col: str, item_col: str) -> DataFrame:
     """Count-based set-similarity join: explode distinct items, self-join
     on item, count co-occurrences per (a, b) pair → |A ∩ B| without ever
     materializing arrays in the join. With per-id set sizes joined on,
-    Jaccard = shared / (|A| + |B| − shared). This is the shape that
-    scales: narrow rows, one shuffle on the item, partial counts."""
+    Jaccard = shared / (|A| + |B| − shared).
+
+    CAVEAT — hot-key skew: a globally common item (a frequent 3-gram)
+    puts O(corpus) ids in one posting list and the self-join does
+    O(n²) pairs through that single key. Fine for bounded inputs; the
+    scale path is :func:`prefix_filtered_pairs`, which provably prunes
+    the index while keeping every pair with Jaccard ≥ τ."""
     ex = df.select(F.col(id_col), F.explode(F.col(item_col)).alias("item"))
     sizes = df.select(F.col(id_col), F.size(F.col(item_col)).alias("set_size"))
     l, r = ex.alias("l"), ex.alias("r")
@@ -153,4 +158,84 @@ def shared_count_pairs(df: DataFrame, id_col: str, item_col: str) -> DataFrame:
     return (
         shared.join(sizes.select(F.col(id_col).alias("a"), F.col("set_size").alias("a_size")), "a")
         .join(sizes.select(F.col(id_col).alias("b"), F.col("set_size").alias("b_size")), "b")
+    )
+
+
+def prefix_filtered_pairs(
+    df: DataFrame, id_col: str, item_col: str, tau: float
+) -> DataFrame:
+    """Skew-proof set-similarity join via the prefix-filtering principle
+    (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): order each
+    set's items by ascending global document frequency (ties by item
+    value — one global total order) and index only the first
+    ``|s| − ⌈τ·|s|⌉ + 1`` items. Any pair with Jaccard ≥ τ shares at
+    least one indexed item, so candidates remain a superset of the true
+    result; candidates are then verified with the exact intersection.
+
+    Why this kills the hot-key hazard: a globally common item sits at
+    the *end* of every set's frequency order, so it is almost never
+    inside any set's prefix — its posting list in the index is tiny even
+    though it occurs in every document. The size filter
+    (τ·|B| ≤ |A| and τ·|A| ≤ |B|, a Jaccard necessary condition) prunes
+    cross-size candidates on top.
+
+    Output contract matches :func:`shared_count_pairs`:
+    columns ``a, b, shared, a_size, b_size`` — but only for pairs that
+    survive prefix filtering (every pair with J ≥ τ does).
+
+    Shuffles at scale: one on item (global df), one on id (per-set
+    ranking window), one on the prefix item (candidate join), one
+    pair-distinct, plus the verify joins keyed on id. All keys are
+    narrow; no posting list is O(corpus).
+    """
+    ex = df.select(F.col(id_col), F.explode(F.col(item_col)).alias("item"))
+    dfreq = ex.groupBy("item").agg(F.count("*").alias("__df"))
+    w_rank = Window.partitionBy(id_col).orderBy("__df", "item")
+    w_set = Window.partitionBy(id_col)
+    prefix_len = (
+        F.col("__sz") - F.ceil(F.lit(tau) * F.col("__sz")).cast("int") + 1
+    )
+    pref = (
+        ex.join(dfreq, "item")  # dfreq is small → AQE broadcasts it
+        .withColumn("__rk", F.row_number().over(w_rank))
+        .withColumn("__sz", F.count("*").over(w_set))
+        .filter(F.col("__rk") <= prefix_len)
+        .select(F.col(id_col), "item", F.col("__sz"))
+    )
+    l, r = pref.alias("l"), pref.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.item") == F.col("r.item"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            # Jaccard ≥ τ ⇒ τ·|B| ≤ |A| ∧ τ·|A| ≤ |B| (size filter)
+            & (F.col("l.__sz") * tau <= F.col("r.__sz"))
+            & (F.col("r.__sz") * tau <= F.col("l.__sz")),
+        )
+        .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    pay = df.select(F.col(id_col), F.col(item_col))
+    a_pay = pay.select(
+        F.col(id_col).alias("a"),
+        F.col(item_col).alias("__a_items"),
+        F.size(item_col).alias("a_size"),
+    )
+    b_pay = pay.select(
+        F.col(id_col).alias("b"),
+        F.col(item_col).alias("__b_items"),
+        F.size(item_col).alias("b_size"),
+    )
+    return (
+        cand.join(a_pay, "a")
+        .join(b_pay, "b")
+        .select(
+            "a",
+            "b",
+            F.size(F.array_intersect("__a_items", "__b_items"))
+            .cast("long")
+            .alias("shared"),
+            "a_size",
+            "b_size",
+        )
     )

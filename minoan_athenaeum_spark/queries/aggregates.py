@@ -114,7 +114,8 @@ def agg_tpch_q1(spark, sf_dir):
 )
 def agg_tpch_q3_top10(spark, sf_dir):
     """TPC-H Q3 shipping-priority: join customer⋈orders⋈lineitem, group,
-    top-10 by revenue. Customer dim broadcasts; lineitem⋈orders is the
+    top-10 by revenue. Customer scales with sf (AQE picks its join
+    side); lineitem⋈orders is the
     one shuffle; TakeOrderedAndProject avoids a global sort."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
@@ -125,7 +126,7 @@ def agg_tpch_q3_top10(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .select(
@@ -156,7 +157,8 @@ def agg_tpch_q3_top10(spark, sf_dir):
 )
 def agg_tpch_q5_region_revenue(spark, sf_dir):
     """TPC-H Q5 local-supplier volume: 6-way join + group. Dims
-    (supplier/nation/region/customer) broadcast; fact-fact join shuffles
+    (nation/region) broadcast; customer/supplier scale with sf so AQE
+    decides; fact-fact join shuffles
     on orderkey."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
@@ -169,9 +171,9 @@ def agg_tpch_q5_region_revenue(spark, sf_dir):
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -382,12 +384,12 @@ def agg_cube(spark, sf_dir):
     tags=("subquery",),
 )
 def agg_subquery_in(spark, sf_dir):
-    """IN-subquery — planned as a left-semi broadcast join (the reference
+    """IN-subquery — planned as a left-semi join (the reference
     has no subqueries at all; extension surface)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
     hot = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9500)
     return o.join(
-        F.broadcast(hot), o.o_custkey == hot.c_custkey, "left_semi"
+        hot, o.o_custkey == hot.c_custkey, "left_semi"
     ).select(F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price"))
 
 

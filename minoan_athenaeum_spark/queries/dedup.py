@@ -20,7 +20,7 @@ from minoan_athenaeum_spark.operators.dedup import (
     jaccard,
     minhash_signature,
     normalized,
-    shared_count_pairs,
+    prefix_filtered_pairs,
     simhash63,
 )
 from minoan_athenaeum_spark.queries._util import t
@@ -77,17 +77,19 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by character-3-gram Jaccard ≥ 0.5 (bounded to
     doc_id < 300 so the oracle's brute-force stays cheap).
 
-    Spark side uses the scale path — inverted shingle index for
-    candidates, then exact verification — which returns exactly the
-    brute-force result because candidates ⊇ true matches (any pair with
-    Jaccard > 0 shares ≥ 1 shingle)."""
+    Spark side uses the scale path — a PREFIX-FILTERED shingle index
+    (rarest |s|−⌈τ|s|⌉+1 shingles of each doc), then exact
+    verification — which returns exactly the brute-force result because
+    prefix filtering provably keeps every pair with Jaccard ≥ τ, and no
+    posting list is O(corpus) even when a 3-gram occurs in every
+    document (the hot-key hazard of a plain inverted index)."""
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
-        .persist()  # referenced by both self-join sides + the size join
+        .persist()  # referenced by the index build + the verify joins
     )
-    counted = shared_count_pairs(d, "doc_id", "sh")
+    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5)
     shared = F.col("shared").cast("double")
     j = shared / (
         (F.col("a_size") + F.col("b_size")).cast("double") - shared

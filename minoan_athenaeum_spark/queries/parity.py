@@ -87,11 +87,12 @@ def parity_p1_projection_alias(spark, sf_dir):
 def parity_j1_equijoin(spark, sf_dir):
     """Inner equi-join (reference hash join over inverted indexes,
     ``Join.__equals`` /root/reference/database.py:526-537).
-    Spark: broadcast hash join — customer is the bounded dim side."""
+    Spark: hash equi-join; customer scales with sf, so the physical
+    strategy (broadcast vs shuffle) is left to AQE."""
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 1000)
     return orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+        customer, orders.o_custkey == customer.c_custkey, "inner"
     ).select(
         F.col("o_orderkey").alias("okey"),
         F.col("c_name").alias("cname"),
@@ -195,7 +196,8 @@ def parity_j5_range_join_lt(spark, sf_dir):
 def parity_j9_multiway_join(spark, sf_dir):
     """Multi-way join chain (reference greedy chain pipeline
     ``Query.execute`` /root/reference/database.py:656-789). Spark:
-    declarative join chain — Catalyst/AQE order it; dims broadcast."""
+    declarative join chain — Catalyst/AQE order it; bounded dims
+    (nation/region) broadcast, customer is AQE's call."""
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = t(spark, sf_dir, "customer")
@@ -203,7 +205,7 @@ def parity_j9_multiway_join(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(

@@ -90,13 +90,14 @@ def tpch_q12_shipmode(spark, sf_dir):
 )
 def tpch_q14_promo_ratio(spark, sf_dir):
     """Q14: promo revenue share — conditional decimal sums, double
-    division at the end. The part dim broadcasts."""
+    division at the end. Part is a scaling table (200k x sf rows) — no
+    forced broadcast; AQE broadcasts it only while it fits."""
     p = t(spark, sf_dir, "part")
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
     )
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _rev()).otherwise(
             F.lit(0).cast("decimal(19,4)")
@@ -138,7 +139,7 @@ def tpch_q18_large_orders(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_name").alias("cname"), F.col("o_orderkey").alias("okey"))
         .agg(F.sum(dec(F.col("l_quantity"), 12, 2)).cast("double").alias("total_qty"))
     )
@@ -162,7 +163,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
     conjuncts."""
     p = t(spark, sf_dir, "part")
     l = t(spark, sf_dir, "lineitem")
-    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    j = l.join(p, l.l_partkey == p.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -207,7 +208,7 @@ def tpch_q10_returned(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("ckey"),
@@ -253,8 +254,8 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     )
     j = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
         .filter(
@@ -351,7 +352,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
     return (
         revenue.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             F.col("s_suppkey").alias("skey"),
             F.col("s_name").alias("sname"),

@@ -31,7 +31,7 @@ def win_row_number_topk_per_group(spark, sf_dir):
     partition key; at scale this beats a global sort by construction."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
         F.col("c_mktsegment").alias("seg"),
         F.col("o_orderkey").alias("okey"),
         F.col("o_totalprice").alias("price"),

@@ -87,3 +87,50 @@ def test_exact_dedup_keeps_all_distinct(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = SPECS["dedup_exact"].fn(spark, sf_dir)
     assert out.agg(F.sum("dup_count")).collect()[0][0] == docs.count()
+
+
+def test_prefix_filter_exact_and_skew_bounded(spark):
+    """Prefix filtering must (a) return exactly the brute-force Jaccard
+    pairs and (b) bound the candidate count on an adversarially skewed
+    corpus where EVERY document shares one universal hot item — the case
+    where a plain inverted-index join degrades to all-pairs through the
+    hot posting list."""
+    from minoan_athenaeum_spark.operators.dedup import prefix_filtered_pairs
+
+    tau = 0.5
+    n = 80
+    docs = []
+    for i in range(n):
+        g = i // 2
+        if i % 2 == 0:
+            items = [f"g{g}x{k}" for k in range(6)] + ["hot"]
+        else:
+            # clone of the even twin: drop one shared item, add one new
+            items = [f"g{g}x{k}" for k in range(5)] + [f"solo{i}", "hot"]
+        docs.append((i, items))
+    df = spark.createDataFrame(docs, "id long, items array<string>")
+
+    got = prefix_filtered_pairs(df, "id", "items", tau)
+    cands = got.collect()
+    # Skew bound: all 80 docs share "hot"; all-pairs would be 3160
+    # candidates. Prefix filtering keeps "hot" out of every prefix
+    # (it is the globally most frequent item), so only twin pairs
+    # sharing rare items survive.
+    assert len(cands) <= 3 * n, f"candidate blowup: {len(cands)}"
+
+    sets = {i: set(it) for i, it in docs}
+    true_pairs = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= tau:
+                true_pairs[(a, b)] = j
+    got_pairs = {
+        (r.a, r.b): r.shared / (r.a_size + r.b_size - r.shared)
+        for r in cands
+        if r.shared / (r.a_size + r.b_size - r.shared) >= tau
+    }
+    assert got_pairs.keys() == true_pairs.keys()
+    for p, j in got_pairs.items():
+        assert abs(true_pairs[p] - j) < 1e-12

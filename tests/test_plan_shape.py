@@ -97,6 +97,75 @@ def test_window_single_partition_exchange(spark, sf_dir):
     assert "SinglePartition" not in p
 
 
+def _forced_broadcast_violations(df) -> list[str]:
+    """Scan the analyzed logical plan for ResolvedHint(broadcast) nodes
+    whose subtree carries a *scaling* table (customer/supplier/part —
+    identified by their key attributes) without an intervening
+    Aggregate/Deduplicate (summarized relations are bounded and fine to
+    broadcast). A forced broadcast of a table that grows with the scale
+    factor OOMs at 100× even though answers stay correct."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+
+    def depth(line: str) -> int:
+        m = len(line) - len(line.lstrip(" :+-"))
+        return m // 3
+
+    scaling_markers = ("c_custkey", "s_suppkey", "p_partkey")
+    violations = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "roadcast" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for sub in lines[i + 1 :]:
+            if depth(sub) <= d:
+                break
+            subtree.append(sub)
+        body = "\n".join(subtree)
+        summarized = "Aggregate" in body or "Deduplicate" in body
+        hit = [m for m in scaling_markers if m in body]
+        if hit and not summarized:
+            violations.append(f"broadcast hint over scaling table ({hit})")
+    return violations
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "tpch_q18_large_orders",
+        "tpch_q14_promo_ratio",
+        "tpch_q19_disjunctive",
+        "tpch_q10_returned",
+        "tpch_q7_volume_shipping",
+        "tpch_q15_top_supplier",
+        "tpch_q22_global_scalar_subquery",
+        "win_row_number_topk_per_group",
+        "parity_j1_equijoin",
+        "parity_j9_multiway_join",
+        "agg_tpch_q3_top10",
+        "agg_tpch_q5_region_revenue",
+        "agg_subquery_in",
+        "theta_distinct_key_join",
+        "theta_count_by_key",
+    ],
+)
+def test_no_forced_broadcast_of_scaling_tables(spark, sf_dir, name):
+    df = SPECS[name].fn(spark, sf_dir)
+    assert not _forced_broadcast_violations(df), (
+        f"{name}: F.broadcast() forced on a table that grows with sf — "
+        "drop the hint (AQE broadcasts it while it fits) or summarize first"
+    )
+
+
+def test_distinct_key_theta_join_no_row_level_nlj(spark, sf_dir):
+    # The distinct-key plan must NLJ only over Deduplicate/Aggregate-
+    # summarized key sets; the fan-out back to rows is hash equi-joins.
+    p = plan_of(spark, sf_dir, "theta_count_by_key", "simple")
+    assert "BroadcastNestedLoopJoin" in p
+    assert p.count("HashAggregate") >= 4  # two per-side partial+final aggs
+
+
 @pytest.mark.parametrize(
     "name",
     ["agg_tpch_q1", "parity_f1_filter_ops", "agg_g1_groupby_count_sum"],
