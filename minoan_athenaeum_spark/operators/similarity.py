@@ -83,3 +83,56 @@ def ivf_key(q: Column, n_dims: int = 6) -> Column:
             0
         ),
     )
+
+
+def sign_lsh_band_keys(q: Column, bands: int = 12, bits: int = 8) -> Column:
+    """Multi-band random-hyperplane signatures for LSH near-dup joins:
+    ``bands`` independent ``bits``-bit sign codes, each bit the sign of a
+    deterministic ±1 combination of the vector's components (weights
+    from xxhash64 over (band, bit, dim) — JVM-side, no Python). Returns
+    an array of ``bands`` int keys, disjoint across bands
+    (key = band · 2^bits + code), ready for
+    :func:`minoan_athenaeum_spark.operators.dedup.candidate_pairs`.
+
+    Two vectors at angle θ agree on one bit with prob 1 − θ/π, so a
+    whole band matches with (1 − θ/π)^bits — near-duplicates (cos ≥ 0.9)
+    collide in ≥ 1 of 12 bands with overwhelming probability while
+    unrelated vectors rarely share a full 8-bit code. Bucket keys are
+    the shuffle partition key; no all-pairs join ever happens."""
+    dim_idx = F.sequence(F.lit(0), F.size(q) - 1)
+
+    def band_code(b: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.lit(0),
+            lambda acc, i: acc
+            + F.when(
+                F.aggregate(
+                    F.zip_with(
+                        q,
+                        dim_idx,
+                        lambda x, j: F.when(
+                            F.xxhash64(
+                                F.concat_ws(
+                                    "_",
+                                    b.cast("string"),
+                                    i.cast("string"),
+                                    j.cast("string"),
+                                )
+                            ).bitwiseAND(F.lit(1))
+                            == 1,
+                            x,
+                        ).otherwise(-x),
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda a2, x: a2 + x,
+                )
+                > 0,
+                F.pow(F.lit(2.0), i).cast("int"),
+            ).otherwise(0),
+        )
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: b * (2**bits) + band_code(b),
+    )

@@ -227,3 +227,68 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+@query(
+    "dedup_embedding_cosine_lsh",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(q, (x, i) -> x + ((i - 1) % 7) - 3) AS q
+      FROM base WHERE vec_id % 50 = 0
+    ), corpus AS (
+      SELECT vec_id, q FROM base UNION ALL SELECT vec_id, q FROM planted
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM corpus
+    )
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                        i -> a.q[i] * b.q[i])) AS DOUBLE)
+             / (a.nrm * b.nrm) AS cos_sim
+    FROM n a, n b
+    WHERE a.vec_id < b.vec_id
+      AND CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+                                       i -> a.q[i] * b.q[i])) AS DOUBLE)
+            / (a.nrm * b.nrm) >= 0.9
+    """,
+    tags=("dedup", "embedding", "lsh"),
+)
+def dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Embedding near-dup at a realistic threshold (cos ≥ 0.9) routed
+    through the SCALE PATH: sign-LSH band buckets → candidate pairs →
+    exact quantized-int cosine verify. No all-pairs join — the bucket
+    key is the shuffle key, exactly the plan that runs on 100 TB.
+
+    The synthetic embeddings are isotropic noise (max pairwise cosine
+    ≈ 0.45), so true near-duplicates are PLANTED deterministically:
+    every 50th vector gets a copy (vec_id + 1000000) with small integer
+    offsets added to its quantized coordinates (pure int arithmetic —
+    bit-identical in Spark and DuckDB). The oracle is the brute-force
+    all-pairs twin over the same corpus; LSH recall at cos ≥ 0.9 with
+    12 bands × 8 bits makes a missed pair ~1e-26 improbable, so outputs
+    match exactly. ``dedup_embedding_cosine`` remains the bounded
+    all-pairs form at the noise-level threshold."""
+    from minoan_athenaeum_spark.operators.similarity import (
+        quantize,
+        cosine_q,
+        sign_lsh_band_keys,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(F.col("q"), lambda x, i: x + (i % 7) - 3).alias("q"),
+    )
+    corpus = base.unionByName(planted).persist()
+    banded = corpus.withColumn("bk", sign_lsh_band_keys(F.col("q"), 12, 8))
+    cand = candidate_pairs(banded, "vec_id", "bk", ["q"])
+    cos = cosine_q(F.col("a_q"), F.col("b_q"))
+    out = cand.select("a", "b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= 0.9
+    )
+    return out
