@@ -30,6 +30,22 @@ class DialectError(Exception):
     (reference error channel: /root/reference/database.py:147-152)."""
 
 
+class ParseError(DialectError):
+    """Parse error with position. ``str()`` keeps our message format;
+    :meth:`reference_text` renders the reference's ``sql-to-json``
+    stderr envelope (``line {}, col {}: {}``,
+    /root/reference/sql-to-json:54-56) for the --emit-json pipe."""
+
+    def __init__(self, line: int, col: int, message: str):
+        super().__init__(f"Parse error at line {line}, column {col}: {message}")
+        self.line = line
+        self.col = col
+        self.message = message
+
+    def reference_text(self) -> str:
+        return f"line {self.line}, col {self.col}: {self.message}"
+
+
 @dataclass(frozen=True)
 class Token:
     kind: str  # 'kw' | 'ident' | 'int' | 'str' | 'op' | 'delim' | 'end'
@@ -47,8 +63,8 @@ def tokenize(text: str) -> list[Token]:
     toks: list[Token] = []
     i, line, col = 0, 1, 1
 
-    def err(msg: str) -> DialectError:
-        return DialectError(f"Parse error at line {line}, column {col}: {msg}")
+    def err(msg: str) -> ParseError:
+        return ParseError(line, col, msg)
 
     n = len(text)
     while i < n:
@@ -189,9 +205,9 @@ class Parser:
     def cur(self) -> Token:
         return self.toks[self.pos]
 
-    def _err(self, msg: str) -> DialectError:
+    def _err(self, msg: str) -> ParseError:
         t = self.cur
-        return DialectError(f"Parse error at line {t.line}, column {t.col}: {msg}")
+        return ParseError(t.line, t.col, msg)
 
     def eat(self, kind: str, value: str | None = None) -> Token:
         t = self.cur

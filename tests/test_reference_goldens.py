@@ -180,3 +180,78 @@ def test_dialect_sum_requires_int(spark):
 def test_dialect_ungrouped_column_rejected(spark):
     with pytest.raises(DialectError, match="must appear in GROUP BY"):
         run_dialect(spark, "SELECT name, COUNT() FROM cities GROUP BY country")
+
+
+# ---------------------------------------------------------------- pipe
+# The reference is a two-stage pipe (sql-to-json q.sql > q.json; then
+# the executor consumes the JSON AST — /root/reference/README.md:17-26).
+# Goldens in tests/goldens/ast/ were captured from the reference's own
+# sql-to-json; our emitter must be byte-identical.
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_emit_json_byte_identical(n):
+    from minoan_athenaeum_spark.plans.ast_json import emit_json
+
+    got = emit_json(parse(open(f"{REF}/example-{n}.sql").read()))
+    expected = open(f"tests/goldens/ast/example-{n}.json").read()
+    assert got == expected
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_ast_json_round_trip(n):
+    import json
+
+    from minoan_athenaeum_spark.plans.ast_json import emit_json, from_reference_ast
+
+    q = parse(open(f"{REF}/example-{n}.sql").read())
+    assert from_reference_ast(json.loads(emit_json(q))) == q
+
+
+def test_query_json_input_executes(spark):
+    """A pre-parsed reference-shape query.json runs through the executor
+    and matches the golden output (example-2)."""
+    import json
+
+    from minoan_athenaeum_spark.plans.ast_json import emit_json, from_reference_ast
+
+    ast = json.loads(emit_json(parse(open(f"{REF}/example-2.sql").read())))
+    q = from_reference_ast(ast)
+    check_duplicate_aliases(q)
+    tables = {}
+    for tref in q.tables:
+        df, _ = load_table_json(spark, resolve_table_path(REF, tref.name), tref.name)
+        tables[tref.effective_name] = df
+    result = Executor(tables).plan(q)
+    header, expected = golden_rows("example-2.out")
+    assert result.columns == header
+    assert df_rows(result) == expected
+
+
+def test_parse_error_reference_envelope():
+    from minoan_athenaeum_spark.plans.dialect import ParseError
+
+    with pytest.raises(ParseError) as ei:
+        parse("SELECT FROM x")
+    # Reference stderr envelope: "line {}, col {}: {}"
+    # (/root/reference/sql-to-json:54-56).
+    assert ei.value.reference_text().startswith("line 1, col 8: ")
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"select": [], "from": [{"source": {"file": "t"}, "as": None}], "where": []},
+        {"select": [{"source": {"column": {"name": "c", "table": None}}, "as": None}]},
+        {
+            "select": [{"source": {"column": {"name": "c", "table": None}}, "as": None}],
+            "from": [{"source": {"file": "t"}, "as": None}],
+            "where": [{"op": "~", "left": {"lit_int": 1}, "right": {"lit_int": 2}}],
+        },
+    ],
+)
+def test_malformed_query_json_rejected(bad):
+    from minoan_athenaeum_spark.plans.ast_json import from_reference_ast
+
+    with pytest.raises(DialectError):
+        from_reference_ast(bad)
