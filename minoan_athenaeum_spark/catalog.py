@@ -14,6 +14,8 @@ UTC, so values agree with DuckDB's naive TIMESTAMP_NS truncated to µs).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -52,19 +54,24 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Per-session handle cache: re-creating a DataFrame re-reads parquet
 # footers and re-lists files; reusing the analyzed relation skips that
-# (plans are immutable, so sharing is safe). Keyed by JVM session id.
-_HANDLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# (plans are immutable, so sharing is safe). Weak-keyed on the
+# SparkSession itself so a stopped, garbage-collected session's entries
+# vanish with it — no id()-reuse hazard, no unbounded growth.
+_HANDLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (str(id(spark._jsparkSession)), sf_dir, name)
-    df = _HANDLE_CACHE.get(key)
+    per_session = _HANDLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = {}
+        _HANDLE_CACHE[spark] = per_session
+    df = per_session.get((sf_dir, name))
     if df is None:
         if name == "events":
             df = load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        _HANDLE_CACHE[key] = df
+        per_session[(sf_dir, name)] = df
     return df
 
 

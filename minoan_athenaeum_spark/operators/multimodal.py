@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -51,22 +52,40 @@ def fake_decode_features(df: DataFrame) -> DataFrame:
     """Deterministic per-payload features via mapInPandas (Arrow
     batches): byte length, sum of the first 8 bytes, mean byte value.
     Partition-parallel, no driver collection — the real decode drops in
-    here unchanged."""
+    here unchanged.
+
+    The batch body is fully numpy-vectorized: one C-level concat of the
+    batch's payloads into a flat uint8 buffer, then ``np.add.reduceat``
+    over row offsets — no per-row Python in the hot loop."""
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            head_sum = payloads.map(lambda b: sum(b[:8]))
-            byte_mean = payloads.map(
-                lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+            n = len(payloads)
+            lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=n)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).astype(np.int64)
+            offsets = np.zeros(n, dtype=np.int64)
+            if n > 1:
+                np.cumsum(lens[:-1], out=offsets[1:])
+            nonempty = lens > 0
+            totals = np.zeros(n, dtype=np.int64)
+            if buf.size and nonempty.any():
+                # reduceat segments for empty rows alias the next row's
+                # first byte — computed on nonempty rows only.
+                totals[nonempty] = np.add.reduceat(buf, offsets[nonempty])
+            head_sum = np.zeros(n, dtype=np.int64)
+            for k in range(8):  # 8 vector adds, not a per-row loop
+                has_k = lens > k
+                head_sum[has_k] += buf[offsets[has_k] + k]
+            byte_mean = np.divide(
+                totals, lens, out=np.zeros(n, dtype=np.float64), where=nonempty
             )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "head_sum": head_sum.astype("int64"),
-                    "byte_mean": byte_mean.astype("float64"),
+                    "n_bytes": lens,
+                    "head_sum": head_sum,
+                    "byte_mean": byte_mean,
                 }
             )
 

@@ -56,16 +56,22 @@ def pick_grain(requested_secs: int, grains: dict[str, int] | None = None) -> str
 
 
 def query_rollup(
-    spark: SparkSession, out_dir: str, requested_secs: int, event_type: str | None = None
+    spark: SparkSession,
+    out_dir: str,
+    requested_secs: int,
+    event_type: str | None = None,
+    grains: dict[str, int] | None = None,
 ) -> DataFrame:
     """Re-aggregate the chosen rollup to the requested bucket size.
     countDistinct is NOT re-aggregable and is only exposed when the
-    requested grain equals the stored grain."""
-    grain = pick_grain(requested_secs)
+    requested grain equals the stored grain. ``grains`` must match the
+    dict the store was built with (defaults to GRAINS)."""
+    grains = grains or GRAINS
+    grain = pick_grain(requested_secs, grains)
     df = spark.read.parquet(f"{out_dir}/rollup_{grain}")
     if event_type is not None:
         df = df.filter(F.col("event_type") == event_type)
-    exact_grain = GRAINS[grain] == requested_secs
+    exact_grain = grains[grain] == requested_secs
     rolled = (
         df.withColumn(
             "bucket", (F.floor(F.col("bucket") / requested_secs) * requested_secs).cast("long")

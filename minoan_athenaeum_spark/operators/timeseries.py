@@ -4,11 +4,13 @@ existing DataFrame ops (the task's preferred strategy (a)), so Catalyst
 still plans/optimizes them and no Python runs per-row.
 
 As-of join via union+running-max: tag both sides, union, and take a
-running max of the right side's timestamp per key — because time is
-monotone within the window ordering, the running max of "right-side
-timestamps seen so far" IS the as-of predecessor. One shuffle on the
-key, no range explosion, no BNLJ — this is the shape that scales (a
-sort-merge as-of in one pass per key partition).
+running max of the right side's (timestamp, payload) struct per key —
+because time is monotone within the window ordering, the running max of
+"right-side rows seen so far" IS the as-of predecessor, and carrying the
+payload inside the struct means timestamp and payload always come from
+the same winning row. One shuffle on the key, no range explosion, no
+BNLJ — this is the shape that scales (a sort-merge as-of in one pass
+per key partition).
 """
 
 from __future__ import annotations
@@ -27,24 +29,33 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the latest right row (per ``on`` key)
     with right_ts <= left_ts. Left columns are preserved; right payload
-    columns come back suffixed ``_asof`` (null when no predecessor)."""
-    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rt = (
-        right.select(
-            F.col(on),
-            F.col(right_ts).alias("__rts"),
+    columns come back suffixed ``_asof`` (null when no predecessor),
+    plus ``asof_ts`` (the winning right row's timestamp).
+
+    The winning row is selected as ONE struct (timestamp first, then
+    payload) through a running ``max`` — so ``asof_ts`` and the payload
+    always come from the same right row, even when the true predecessor
+    carries null payload values. Ties at identical (key, ts) break
+    deterministically by the largest payload tuple (struct comparison is
+    field-by-field left to right)."""
+    rt = right.select(
+        F.col(on),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__ts"),
+        F.struct(
+            F.col(right_ts).alias("asof_ts"),
             *[F.col(c).alias(f"{c}_asof") for c in right_payload],
-        )
-        .withColumn("__side", F.lit(0))
-        .withColumn("__ts", F.col("__rts"))
+        ).alias("__r"),
     )
-    # Align schemas for the union.
+    lt = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__ts", F.col(left_ts))
+        .withColumn("__r", F.lit(None).cast(rt.schema["__r"].dataType))
+    )
+    # Align schemas for the union (right side gains left's columns as nulls).
     for c in lt.columns:
         if c not in rt.columns:
             rt = rt.withColumn(c, F.lit(None))
-    for c in rt.columns:
-        if c not in lt.columns:
-            lt = lt.withColumn(c, F.lit(None))
     u = lt.unionByName(rt)
     # Right rows sort before left rows at equal timestamps (__side asc),
     # so a right row AT the left timestamp is visible to it (<=).
@@ -53,17 +64,11 @@ def asof_join(
         .orderBy("__ts", "__side")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    filled = u.select(
-        "*",
-        F.max("__rts").over(w).alias("__asof_ts"),
-        *[F.last(f"{c}_asof", ignorenulls=True).over(w).alias(f"__{c}_filled")
-          for c in right_payload],
-    )
-    out = filled.filter(F.col("__side") == 1)
-    for c in right_payload:
-        out = out.drop(f"{c}_asof").withColumnRenamed(f"__{c}_filled", f"{c}_asof")
-    return out.drop("__side", "__ts", "__rts").withColumnRenamed(
-        "__asof_ts", "asof_ts"
+    win = u.withColumn("__win", F.max("__r").over(w)).filter(F.col("__side") == 1)
+    return win.select(
+        *left.columns,
+        *[F.col(f"__win.{c}_asof").alias(f"{c}_asof") for c in right_payload],
+        F.col("__win.asof_ts").alias("asof_ts"),
     )
 
 

@@ -158,7 +158,9 @@ class Executor:
 
         # Assemble: start from the first table, attach join-connected
         # tables, cross-join anything disconnected.
-        order = [t.effective_name for t in q.tables]
+        # dict.fromkeys dedupes repeated unaliased refs (FROM t, t) the
+        # way the reference's actual_tables dict does (database.py:220).
+        order = list(dict.fromkeys(t.effective_name for t in q.tables))
         df = self.tables[order[0]]
         joined = {order[0]}
         remaining = order[1:]
@@ -232,9 +234,16 @@ class Executor:
 
 
 def check_duplicate_aliases(q: Query) -> None:
-    seen: set[str] = set()
+    """Mirror reference ``load_tables`` (/root/reference/database.py:206-221):
+    repeating the same unaliased table silently reuses the loaded table;
+    only an alias colliding with an already-registered name or alias
+    raises the 'already been loaded' error."""
+    registered: set[str] = set()
     for tref in q.tables:
-        name = tref.effective_name
-        if name in seen:
-            raise DialectError(f'The table alias "{name}" has already been loaded')
-        seen.add(name)
+        registered.add(tref.name)
+        if tref.alias is not None:
+            if tref.alias in registered:
+                raise DialectError(
+                    f'The table alias "{tref.alias}" has already been loaded'
+                )
+            registered.add(tref.alias)

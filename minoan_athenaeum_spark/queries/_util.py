@@ -28,3 +28,29 @@ def rev():
     from pyspark.sql import functions as F
 
     return dec(F.col("l_extendedprice"), 12, 2) * (1 - dec(F.col("l_discount"), 6, 2))
+
+
+# ------------------------------------------------------- persist scope
+# Queries persist intermediates referenced by multiple join branches.
+# The DataFrame is returned to the caller (which collects it), so the
+# query function can't unpersist before consumption — instead each
+# persisting query releases the PREVIOUS query's persists on entry.
+# Unpersisting is always safe (the plan recomputes), so this never
+# affects correctness; it stops cache blocks leaking across a long
+# session running many queries.
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    df.persist()
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> None:
+    while _TRACKED:
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped

@@ -23,7 +23,7 @@ from minoan_athenaeum_spark.operators.dedup import (
     prefix_filtered_pairs,
     simhash63,
 )
-from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.queries._util import persist_tracked, release_tracked, t
 from minoan_athenaeum_spark.registry import query
 
 
@@ -83,11 +83,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     prefix filtering provably keeps every pair with Jaccard ≥ τ, and no
     posting list is O(corpus) even when a 3-gram occurs in every
     document (the hot-key hazard of a plain inverted index)."""
-    d = (
+    release_tracked()
+    d = persist_tracked(  # referenced by the index build + the verify joins
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
         .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
-        .persist()  # referenced by the index build + the verify joins
     )
     counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5)
     shared = F.col("shared").cast("double")
@@ -111,14 +111,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     # multiple join branches, and Spark would otherwise recompute the
     # (expensive) minhash expression once per branch. At cluster scale
     # these materialize to MEMORY_AND_DISK across executors.
-    d = (
+    release_tracked()
+    d = persist_tracked(
         t(spark, sf_dir, "documents")
         .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
-        .persist()
     )
-    sig = d.select(
+    sig = persist_tracked(d.select(
         "doc_id", band_keys(minhash_signature(F.col("sh"), 16), 4, 4).alias("bk")
-    ).persist()
+    ))
     cand = candidate_pairs(sig, "doc_id", "bk")
     verified = cand.join(
         d.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")), "a"
@@ -135,9 +135,10 @@ def dedup_simhash(spark, sf_dir):
     (pigeonhole), so band blocking has perfect recall for d ≤ 3. No SQL
     oracle (xxhash64) — pinned vs brute force in tests/test_dedup_similarity.py."""
     toks = F.split(normalized(), " ")
-    d = t(spark, sf_dir, "documents").select(
+    release_tracked()
+    d = persist_tracked(t(spark, sf_dir, "documents").select(
         "doc_id", simhash63(toks).alias("sh64")
-    ).persist()
+    ))
     banded = d.select(
         "doc_id",
         "sh64",
@@ -284,7 +285,8 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"),
         F.transform(F.col("q"), lambda x, i: x + (i % 7) - 3).alias("q"),
     )
-    corpus = base.unionByName(planted).persist()
+    release_tracked()
+    corpus = persist_tracked(base.unionByName(planted))
     banded = corpus.withColumn("bk", sign_lsh_band_keys(F.col("q"), 12, 8))
     cand = candidate_pairs(banded, "vec_id", "bk", ["q"])
     cos = cosine_q(F.col("a_q"), F.col("b_q"))

@@ -15,7 +15,7 @@ from minoan_athenaeum_spark.operators.similarity import (
     quantize,
     sign_lsh_key,
 )
-from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.queries._util import persist_tracked, release_tracked, t
 from minoan_athenaeum_spark.registry import query
 
 _QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
@@ -110,7 +110,8 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     from pyspark.sql import Window as W
 
     e = t(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", quantize(F.col("embedding")).alias("q")).persist()
+    release_tracked()
+    v = persist_tracked(e.select("vec_id", quantize(F.col("embedding")).alias("q")))
     cents = (
         v.orderBy("vec_id")
         .limit(n_cells)

@@ -8,7 +8,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from minoan_athenaeum_spark.queries._util import REV_SQL, dec, rev, t
+from minoan_athenaeum_spark.queries._util import (
+    REV_SQL,
+    dec,
+    persist_tracked,
+    release_tracked,
+    rev,
+    t,
+)
 from minoan_athenaeum_spark.registry import query
 
 _REV = REV_SQL
@@ -342,10 +349,10 @@ def tpch_q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp_ntz"))
     )
-    revenue = (
+    release_tracked()
+    revenue = persist_tracked(
         l.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(_rev()).cast("double").alias("total_revenue"))
-        .persist()
     )
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     s = t(spark, sf_dir, "supplier")

@@ -45,9 +45,12 @@ def load_table_json(
             or len(coldef) != 2
             or coldef[1] not in _TYPE_MAP
         ):
-            raise DialectError(
-                f'Invalid column type "{coldef[1] if len(coldef) > 1 else coldef}" in table "{name}"'
+            bad = (
+                coldef[1]
+                if isinstance(coldef, list) and len(coldef) > 1
+                else coldef
             )
+            raise DialectError(f'Invalid column type "{bad}" in table "{name}"')
         fields.append(T.StructField(coldef[0], _TYPE_MAP[coldef[1]], nullable=False))
     schema = T.StructType(fields)
     rows = payload[1:]
