@@ -35,6 +35,23 @@ def char_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def char_shingle_hashes(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams hashed to bigint (xxhash64) at
+    creation. Downstream set ops (document-frequency groupBy, prefix
+    ranking, candidate joins, array_intersect verify) then run on 8-byte
+    longs instead of short strings — cheaper comparisons, narrower
+    shuffles. Set sizes and intersection counts are identical to the
+    string form unless xxhash64 collides within one document's ~1e3
+    shingles (p ≈ 1e-13) — Jaccard values are exact integers either way."""
+    s = col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0))),
+            lambda i: F.xxhash64(s.substr(i, F.lit(n))),
+        )
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over two distinct-element array columns (double
     division of exact int sizes — engine-portable)."""
@@ -162,7 +179,11 @@ def shared_count_pairs(df: DataFrame, id_col: str, item_col: str) -> DataFrame:
 
 
 def prefix_filtered_pairs(
-    df: DataFrame, id_col: str, item_col: str, tau: float
+    df: DataFrame,
+    id_col: str,
+    item_col: str,
+    tau: float,
+    bounded_item_universe: bool = False,
 ) -> DataFrame:
     """Skew-proof set-similarity join via the prefix-filtering principle
     (Chaudhuri et al. SSJoin / Bayardo et al. All-Pairs): order each
@@ -188,17 +209,28 @@ def prefix_filtered_pairs(
     pair-distinct, plus the verify joins keyed on id. All keys are
     narrow; no posting list is O(corpus).
     """
-    ex = df.select(F.col(id_col), F.explode(F.col(item_col)).alias("item"))
+    # Set size is computed BEFORE the explode (array length), not by a
+    # second window over exploded rows — one window sort less per id.
+    ex = df.select(
+        F.col(id_col),
+        F.size(F.col(item_col)).alias("__sz"),
+        F.explode(F.col(item_col)).alias("item"),
+    )
+    # When the caller declares the distinct-item universe bounded (e.g.
+    # character 3-grams: limited by the alphabet, not the corpus), the
+    # frequency table is broadcast-safe at any scale — hint it so no
+    # shuffle is ever scheduled for this join. Unbounded universes
+    # (word shingles) stay hint-free and let AQE decide.
     dfreq = ex.groupBy("item").agg(F.count("*").alias("__df"))
+    if bounded_item_universe:
+        dfreq = F.broadcast(dfreq)
     w_rank = Window.partitionBy(id_col).orderBy("__df", "item")
-    w_set = Window.partitionBy(id_col)
     prefix_len = (
         F.col("__sz") - F.ceil(F.lit(tau) * F.col("__sz")).cast("int") + 1
     )
     pref = (
-        ex.join(dfreq, "item")  # dfreq is small → AQE broadcasts it
+        ex.join(dfreq, "item")
         .withColumn("__rk", F.row_number().over(w_rank))
-        .withColumn("__sz", F.count("*").over(w_set))
         .filter(F.col("__rk") <= prefix_len)
         .select(F.col(id_col), "item", F.col("__sz"))
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from minoan_athenaeum_spark.operators.dedup import (
     band_keys,
     candidate_pairs,
+    char_shingle_hashes,
     char_shingles,
     hamming64,
     jaccard,
@@ -82,14 +83,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
     verification — which returns exactly the brute-force result because
     prefix filtering provably keeps every pair with Jaccard ≥ τ, and no
     posting list is O(corpus) even when a 3-gram occurs in every
-    document (the hot-key hazard of a plain inverted index)."""
+    document (the hot-key hazard of a plain inverted index).
+
+    Shingles are hashed to bigints at creation (char_shingle_hashes) so
+    the whole pipeline — frequency table, prefix ranking, candidate
+    join, array_intersect verify — compares 8-byte longs, not strings;
+    set sizes and intersection counts (hence Jaccard) are identical to
+    the oracle's string-shingle computation."""
     release_tracked()
     d = persist_tracked(  # referenced by the index build + the verify joins
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 300)
-        .select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+        .select("doc_id", char_shingle_hashes(normalized(), 3).alias("sh"))
     )
-    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5)
+    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5, bounded_item_universe=True)
     shared = F.col("shared").cast("double")
     j = shared / (
         (F.col("a_size") + F.col("b_size")).cast("double") - shared
