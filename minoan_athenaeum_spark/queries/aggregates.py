@@ -114,9 +114,12 @@ def agg_tpch_q1(spark, sf_dir):
 )
 def agg_tpch_q3_top10(spark, sf_dir):
     """TPC-H Q3 shipping-priority: join customer⋈orders⋈lineitem, group,
-    top-10 by revenue. Customer scales with sf (AQE picks its join
-    side); lineitem⋈orders is the
-    one shuffle; TakeOrderedAndProject avoids a global sort."""
+    top-10 by revenue. Join ORDER is selective-first, the plan a CBO
+    would pick: orders⋈customer cuts orders to the BUILDING segment
+    BEFORE lineitem joins in, so the orderkey join's build side is the
+    reduced set (AQE broadcasts it when it fits; at worst lineitem
+    shuffles once against a 5×-smaller side). TakeOrderedAndProject
+    avoids a global sort."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
@@ -125,8 +128,8 @@ def agg_tpch_q3_top10(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     )
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev()).cast("double").alias("revenue"))
         .select(
@@ -156,10 +159,12 @@ def agg_tpch_q3_top10(spark, sf_dir):
     tags=("agg", "flagship"),
 )
 def agg_tpch_q5_region_revenue(spark, sf_dir):
-    """TPC-H Q5 local-supplier volume: 6-way join + group. Dims
-    (nation/region) broadcast; customer/supplier scale with sf so AQE
-    decides; fact-fact join shuffles
-    on orderkey."""
+    """TPC-H Q5 local-supplier volume: 6-way join + group. Join order is
+    selective-first (CBO shape): orders is date-filtered and joins
+    customer before lineitem enters, so the orderkey join's non-lineitem
+    side is already reduced (AQE broadcasts it when it fits rather than
+    shuffling the full lineitem). Dims (nation/region) broadcast;
+    customer/supplier scale with sf so no forced hints on them."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -170,8 +175,8 @@ def agg_tpch_q5_region_revenue(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
         .join(
             s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),

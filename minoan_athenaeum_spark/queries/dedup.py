@@ -301,3 +301,58 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
         F.col("cos_sim") >= 0.9
     )
     return out
+
+
+@query(
+    "dedup_components",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 0) + 1),
+               i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+             )) AS s
+      FROM documents WHERE doc_id < 300
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / (CAST(len(a.s) + len(b.s) AS DOUBLE) - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE))
+            >= 0.5
+    ), edges AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+    ), reach(src, dst) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT r.src AS doc_id, LEAST(r.src, MIN(r.dst)) AS component
+    FROM reach r GROUP BY r.src
+    """,
+    tags=("dedup", "components"),
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate GROUPS from near-dup PAIRS: the n-gram Jaccard pairs
+    (same prefix-filtered scale path as ``dedup_ngram_jaccard``) are fed
+    to iterative min-label propagation (operators/components.py) until
+    every node carries the smallest doc_id reachable from it. This is
+    the step a real training-data pipeline runs between pair generation
+    and 'keep one doc per group'. Oracle: DuckDB recursive CTE computing
+    the same transitive closure."""
+    from minoan_athenaeum_spark.operators.components import connected_components
+
+    release_tracked()
+    d = persist_tracked(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", char_shingle_hashes(normalized(), 3).alias("sh"))
+    )
+    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5, bounded_item_universe=True)
+    shared = F.col("shared").cast("double")
+    j = shared / ((F.col("a_size") + F.col("b_size")).cast("double") - shared)
+    pairs = counted.filter(j >= 0.5).select("a", "b")
+    comps = connected_components(pairs, src="a", dst="b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )

@@ -106,9 +106,13 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     nprobe/n_cells of the corpus with no shuffle. On isotropic random
     data (this testdata) recall ≈ fraction probed — by design; real
     embedding corpora cluster, which is what makes IVF pay off. Recall
-    vs brute force is pinned in tests/test_similarity.py."""
-    from pyspark.sql import Window as W
+    vs brute force is pinned in tests/test_similarity.py.
 
+    Centroid assignment is MAP-ONLY: the codebook collapses to a single
+    broadcast row (array of (cell, centroid) structs) and each vector
+    picks its argmax cell with an array ``aggregate`` expression — no
+    explode, no per-vector window, zero shuffle of the corpus (the
+    window formulation shuffled all vectors on vec_id)."""
     e = t(spark, sf_dir, "embeddings")
     release_tracked()
     v = persist_tracked(e.select("vec_id", quantize(F.col("embedding")).alias("q")))
@@ -117,16 +121,27 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
         .limit(n_cells)
         .select(F.col("vec_id").alias("cell"), F.col("q").alias("cq"))
     )
-    # Assign every vector to its nearest centroid (broadcast the tiny
-    # codebook; one JVM map over the corpus, no shuffle).
-    scored = v.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "q", "cell", cosine_q(F.col("q"), F.col("cq")).alias("csim")
+    codebook = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
     )
-    w = W.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cell"))
+    # argmax over the codebook array: keep (cell, csim) in an
+    # accumulator struct; ties prefer the smaller cell id, so the result
+    # is independent of collect_list order.
+    best = F.aggregate(
+        F.col("cb"),
+        F.struct(
+            F.lit(-1).cast("long").alias("cell"),
+            F.lit(float("-inf")).alias("csim"),
+        ),
+        lambda acc, c: F.when(
+            (cosine_q(F.col("q"), c.cq) > acc.csim)
+            | ((cosine_q(F.col("q"), c.cq) == acc.csim) & (c.cell < acc.cell)),
+            F.struct(c.cell.alias("cell"), cosine_q(F.col("q"), c.cq).alias("csim")),
+        ).otherwise(acc),
+    )
     assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "q", "cell")
+        v.crossJoin(F.broadcast(codebook))
+        .select("vec_id", "q", best.getField("cell").alias("cell"))
     )
     qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
     probe_cells = (

@@ -205,7 +205,10 @@ def tpch_q19_disjunctive(spark, sf_dir):
     tags=("tpch", "topk"),
 )
 def tpch_q10_returned(spark, sf_dir):
-    """Q10: returned-item revenue ranking (join + group + top-20)."""
+    """Q10: returned-item revenue ranking (join + group + top-20).
+    Selective-first join order: the one-quarter date filter makes
+    orders⋈customer small, so lineitem joins against the reduced side
+    (AQE broadcasts it when it fits)."""
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     o = t(spark, sf_dir, "orders").filter(
@@ -214,8 +217,8 @@ def tpch_q10_returned(spark, sf_dir):
     )
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("ckey"),
@@ -259,12 +262,21 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     n2 = nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
+    # The disjunctive pair predicate implies BOTH endpoints lie in the
+    # two named nations — push that implication down so customer and
+    # supplier shrink to 2/25ths before any fact joins (the rewrite a
+    # CBO's constraint propagation would emit); the exact pair filter
+    # still runs at the end.
+    c2 = c.join(F.broadcast(n2), c.c_nationkey == F.col("n2_key")).filter(
+        F.col("cust_nation").isin("NATION_1", "NATION_2")
+    )
+    s2 = s.join(F.broadcast(n1), s.s_nationkey == F.col("n1_key")).filter(
+        F.col("supp_nation").isin("NATION_1", "NATION_2")
+    )
     j = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(s, l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
-        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        o.join(c2, o.o_custkey == c2.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s2, l.l_suppkey == s2.s_suppkey)
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -365,4 +377,425 @@ def tpch_q15_top_supplier(spark, sf_dir):
             F.col("s_name").alias("sname"),
             F.col("total_revenue"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Completion of the 22-query TPC-H-shaped suite. The testdata has no
+# partsupp table and no receipt/commit dates, so: the part↔supplier
+# relation is derived as SELECT DISTINCT l_partkey, l_suppkey FROM
+# lineitem (q2/q16/q20), supply cost is proxied by p_retailprice (q9),
+# and "late" means shipped more than 60 days after the order date (q21).
+# Query SHAPES (correlated subqueries, scalar thresholds, anti joins,
+# double-correlated EXISTS/NOT EXISTS) follow the originals.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_best_supplier",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM part p, supply ps, supplier s, nation n, region r
+      WHERE p.p_partkey = ps.l_partkey AND s.s_suppkey = ps.l_suppkey
+        AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+        AND r.r_name = 'EUROPE' AND p.p_size = 15)
+    SELECT e.s_acctbal AS sbal, e.s_name AS sname, e.n_name AS nname,
+           e.p_partkey AS pkey, e.p_name AS pname
+    FROM eligible e
+    WHERE e.s_acctbal = (SELECT MAX(e2.s_acctbal) FROM eligible e2
+                         WHERE e2.p_partkey = e.p_partkey)
+    """,
+    tags=("tpch", "correlated-subquery"),
+)
+def tpch_q2_best_supplier(spark, sf_dir):
+    """Q2-shape: per-part best supplier in a region — the correlated
+    MAX subquery decorrelates to groupBy(part).max + join back (one
+    shuffle on partkey for both branches; nation/region broadcast)."""
+    supply = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        supply.join(p, supply.l_partkey == p.p_partkey)
+        .join(s, supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = eligible.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.max("s_acctbal").alias("__mx")
+    )
+    return (
+        eligible.join(
+            best,
+            (eligible.p_partkey == F.col("__pk"))
+            & (eligible.s_acctbal == F.col("__mx")),
+        )
+        .select(
+            F.col("s_acctbal").alias("sbal"),
+            F.col("s_name").alias("sname"),
+            F.col("n_name").alias("nname"),
+            F.col("p_partkey").alias("pkey"),
+            F.col("p_name").alias("pname"),
+        )
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN rev
+                         ELSE CAST(0 AS DECIMAL(19,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE) AS mkt_share
+    FROM (SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                 {_REV} AS rev, n2.n_name AS nation
+          FROM part p, supplier s, lineitem l, orders o, customer c,
+               nation n1, nation n2, region r
+          WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+            AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+            AND c.c_nationkey = n1.n_nationkey AND n1.n_regionkey = r.r_regionkey
+            AND r.r_name = 'ASIA' AND s.s_nationkey = n2.n_nationkey
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            AND p.p_type = 'ECONOMY') all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "ratio"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8: one nation's revenue share inside a region's import market,
+    per year. Eight-way join; the two nation roles are separate aliased
+    broadcasts; conditional decimal sums divide as double at the end."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rkey")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rkey") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+    )
+    zero = F.lit(0).cast("decimal(19,4)")
+    target = F.sum(F.when(F.col("nation") == "NATION_3", _rev()).otherwise(zero))
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        (target.cast("double") / F.sum(_rev()).cast("double")).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT nname, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (SELECT n.n_name AS nname,
+                 CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                 {_REV} - CAST(p.p_retailprice AS DECIMAL(12,2))
+                            * CAST(l.l_quantity AS DECIMAL(12,2)) AS amount
+          FROM part p, supplier s, lineitem l, orders o, nation n
+          WHERE s.s_suppkey = l.l_suppkey AND p.p_partkey = l.l_partkey
+            AND o.o_orderkey = l.l_orderkey AND s.s_nationkey = n.n_nationkey
+            AND p.p_name LIKE '%e%') profit
+    GROUP BY nname, o_year
+    """,
+    tags=("tpch", "multiway"),
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9-shape: profit (revenue minus retail-price×quantity cost proxy
+    — the testdata has no partsupp/supplycost) by supplier nation and
+    order year, over parts whose name matches a pattern. All decimal
+    arithmetic until the final double cast."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%e%"))
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    amount = _rev() - dec(F.col("p_retailprice"), 12, 2) * dec(F.col("l_quantity"), 12, 2)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nname"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS val
+      FROM lineitem l, supplier s, nation n
+      WHERE l.l_suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+        AND n.n_name = 'NATION_8'
+      GROUP BY l.l_partkey)
+    SELECT l_partkey AS pkey, val AS value
+    FROM value_by_part
+    WHERE val > (SELECT SUM(val) * 0.001 FROM value_by_part)
+    """,
+    tags=("tpch", "scalar-subquery"),
+)
+def tpch_q11_important_parts(spark, sf_dir):
+    """Q11-shape: parts whose traded value within one nation exceeds a
+    fraction of the nation's total. The per-part aggregate is persisted
+    and reused for the scalar total (CTE reuse, one shuffle on partkey);
+    both branches cast to double identically before the comparison."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
+    release_tracked()
+    val = persist_tracked(
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("pkey"))
+        .agg(
+            F.sum(dec(F.col("l_extendedprice"), 12, 2) * dec(F.col("l_quantity"), 12, 2))
+            .cast("double")
+            .alias("value")
+        )
+    )
+    thresh = val.agg((F.sum("value") * F.lit(0.001)).alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("__t"))
+        .select("pkey", "value")
+    )
+
+
+@query(
+    "tpch_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    tags=("tpch", "outer-join"),
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """Q13: histogram of orders-per-customer — left outer join with a
+    join-time residual predicate (NOT a post-filter: customers whose
+    only orders are urgent must still appear with count 0), then two
+    aggregations."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "tpch_q16_supplier_counts",
+    oracle="""
+    WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM supply ps JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("tpch", "anti-join"),
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """Q16-shape: distinct supplier counts per (brand, type, size),
+    excluding negative-balance suppliers (the NOT IN is an anti join —
+    s_suppkey is non-null so the semantics coincide)."""
+    supply = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35))
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    return (
+        supply.join(bad, supply.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, supply.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+    tags=("tpch", "correlated-subquery"),
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    """Q17: revenue lost to small orders — the correlated per-part AVG
+    decorrelates to a partkey aggregate joined back (avg of
+    integer-valued doubles is order-independent, so both engines agree
+    bit-for-bit). The avg is computed over candidate parts only (semi
+    restriction) — same result, 1/2000th of the aggregate state."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")
+    )
+    cand = l.join(p, l.l_partkey == p.p_partkey)
+    avg_qty = (
+        l.join(p, l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__avg"))
+    )
+    return (
+        cand.join(avg_qty, cand.l_partkey == F.col("__pk"))
+        .filter(F.col("l_quantity") < F.col("__avg"))
+        .agg(
+            (F.sum(dec(F.col("l_extendedprice"), 12, 2)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    SELECT s.s_name AS sname, s.s_acctbal AS sbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_8'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%a%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(l.l_quantity) > 40.0)
+    """,
+    tags=("tpch", "semi-join"),
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """Q20-shape: suppliers in one nation who moved more than a
+    threshold quantity of any matching part in a year (shipped-quantity
+    proxy for the original's stock-excess predicate). IN-subquery →
+    aggregate + semi join."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    heavy = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 40.0)
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select(F.col("s_name").alias("sname"), F.col("s_acctbal").alias("sbal"))
+    )
+
+
+@query(
+    "tpch_q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+    allsupp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+    SELECT s.s_name AS sname, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_8'
+    WHERE EXISTS (SELECT 1 FROM allsupp l2 WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "exists", "anti-join"),
+)
+def tpch_q21_waiting_suppliers(spark, sf_dir):
+    """Q21-shape: suppliers solely responsible for late finalized
+    multi-supplier orders ("late" = shipped >60 days after the order
+    date; the testdata has no receipt/commit dates). The EXISTS becomes
+    a semi join and the NOT EXISTS an anti join, both on orderkey with a
+    supplier-inequality residual."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    allsupp = l.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late.alias("l1")
+    l2 = allsupp.alias("l2")
+    l3 = late.alias("l3")
+    qualified = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
+    return (
+        qualified.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("s_name").alias("sname"))
+        .agg(F.count("*").alias("numwait"))
     )

@@ -32,6 +32,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Match local parallelism, not the 200 default.
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        # Start every shuffle WIDE and let AQE coalesce down to the
+        # advisory size (64 MB default). With only shuffle.partitions=32,
+        # a 150M-row join sorts ~600 MB per partition and spills — the
+        # scale probes went super-linear past 64×. 1024 initial
+        # partitions keep per-task sorts in memory at any amplification
+        # we test, while AQE collapses small-data shuffles to a handful
+        # of partitions so tiny queries pay no extra task overhead. This
+        # mirrors the standard cluster posture (high initial partition
+        # count + AQE coalescing), so plans here have cluster shape.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-UDF path and fast toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
