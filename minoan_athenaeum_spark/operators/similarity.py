@@ -136,3 +136,24 @@ def sign_lsh_band_keys(q: Column, bands: int = 12, bits: int = 8) -> Column:
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: b * (2**bits) + band_code(b),
     )
+
+
+def nearest_cell(q: Column, codebook: Column) -> Column:
+    """Map-only nearest-centroid assignment: fold over a (small,
+    broadcast) codebook array of ``struct(cell, cq)`` and keep the
+    argmax-cosine entry. Returns ``struct(cell, csim)``. Ties prefer the
+    smaller cell id, so the result is independent of the codebook's
+    array order. No explode, no window, zero shuffle of the corpus —
+    this is the assignment step shared by IVF search and SemDedup."""
+    return F.aggregate(
+        codebook,
+        F.struct(
+            F.lit(-1).cast("long").alias("cell"),
+            F.lit(float("-inf")).alias("csim"),
+        ),
+        lambda acc, c: F.when(
+            (cosine_q(q, c.cq) > acc.csim)
+            | ((cosine_q(q, c.cq) == acc.csim) & (c.cell < acc.cell)),
+            F.struct(c.cell.alias("cell"), cosine_q(q, c.cq).alias("csim")),
+        ).otherwise(acc),
+    )

@@ -73,3 +73,147 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.count("*").alias("kept_docs"),
         F.sum("n_tokens").cast("double").alias("total_tokens"),
     )
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 7, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS g
+      FROM toks
+    ), eval_grams AS (
+      SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 20 = 0
+    ), train AS (
+      SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 20 != 0
+    )
+    SELECT t.doc_id AS doc_id, COUNT(*) AS n_hit_grams
+    FROM train t JOIN eval_grams e USING (gram)
+    GROUP BY t.doc_id
+    """,
+    tags=("pipeline", "decontamination"),
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 8-gram with the held-out eval slice (doc_id % 20 == 0), the
+    standard n-gram-overlap check run before pretraining.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    ~1e6 n-grams even when the corpus is 100 TB), so its distinct-gram
+    set BROADCASTS and contamination detection is a map-side semi-join
+    over the training corpus — no shuffle of training data. The gram
+    count per doc is a partial agg on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(words)
+    grams = F.when(
+        n >= F.lit(8),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(7)),
+                lambda i: F.array_join(F.slice(words, i, 8), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", grams.alias("g"))
+    eval_grams = (
+        g.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % 20 != 0).select(
+        "doc_id", F.explode("g").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+    FROM packed GROUP BY source, bin
+    """,
+    tags=("pipeline", "packing"),
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    """Sequence packing (concat-and-chunk): within each source stream,
+    documents are concatenated in doc_id order and chunked into
+    2048-token training bins; a document belongs to the bin where its
+    first token lands. Emits per-bin document and token counts.
+
+    Scale shape: the running sum partitions by source, so the window
+    never funnels the corpus through one task (the single-partition
+    global-order window is the classic scale mistake this avoids);
+    one shuffle on source, then a partial agg."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = d.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        packed.groupBy(
+            "source",
+            F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048)).alias("bin"),
+        )
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+    )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=r"""
+    WITH rated AS (
+      SELECT doc_id, source,
+             5 + (CAST(substr(source, 4) AS BIGINT) % 3) * 10 AS rate
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_sampled, MIN(rate) AS rate_pct
+    FROM rated
+    WHERE (doc_id * 37 + 11) % 100 < rate
+    GROUP BY source
+    """,
+    tags=("pipeline", "sampling"),
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    """Stratified deterministic sampling: each source stratum gets its
+    own rate (5/15/25% keyed off the source id — stand-in for the
+    per-source mixing weights of a data recipe) and rows are kept by
+    reproducible modular arithmetic on the key, not TABLESAMPLE — the
+    same rows are selected on any engine, any run, any partitioning.
+
+    Scale shape: the filter is a map-side predicate (no shuffle, no
+    RNG state); only the tiny per-source count shuffles."""
+    d = t(spark, sf_dir, "documents")
+    rate = 5 + (F.substring("source", 4, 10).cast("bigint") % 3) * 10
+    return (
+        d.select("doc_id", "source", rate.alias("rate"))
+        .filter((F.col("doc_id") * 37 + 11) % 100 < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"), F.min("rate").alias("rate_pct"))
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from minoan_athenaeum_spark.operators.similarity import (
     cosine_q,
+    nearest_cell,
     quantize,
     sign_lsh_key,
 )
@@ -124,21 +125,7 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     codebook = cents.agg(
         F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
     )
-    # argmax over the codebook array: keep (cell, csim) in an
-    # accumulator struct; ties prefer the smaller cell id, so the result
-    # is independent of collect_list order.
-    best = F.aggregate(
-        F.col("cb"),
-        F.struct(
-            F.lit(-1).cast("long").alias("cell"),
-            F.lit(float("-inf")).alias("csim"),
-        ),
-        lambda acc, c: F.when(
-            (cosine_q(F.col("q"), c.cq) > acc.csim)
-            | ((cosine_q(F.col("q"), c.cq) == acc.csim) & (c.cell < acc.cell)),
-            F.struct(c.cell.alias("cell"), cosine_q(F.col("q"), c.cq).alias("csim")),
-        ).otherwise(acc),
-    )
+    best = nearest_cell(F.col("q"), F.col("cb"))
     assigned = (
         v.crossJoin(F.broadcast(codebook))
         .select("vec_id", "q", best.getField("cell").alias("cell"))
@@ -214,4 +201,79 @@ def sim_label_centroid_top3(spark, sf_dir):
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("label", F.col("vec_id").alias("nn_id"), "cos_sim", "rn")
+    )
+
+
+@query(
+    "sim_semdedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8
+    ), scored AS (
+      SELECT n.vec_id, cents.cell,
+             CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                          i -> n.q[i] * cents.cq[i])) AS DOUBLE)
+               / (n.nrm * cents.cnrm) AS csim
+      FROM n, cents
+    ), assigned AS (
+      SELECT vec_id, cell, csim FROM (
+        SELECT vec_id, cell, csim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), keeper AS (
+      SELECT cell, vec_id AS keeper_id FROM (
+        SELECT cell, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cell
+                                  ORDER BY csim DESC, vec_id) AS rn
+        FROM assigned
+      ) WHERE rn = 1
+    )
+    SELECT a.cell AS cell, COUNT(*) AS n_members,
+           MIN(k.keeper_id) AS keeper_id, MIN(a.csim) AS min_sim
+    FROM assigned a JOIN keeper k ON a.cell = k.cell
+    GROUP BY a.cell
+    """,
+    tags=("similarity", "semdedup"),
+)
+def sim_semdedup(spark, sf_dir):
+    """SemDedup-shaped semantic clustering pass: assign every embedding
+    to its nearest of 8 fixed centroids (vec_id < 8 as the stand-in
+    codebook — a real run would k-means a sample), then per cluster keep
+    ONE representative (highest centroid similarity, ties to the lower
+    vec_id) and report cluster size and the worst member similarity.
+    Downstream, a pipeline drops everything but the keepers — dedup by
+    semantic neighborhood rather than by text overlap.
+
+    Scale shape: assignment is the MAP-ONLY broadcast-codebook argmax
+    (operators.similarity.nearest_cell) — the corpus never shuffles for
+    it; the only shuffle is the per-cell aggregate, keyed on the 8-value
+    cell id (max_by/count partials combine map-side)."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    cents = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+    codebook = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
+    )
+    best = nearest_cell(F.col("q"), F.col("cb"))
+    assigned = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        best.getField("cell").alias("cell"),
+        best.getField("csim").alias("csim"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.max_by(
+            F.col("vec_id"), F.struct(F.col("csim"), (-F.col("vec_id")).alias("nid"))
+        ).alias("keeper_id"),
+        F.min("csim").alias("min_sim"),
     )

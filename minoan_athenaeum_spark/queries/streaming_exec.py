@@ -38,3 +38,60 @@ def stream_tumbling_exec(spark, sf_dir):
     stream = tumbling_counts(read_events_stream(spark, sf_dir))
     name = f"q_stream_tumbling_{next(_counter)}"
     return run_to_memory(stream, name, mode="complete")
+
+
+_SLIDING_ORACLE = """
+    SELECT CAST((floor(epoch(ts) / 900) - ks.k) * 900 AS BIGINT) AS wstart,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) ks
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding_exec", oracle=_SLIDING_ORACLE, tags=("streaming", "exec"))
+def stream_sliding_exec(spark, sf_dir):
+    """Sliding-window counts (1 h window, 15 min slide) EXECUTED AS A
+    STREAM. Oracle: every event lands in exactly the four epoch-aligned
+    windows starting at floor(t/900)·900 − k·900, k ∈ 0..3 — the same
+    alignment Structured Streaming uses, expressed as a 4-row unnest
+    cross join in SQL."""
+    from minoan_athenaeum_spark.streaming.ops import sliding_counts
+
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    name = f"q_stream_sliding_{next(_counter)}"
+    return run_to_memory(stream, name, mode="complete")
+
+
+_SESSION_ORACLE = """
+    WITH x AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts)
+                    - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= 1800000000
+                  OR LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), y AS (
+      SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id, MIN(us) AS start_us, COUNT(*) AS n_events
+    FROM y GROUP BY user_id, sess_id
+"""
+
+
+@query("stream_session_exec", oracle=_SESSION_ORACLE, tags=("streaming", "exec"))
+def stream_session_exec(spark, sf_dir):
+    """Native gap-based session windows (30 min) per user EXECUTED AS A
+    STREAM. Oracle: the classic lag/cumsum gaps-and-islands sessionizer
+    with the session_window boundary rule — an event exactly at the
+    previous session's end ([start, last + gap)) opens a NEW session,
+    hence the >= gap comparison."""
+    from minoan_athenaeum_spark.streaming.ops import session_windows
+
+    stream = session_windows(read_events_stream(spark, sf_dir))
+    name = f"q_stream_session_{next(_counter)}"
+    return run_to_memory(stream, name, mode="complete")

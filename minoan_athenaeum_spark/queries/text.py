@@ -175,3 +175,67 @@ def text_source_stats(spark, sf_dir):
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY source, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), nsrc AS (
+      SELECT COUNT(DISTINCT source) AS n FROM documents
+    )
+    SELECT source, term, tf, df, rn FROM (
+      SELECT tf.source, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.source
+               ORDER BY CAST(tf.tf * nsrc.n AS DOUBLE) / df.df DESC, tf.term
+             ) AS rn
+      FROM tf, df, nsrc WHERE tf.term = df.term
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 most source-distinctive terms per source by a TF-IDF-style
+    score: term frequency within the source × (n_sources / source-level
+    document frequency). The score stays in exact integer products over
+    one IEEE division (no transcendental idf), so rankings are identical
+    on any engine; ties break on the term itself.
+
+    Scale shape: tokenization is a map-side explode; tf is a partial agg
+    on (source, term); df re-aggregates the already-tiny tf table; the
+    scalar source count and the df table broadcast into the final
+    ranking window, which shuffles only the tf table on source."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nsrc = d.agg(F.countDistinct("source").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nsrc))
+        .select(
+            "source",
+            "term",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("df")).alias("score"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "term", "tf", "df", "rn")
+    )

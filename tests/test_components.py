@@ -1,0 +1,45 @@
+"""Unit pins for the connected-components operator beyond what the
+``dedup_components`` oracle query exercises (its duplicate groups are
+near-cliques of diameter ≤ 3; these fixtures stress long diameters,
+disconnected pieces, and edge-list quirks)."""
+
+from __future__ import annotations
+
+from minoan_athenaeum_spark.operators.components import connected_components
+
+
+def _labels(df):
+    return {r.node: r.comp for r in df.collect()}
+
+
+def test_path_graph_converges_to_min_label(spark):
+    # A 40-node path has diameter 39 — far beyond the 2-3 rounds a
+    # dedup clique needs; min-label propagation halves the unresolved
+    # span each round only at the min end, so this exercises the loop's
+    # convergence check rather than finishing in the first iterations.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["src", "dst"]
+    )
+    got = _labels(connected_components(edges, max_iter=50))
+    assert got == {i: 0 for i in range(40)}
+
+
+def test_two_components_and_reversed_duplicate_edges(spark):
+    # Two separate components; edges listed in both directions, with
+    # duplicates and a self-loop — none of which may change the result.
+    rows = [(5, 3), (3, 5), (3, 1), (7, 9), (9, 7), (9, 9), (7, 11), (3, 1)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    got = _labels(connected_components(edges))
+    assert got == {1: 1, 3: 1, 5: 1, 7: 7, 9: 7, 11: 7}
+
+
+def test_star_graph_single_round_shape(spark):
+    # A star centered on the max id: every leaf must still end up
+    # labeled with the smallest leaf id, which requires propagation
+    # THROUGH the center (two hops), not just direct neighbor minima.
+    center = 100
+    edges = spark.createDataFrame(
+        [(center, leaf) for leaf in (17, 23, 42)], ["src", "dst"]
+    )
+    got = _labels(connected_components(edges))
+    assert got == {17: 17, 23: 17, 42: 17, 100: 17}
