@@ -45,6 +45,23 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "1024"),
         )
+        # Runtime bloom-filter join reduction: when one join side is
+        # filtered hard (q18's HAVING semi-join, date-filtered orders),
+        # inject its key bloom filter into the other side's SCAN so
+        # pruned rows never enter the shuffle. Spark's defaults only
+        # engage past a 10 GB scan with a <10 MB build side — cluster
+        # posture for genuinely huge inputs; at our probe volumes that
+        # window never opens, so widen it (256 MB build / 256 MB scan).
+        # Measured at 256× amplification: tpch_q18 136 s → 27 s; q3/q5
+        # unchanged within disk-cache noise.
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_CREATE_MAX", "256MB"),
+        )
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            os.environ.get("SPARK_GRAFT_BLOOM_SCAN_MIN", "256MB"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for any pandas-UDF path and fast toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
