@@ -174,70 +174,6 @@ _QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) A
 
 
 @query(
-    "dedup_embedding_cosine",
-    oracle=f"""
-    WITH v AS (
-      SELECT vec_id, {_QUANT} AS q FROM embeddings WHERE vec_id % 5 = 0
-    ), n AS (
-      SELECT vec_id, q,
-             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
-      FROM v
-    )
-    SELECT a.vec_id AS a, b.vec_id AS b,
-           CAST(list_sum(list_transform(range(1, len(a.q) + 1),
-                                        i -> a.q[i] * b.q[i])) AS DOUBLE)
-             / (a.nrm * b.nrm) AS cos_sim
-    FROM n a, n b
-    WHERE a.vec_id < b.vec_id
-      AND CAST(list_sum(list_transform(range(1, len(a.q) + 1),
-                                       i -> a.q[i] * b.q[i])) AS DOUBLE)
-            / (a.nrm * b.nrm) >= 0.35
-    """,
-    tags=("dedup", "embedding"),
-)
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: cosine ≥ 0.35 between quantized vectors
-    (the synthetic embeddings are isotropic noise — max pairwise cosine
-    ~0.45 — so the threshold is set where the operator has output;
-    real corpora use ~0.9+)
-    (round(x·1e4) int arithmetic ⇒ exact dot products; sqrt/division on
-    identical doubles ⇒ bit-identical across engines). Subset
-    vec_id % 5 = 0 keeps the O(n²) oracle bounded; the Spark plan is the
-    same blocked pairwise join used at scale with LSH prefilter."""
-    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.round(x.cast("double") * 10000).cast("bigint"),
-    )
-    v = e.select("vec_id", q.alias("q"))
-    n = v.select(
-        "vec_id",
-        "q",
-        F.sqrt(
-            F.aggregate(
-                F.col("q"), F.lit(0).cast("bigint"), lambda a, x: a + x * x
-            ).cast("double")
-        ).alias("nrm"),
-    )
-    a, b = n.alias("a"), n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    ).cast("double")
-    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a"),
-            F.col("b.vec_id").alias("b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.35)
-    )
-
-
-@query(
     "dedup_embedding_cosine_lsh",
     oracle=f"""
     WITH base AS (

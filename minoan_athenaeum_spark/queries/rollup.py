@@ -1,0 +1,94 @@
+"""Continuous-aggregate (rollup-store) queries surfaced through the
+driver contract.
+
+The rollup store (operators/rollup_store.py) materializes decomposable
+per-grain aggregates once and answers coarser-grain questions from the
+stored tables instead of the raw events — the hypertable continuous-
+aggregate pattern. Here the store is built on first use per sf_dir
+(tagged temp directory) and the registered query reads ONLY the rollup,
+while the oracle recomputes from raw events — so the driver's hash gate
+proves store+re-aggregation end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+from minoan_athenaeum_spark.operators.rollup_store import build_rollups, query_rollup
+from minoan_athenaeum_spark.registry import query
+
+
+def _store_dir(spark, sf_dir: str) -> str:
+    """Build (once per sf_dir) and return the rollup store path."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"mas_rollup_store_{tag}")
+    if not os.path.exists(os.path.join(out, "rollup_1h")):
+        build_rollups(load_table(spark, sf_dir, "events"), out)
+    return out
+
+
+@query(
+    "rollup_daily_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST((epoch_us(ts) // 1000000) // 86400 * 86400 AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_v
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+    tags=("rollup", "continuous-aggregate"),
+)
+def rollup_daily_by_type(spark, sf_dir):
+    """Daily aggregates per event type answered FROM THE ROLLUP STORE
+    (1-day materialized grain; raw events are never scanned at query
+    time), while the oracle recomputes from raw events — the driver's
+    hash gate therefore certifies build + re-aggregation together.
+
+    Scale shape: queries read the rollup table (orders of magnitude
+    smaller than raw events, partitioned by event_type for pruning);
+    sums of decimal sums stay exact."""
+    out = _store_dir(spark, sf_dir)
+    df = query_rollup(spark, out, 86400)
+    return df.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+    )
+
+
+@query(
+    "rollup_6h_purchases",
+    oracle="""
+    SELECT event_type,
+           CAST((epoch_us(ts) // 1000000) // 21600 * 21600 AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type, bucket
+    """,
+    tags=("rollup", "continuous-aggregate"),
+)
+def rollup_6h_purchases(spark, sf_dir):
+    """6-hour purchase totals from the 1-hour rollup grain (6 h divides
+    into stored 1 h buckets; the event_type filter prunes the store's
+    partition layout before any read)."""
+    out = _store_dir(spark, sf_dir)
+    df = query_rollup(spark, out, 21600, event_type="purchase")
+    return df.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.col("sum_v").cast("double").alias("sum_v"),
+    )

@@ -95,3 +95,18 @@ def stream_session_exec(spark, sf_dir):
     stream = session_windows(read_events_stream(spark, sf_dir))
     name = f"q_stream_session_{next(_counter)}"
     return run_to_memory(stream, name, mode="complete")
+
+
+@query("stream_stateful_totals_exec", tags=("streaming", "stateful", "exec"))
+def stream_stateful_totals_exec(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) EXECUTED AS A
+    STREAM: per-user running totals held in GroupState, drained with
+    availableNow. No SQL oracle by design — update-mode emission with
+    engine-managed state is not expressible as a DuckDB query; the
+    driver records the rows-only check, and stream-vs-batch totals are
+    pinned in tests/test_streaming.py::test_stateful_running_totals."""
+    from minoan_athenaeum_spark.streaming.stateful import user_running_totals
+
+    stream = user_running_totals(read_events_stream(spark, sf_dir))
+    name = f"q_stream_stateful_{next(_counter)}"
+    return run_to_memory(stream, name, mode="update")

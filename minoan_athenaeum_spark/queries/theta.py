@@ -52,26 +52,3 @@ def theta_distinct_key_join(spark, sf_dir):
         F.col("p_partkey").alias("pkey"),
         F.col("p_size").alias("psize"),
     )
-
-
-@query(
-    "theta_count_by_key",
-    oracle="""
-    WITH lq AS (SELECT l_quantity AS key, COUNT(*) AS ln FROM lineitem GROUP BY 1),
-         ps AS (SELECT p_size AS sz, COUNT(*) AS pn FROM part GROUP BY 1)
-    SELECT lq.key AS key, CAST(SUM(lq.ln * ps.pn) AS BIGINT) AS n_pairs
-    FROM lq JOIN ps ON lq.key > ps.sz
-    GROUP BY 1
-    """,
-    tags=("theta", "optimization", "aggregate"),
-)
-def theta_count_by_key_q(spark, sf_dir):
-    """COUNT of theta-join pairs per key over the FULL lineitem × part —
-    unboundedly scalable because the pairs are never materialized:
-    per-key counts, d×d key NLJ, multiply-and-sum. The oracle SQL uses
-    the same per-key-summary algebra (semantically identical to
-    ``SELECT l_quantity, COUNT(*) FROM lineitem, part WHERE l_quantity >
-    p_size GROUP BY 1``)."""
-    li = t(spark, sf_dir, "lineitem")
-    pa = t(spark, sf_dir, "part")
-    return theta_count_by_key(li, pa, "l_quantity", "p_size", ">")

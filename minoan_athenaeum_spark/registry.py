@@ -67,9 +67,11 @@ def load_all() -> dict[str, QuerySpec]:
         multimodal,
         windows,
         streaming_exec,
-        sketches,
+        rollup,
         pipeline,
         tpch,
+        sketches,
+        extras,
         stats,
         events,
         misc,

@@ -181,3 +181,49 @@ def test_wholestage_codegen_active(spark, sf_dir, name):
         df.explain("simple")
     p = buf.getvalue()
     assert "*(" in p or "WholeStageCodegen" in p, "hot path fell out of codegen"
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    # The eval-set gram table must be the BROADCAST side; the training
+    # corpus must never sort-merge against it (the eval side is small at
+    # any corpus scale — that asymmetry IS the operator's design).
+    p = plan_of(spark, sf_dir, "pipeline_decontaminate", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_dir):
+    # The running sum must partition by source — a single-partition
+    # global-order window would funnel the corpus through one task.
+    p = plan_of(spark, sf_dir, "pipeline_pack_sequences", "simple")
+    assert "Window" in p
+    assert "Exchange SinglePartition" not in p
+
+
+def test_stratified_sample_is_map_side(spark, sf_dir):
+    # Rate predicate is map-side arithmetic: exactly the one partial-agg
+    # exchange for the per-source counts, nothing else.
+    p = plan_of(spark, sf_dir, "pipeline_stratified_sample", "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_" in p
+
+
+def test_semdedup_assignment_no_corpus_shuffle(spark, sf_dir):
+    # Nearest-centroid assignment folds over a broadcast single-row
+    # codebook (BroadcastNestedLoopJoin of 1 row); the corpus shuffles
+    # only once — for the per-cell aggregate.
+    p = plan_of(spark, sf_dir, "sim_semdedup", "simple")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "partial_" in p
+
+
+def test_tfidf_df_table_broadcasts(spark, sf_dir):
+    # df and the scalar source count both broadcast into the ranking;
+    # the only hash exchanges are the tf partial agg, the df re-agg, and
+    # the per-source window.
+    p = plan_of(spark, sf_dir, "text_tfidf_top_terms", "simple")
+    assert "BroadcastHashJoin" in p
+    assert "Window" in p
+    assert "CartesianProduct" not in p
