@@ -1,0 +1,54 @@
+"""Bucketed-table co-located joins.
+
+At 100 TB the dominant cost of a repeated fact-fact join is re-shuffling
+both sides on the join key every query. Bucketing pays that shuffle ONCE
+at write time: both tables are hash-partitioned into the same number of
+buckets on the key and sorted within buckets, so every later join reads
+bucket i of A against bucket i of B directly — `.explain` shows a
+SortMergeJoin with NO Exchange on either side.
+
+This is plain `DataFrameWriter.bucketBy` + managed parquet tables (the
+warehouse dir is configured in session.py); no custom machinery. The
+operator here just standardizes the write + the existence check so
+query code can declare "these two tables are co-located on key k".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 16
+) -> None:
+    """Materialize ``df`` as a managed parquet table bucketed AND
+    sorted by ``key`` — the layout that makes every future equi-join or
+    aggregation on ``key`` exchange-free."""
+    # A previous session may have left the managed location on disk
+    # while the (in-memory) catalog entry died with it; Spark refuses to
+    # create a managed table over an existing location, so clear it.
+    if not df.sparkSession.catalog.tableExists(table):
+        import shutil
+
+        warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir")
+        loc = warehouse.removeprefix("file:") + "/" + table.lower()
+        shutil.rmtree(loc, ignore_errors=True)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def ensure_bucketed(
+    spark: SparkSession, df: DataFrame, table: str, key: str, n_buckets: int = 16
+) -> DataFrame:
+    """Return the bucketed managed table for ``df``, writing it first if
+    this session has not materialized it yet (the in-memory catalog does
+    not survive session restarts; the write is the one-time cost the
+    bucketing amortizes)."""
+    if not spark.catalog.tableExists(table):
+        write_bucketed(df, table, key, n_buckets)
+    return spark.table(table)

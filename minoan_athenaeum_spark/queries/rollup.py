@@ -24,8 +24,15 @@ from minoan_athenaeum_spark.registry import query
 
 
 def _store_dir(spark, sf_dir: str) -> str:
-    """Build (once per sf_dir) and return the rollup store path."""
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    """Build (once per distinct events input) and return the rollup
+    store path. The cache tag covers the source file's mtime+size, so a
+    regenerated events.parquet gets a fresh store instead of stale
+    rollups."""
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
     out = os.path.join(tempfile.gettempdir(), f"mas_rollup_store_{tag}")
     if not os.path.exists(os.path.join(out, "rollup_1h")):
         build_rollups(load_table(spark, sf_dir, "events"), out)

@@ -68,6 +68,7 @@ def load_all() -> dict[str, QuerySpec]:
         windows,
         streaming_exec,
         rollup,
+        bucketed,
         pipeline,
         tpch,
         sketches,

@@ -227,3 +227,21 @@ def test_tfidf_df_table_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in p
     assert "Window" in p
     assert "CartesianProduct" not in p
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    # With broadcast disabled (forcing the join shape big tables get),
+    # the co-located bucketed tables must sort-merge WITHOUT an
+    # exchange on either join side: the only hashpartitioning exchange
+    # in the whole plan is the final groupBy on priority.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "bucketed_colocated_join", "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert p.count("Bucketed: true") == 2, "both scans must read bucket layout"
+    assert "SortMergeJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1, (
+        "join must be exchange-free; only the final aggregate shuffles"
+    )
