@@ -29,7 +29,15 @@ from minoan_athenaeum_spark.session import get_spark
 
 AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
              "agg_tpch_q5_region_revenue", "tpch_q18_large_orders",
-             "tpch_q12_shipmode", "dedup_exact", "win_row_number_topk_per_group"]
+             "tpch_q12_shipmode", "dedup_exact", "win_row_number_topk_per_group",
+             # Training-pipeline family over the amplified documents
+             # table. Near-dup PAIR queries are deliberately absent:
+             # replica amplification makes every document an exact
+             # duplicate of its ~256 copies, so pair enumeration is
+             # quadratic in the replica count by construction — a
+             # property of the synthetic amplification, not the plan.
+             "pipeline_clean_corpus", "pipeline_decontaminate",
+             "pipeline_pack_sequences", "text_tfidf_top_terms"]
 
 # Key columns to shift per replica so each copy is a distinct key range.
 SHIFT_KEYS = {
