@@ -19,6 +19,27 @@ from bench import HEADLINE
 from minoan_athenaeum_spark.registry import load_all
 from minoan_athenaeum_spark.session import get_spark
 
+# Plans worth reviewing beyond the benched set: the training-pipeline
+# and storage-layout operators added in r2, plus the heaviest new TPC-H
+# shapes.
+EXTRA = [
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+    "pipeline_stratified_sample",
+    "text_tfidf_top_terms",
+    "sim_semdedup",
+    "dedup_components",
+    "dedup_embedding_cosine_lsh",
+    "theta_distinct_key_join",
+    "rollup_daily_by_type",
+    "bucketed_colocated_join",
+    "stream_sliding_exec",
+    "tpch_q2_best_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -26,7 +47,7 @@ def main() -> None:
     spark = get_spark(app_name="mas-plans", cpus=8)
     out = ["# PLANS — executed physical plans of the headline queries",
            f"\nGenerated from {sf_dir} (AQE final plans, post-execution).\n"]
-    for name in HEADLINE:
+    for name in HEADLINE + EXTRA:
         df = specs[name].fn(spark, sf_dir)
         df.collect()  # finalize the AQE plan
         buf = io.StringIO()

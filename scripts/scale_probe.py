@@ -37,7 +37,12 @@ AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
              # quadratic in the replica count by construction — a
              # property of the synthetic amplification, not the plan.
              "pipeline_clean_corpus", "pipeline_decontaminate",
-             "pipeline_pack_sequences", "text_tfidf_top_terms"]
+             "pipeline_pack_sequences", "text_tfidf_top_terms",
+             # Similarity family over amplified embeddings (vec_id
+             # shifted per replica; the first replica keeps vec_id 0-7,
+             # so the kNN query vector and the SemDedup codebook exist
+             # unchanged).
+             "sim_knn_cosine_brute", "sim_semdedup"]
 
 # Key columns to shift per replica so each copy is a distinct key range.
 SHIFT_KEYS = {
@@ -45,13 +50,20 @@ SHIFT_KEYS = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 KEY_STRIDE = 10_000_000
 
 
 def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
     for name in ("lineitem", "orders", "customer", "supplier", "part",
-                 "nation", "region", "documents"):
+                 "nation", "region", "documents", "embeddings"):
+        if os.path.exists(f"{out_dir}/{name}.parquet") and not os.path.islink(
+            f"{out_dir}/{name}.parquet"
+        ):
+            continue  # idempotent per table (lets new tables amplify in place)
+        if os.path.islink(f"{out_dir}/{name}.parquet"):
+            os.unlink(f"{out_dir}/{name}.parquet")
         df = load_table(spark, src_sf, name)
         if name in SHIFT_KEYS:
             copies = []
@@ -66,9 +78,9 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
         else:
             out = df  # dims stay fixed (realistic: dims grow slower)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # events/embeddings unused by the amplified set but the loaders want
-    # them present — symlink the originals.
-    for name in ("events", "embeddings"):
+    # events unused by the amplified set but the loaders want it
+    # present — symlink the original.
+    for name in ("events",):
         dst = f"{out_dir}/{name}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{src_sf}/{name}.parquet", dst)
@@ -79,10 +91,9 @@ def main() -> None:
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/mas_scale_probe_x{times}"
     spark = get_spark(app_name="mas-scale-probe")
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
-        t0 = time.perf_counter()
-        amplify(spark, src, out_dir, times)
-        print(f"# amplified x{times} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    amplify(spark, src, out_dir, times)  # idempotent per table
+    print(f"# amplify x{times} ensured in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
     specs = load_all()
     spark.read.parquet(f"{out_dir}/lineitem.parquet").count()  # warm listing
