@@ -1,0 +1,53 @@
+"""Merge / upsert over immutable parquet — the batch-ELT pattern.
+
+Spark's parquet tables are append-only; an upsert is expressed as a
+keyed FULL OUTER join of the base table against the updates feed, row
+precedence to the update side, optional delete markers. At warehouse
+scale the rewrite is bounded by partition pruning: join only the base
+partitions whose key ranges intersect the updates (the updates feed is
+usually tiny relative to base — broadcastable), rewrite only those.
+This operator builds the merged DataFrame; writing it back is the
+caller's partition-layout decision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL-MERGE semantics on DataFrames:
+
+    - matched key  → update row wins (per ``cols``, null-safe COALESCE
+      per column so partial updates keep base values),
+    - update-only key → insert,
+    - base-only key   → keep,
+    - ``delete_col`` true on a matched update → row dropped.
+
+    One shuffle on the key for each side (or a broadcast of the updates
+    feed when it is small — the common case, left to AQE)."""
+    b = base.select(F.col(key).alias("__bk"), *[F.col(c).alias(f"__b_{c}") for c in cols])
+    extra = [delete_col] if delete_col else []
+    u = updates.select(
+        F.col(key).alias("__uk"),
+        *[F.col(c).alias(f"__u_{c}") for c in cols],
+        *[F.col(c).alias("__del") for c in extra],
+    )
+    j = b.join(u, F.col("__bk") == F.col("__uk"), "full_outer")
+    if delete_col:
+        j = j.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    out_cols: list[Column] = [F.coalesce(F.col("__bk"), F.col("__uk")).alias(key)]
+    for c in cols:
+        out_cols.append(
+            F.when(F.col("__uk").isNotNull(), F.coalesce(F.col(f"__u_{c}"), F.col(f"__b_{c}")))
+            .otherwise(F.col(f"__b_{c}"))
+            .alias(c)
+        )
+    return j.select(*out_cols)

@@ -103,3 +103,146 @@ def theta_count_by_key_q(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     pa = t(spark, sf_dir, "part")
     return theta_count_by_key(li, pa, "l_quantity", "p_size", ">")
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens,
+           len(list_distinct(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS n_unique
+    FROM documents
+    """,
+    tags=("text", "tokenize"),
+)
+def text_token_count_bpe(spark, sf_dir):
+    """BPE-style pre-tokenization counts: the GPT-2-ish splitter
+    (letter runs | digit runs | single punctuation, whitespace dropped)
+    that approximates subword token budgets far better than whitespace
+    splitting on code/punctuated text. Pure JVM regexp — one map pass,
+    no shuffle at all."""
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    toks = F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_subtokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+
+
+@query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100 AS DOUBLE) AS price,
+             'URGENT-MERGED' AS prio,
+             (o_orderkey % 91 = 0) AS is_del
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + 1000000000,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE),
+             'NEW-ROW', FALSE
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT COALESCE(b.o_orderkey, u.k) AS okey,
+           COALESCE(u.price, CAST(CAST(b.o_totalprice AS DECIMAL(12,2)) AS DOUBLE)) AS price,
+           COALESCE(u.prio, b.o_orderpriority) AS priority
+    FROM orders b FULL OUTER JOIN upd u ON b.o_orderkey = u.k
+    WHERE NOT COALESCE(u.is_del, FALSE)
+    """,
+    tags=("merge", "upsert"),
+)
+def merge_upsert_orders(spark, sf_dir):
+    """SQL-MERGE semantics over parquet (operators/merge.py): a derived
+    updates feed bumps prices on keys % 7 (deleting keys % 91), inserts
+    shifted new rows for keys % 13; base rows without an update pass
+    through. The driver gate certifies matched-update / insert / keep /
+    delete paths in one result."""
+    from minoan_athenaeum_spark.operators.merge import merge_upsert
+
+    o = t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            (price + 100).cast("double").alias("price"),
+            F.lit("URGENT-MERGED").alias("priority"),
+            (F.col("o_orderkey") % 91 == 0).alias("is_del"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                price.cast("double").alias("price"),
+                F.lit("NEW-ROW").alias("priority"),
+                F.lit(False).alias("is_del"),
+            )
+        )
+    )
+    base = o.select(
+        "o_orderkey",
+        price.cast("double").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return merge_upsert(
+        base, upd, "o_orderkey", ["price", "priority"], delete_col="is_del"
+    ).select(F.col("o_orderkey").alias("okey"), "price", "priority")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("skew", "aggregate"),
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) on a 5-value
+    group key — the degenerate-cardinality case where one reducer per
+    group saturates; the salt spreads each group over 16 partials
+    before the tiny merge. Result identical to the plain aggregate (the
+    oracle computes it plainly)."""
+    from minoan_athenaeum_spark.operators.skew import salted_agg
+
+    o = t(spark, sf_dir, "orders")
+    out = salted_agg(
+        o,
+        ["o_orderpriority"],
+        {
+            "cnt": F.count("*"),
+            "total": F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+        },
+    )
+    return out.select(
+        F.col("o_orderpriority").alias("prio"),
+        "cnt",
+        F.col("total").cast("double").alias("total"),
+    )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    tags=("skew", "join"),
+)
+def skew_salted_join(spark, sf_dir):
+    """Salted fact⋈dim join (operators/skew.py) for hot-key joins where
+    the dim is too large to broadcast: the fact side salts its key, the
+    dim replicates once per salt bucket, the hot key's rows spread over
+    8 reducers. Same result as the plain join (the oracle computes it
+    plainly)."""
+    from minoan_athenaeum_spark.operators.skew import salted_join
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = salted_join(c, n, "c_nationkey", "n_nationkey")
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_cust")
+    )
