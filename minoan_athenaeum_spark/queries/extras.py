@@ -246,3 +246,54 @@ def skew_salted_join(spark, sf_dir):
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.count("*").alias("n_cust")
     )
+
+
+@query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                            i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS bg
+      FROM w
+    )
+    SELECT doc_id, len(bg) AS n_bigrams,
+           len(list_distinct(bg)) AS n_distinct,
+           CASE WHEN len(bg) > 0
+                THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE)
+                       / CAST(len(bg) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+    FROM g
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_score(spark, sf_dir):
+    """Within-document repetition (a Gopher-style quality signal):
+    fraction of word bigrams that are repeats of an earlier bigram in
+    the same document — highly repetitive boilerplate scores near 1 and
+    gets filtered before training. Exact integer counts, one IEEE
+    division; a pure map pass, no shuffle."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= F.lit(2),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.array_join(F.slice(words, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = t(spark, sf_dir, "documents").select("doc_id", bigrams.alias("bg"))
+    nb = F.size("bg")
+    nd = F.size(F.array_distinct("bg"))
+    rep = F.when(nb > 0, (nb - nd).cast("double") / nb.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return g.select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        nd.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+    )

@@ -23,19 +23,27 @@ from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; the testdata ships
-    a single file. Expose it through a per-sf symlink directory (a real
+    """The file stream source requires a *directory*.
+
+    When ``events.parquet`` is itself a directory of part files (every
+    real parquet dataset), stream straight from it — wrapping it in a
+    symlink directory would nest the parts one level below the glob and
+    the source would silently read ZERO files. Only the single-file
+    testdata layout needs the per-sf symlink-directory wrapper (a real
     deployment streams from a directory or Kafka anyway)."""
     import hashlib
     import os
     import tempfile
 
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        return src
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"mas_events_stream_{tag}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, "events.parquet")
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     return d
 
 

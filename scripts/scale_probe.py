@@ -42,7 +42,11 @@ AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
              # shifted per replica; the first replica keeps vec_id 0-7,
              # so the kNN query vector and the SemDedup codebook exist
              # unchanged).
-             "sim_knn_cosine_brute", "sim_semdedup"]
+             "sim_knn_cosine_brute", "sim_semdedup",
+             # Events family over amplified events (25.6M rows at 256x;
+             # event_id/user_id shifted per replica, timestamps shared —
+             # denser traffic, more users, same horizon).
+             "ts_asof_join", "evt_sessionize", "stream_tumbling_exec"]
 
 # Key columns to shift per replica so each copy is a distinct key range.
 SHIFT_KEYS = {
@@ -51,20 +55,30 @@ SHIFT_KEYS = {
     "customer": ["c_custkey"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
+    "events": ["event_id", "user_id"],
 }
 KEY_STRIDE = 10_000_000
 
 
 def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
     for name in ("lineitem", "orders", "customer", "supplier", "part",
-                 "nation", "region", "documents", "embeddings"):
+                 "nation", "region", "documents", "embeddings", "events"):
         if os.path.exists(f"{out_dir}/{name}.parquet") and not os.path.islink(
             f"{out_dir}/{name}.parquet"
         ):
             continue  # idempotent per table (lets new tables amplify in place)
         if os.path.islink(f"{out_dir}/{name}.parquet"):
             os.unlink(f"{out_dir}/{name}.parquet")
-        df = load_table(spark, src_sf, name)
+        if name == "events":
+            # Amplify the RAW representation (ts stays a ns LONG) so the
+            # batch loader's ns→µs conversion and the stream reader's
+            # schema keep working against the amplified file.
+            from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+            df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+                f"{src_sf}/events.parquet"
+            )
+        else:
+            df = load_table(spark, src_sf, name)
         if name in SHIFT_KEYS:
             copies = []
             for i in range(times):
@@ -78,12 +92,6 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
         else:
             out = df  # dims stay fixed (realistic: dims grow slower)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
-    # events unused by the amplified set but the loaders want it
-    # present — symlink the original.
-    for name in ("events",):
-        dst = f"{out_dir}/{name}.parquet"
-        if not os.path.exists(dst):
-            os.symlink(f"{src_sf}/{name}.parquet", dst)
 
 
 def main() -> None:
