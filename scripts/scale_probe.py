@@ -46,7 +46,10 @@ AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
              # Events family over amplified events (25.6M rows at 256x;
              # event_id/user_id shifted per replica, timestamps shared —
              # denser traffic, more users, same horizon).
-             "ts_asof_join", "evt_sessionize", "stream_tumbling_exec"]
+             "ts_asof_join", "evt_sessionize", "stream_tumbling_exec",
+             # Theta join over full 153.6M x 9.6M via distinct-key
+             # summarization; exact power-sum stats over lineitem.
+             "theta_count_by_key", "stat_variance_stddev"]
 
 # Key columns to shift per replica so each copy is a distinct key range.
 SHIFT_KEYS = {
