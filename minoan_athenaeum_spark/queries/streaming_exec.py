@@ -110,3 +110,56 @@ def stream_stateful_totals_exec(spark, sf_dir):
     stream = user_running_totals(read_events_stream(spark, sf_dir))
     name = f"q_stream_stateful_{next(_counter)}"
     return run_to_memory(stream, name, mode="update")
+
+
+_STREAM_STATIC_ORACLE = """
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
+           CAST(user_id % 4 AS BIGINT) AS segment,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+@query(
+    "stream_static_join_exec",
+    oracle=_STREAM_STATIC_ORACLE,
+    tags=("streaming", "join", "exec"),
+)
+def stream_static_join_exec(spark, sf_dir):
+    """STREAM-STATIC JOIN executed as a stream: the live event stream is
+    enriched against a static (batch) user-segment dimension — Spark
+    re-plans the static side per microbatch, broadcasting it when small,
+    which is the standard streaming enrichment pattern (dim tables don't
+    stream). Windowed counts per segment after the join; oracle derives
+    the same segments inline over batch events.
+
+    At scale the static dim is the broadcast side, so the stream never
+    shuffles for the join — only for the windowed aggregate."""
+    from minoan_athenaeum_spark.catalog import load_events
+    from minoan_athenaeum_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    segments = (
+        load_events(spark, sf_dir)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.col("user_id") % 4)
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .join(F.broadcast(segments), "user_id")
+        .groupBy(F.window("ts", "1 hour"), "segment")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.unix_timestamp(F.col("window.start")).alias("wstart"),
+            "segment",
+            "cnt",
+        )
+    )
+    name = f"q_stream_static_{next(_counter)}"
+    return run_to_memory(stream, name, mode="complete")
