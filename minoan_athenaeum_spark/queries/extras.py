@@ -9,6 +9,7 @@ order).
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from minoan_athenaeum_spark.operators.theta import theta_count_by_key
@@ -296,4 +297,53 @@ def text_repetition_score(spark, sf_dir):
         nb.alias("n_bigrams"),
         nd.alias("n_distinct"),
         rep.alias("rep_ratio"),
+    )
+
+
+@query(
+    "win_rank_dense_ntile",
+    oracle="""
+    SELECT p_brand AS brand, p_partkey AS pkey,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size, p_partkey)
+    """,
+    tags=("window",),
+)
+def win_rank_dense_ntile(spark, sf_dir):
+    """RANK / DENSE_RANK / NTILE over deterministic orderings."""
+    p = t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size", "p_partkey")
+    w2 = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("pkey"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w2).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey AS ckey, o_orderkey AS okey,
+           LAG(o_orderkey) OVER w AS prev_okey,
+           LEAD(o_orderkey) OVER w AS next_okey
+    FROM orders WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark, sf_dir):
+    """LAG/LEAD navigation within a customer's order history."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        F.col("o_custkey").alias("ckey"),
+        F.col("o_orderkey").alias("okey"),
+        F.lag("o_orderkey").over(w).alias("prev_okey"),
+        F.lead("o_orderkey").over(w).alias("next_okey"),
     )

@@ -163,3 +163,61 @@ def stream_static_join_exec(spark, sf_dir):
     )
     name = f"q_stream_static_{next(_counter)}"
     return run_to_memory(stream, name, mode="complete")
+
+
+_STREAM_STREAM_ORACLE = """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+"""
+
+
+@query(
+    "stream_stream_join_exec",
+    oracle=_STREAM_STREAM_ORACLE,
+    tags=("streaming", "join", "exec"),
+)
+def stream_stream_join_exec(spark, sf_dir):
+    """STREAM-STREAM interval join executed as two live streams: each
+    purchase matches the same user's clicks from the preceding hour.
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the engine can size and EVICT join state (unbounded
+    stream-stream joins are rejected by Spark for exactly this reason).
+    Append-mode pairs; the oracle is the equivalent batch interval
+    join."""
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
+    name = f"q_stream_stream_{next(_counter)}"
+    return run_to_memory(joined, name, mode="append")
