@@ -347,3 +347,56 @@ def win_lag_lead(spark, sf_dir):
         F.lag("o_orderkey").over(w).alias("prev_okey"),
         F.lead("o_orderkey").over(w).alias("next_okey"),
     )
+
+
+@query(
+    "pdf_grouped_map_topnorm",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS norm2
+      FROM embeddings
+    )
+    SELECT label, vec_id, CAST(norm2 AS BIGINT) AS norm2, rk FROM (
+      SELECT label, vec_id, norm2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY norm2 DESC, vec_id) AS rk
+      FROM v
+    ) WHERE rk <= 2
+    """,
+    tags=("pandas", "grouped-map"),
+)
+def pdf_grouped_map_topnorm(spark, sf_dir):
+    """Grouped-map ``applyInPandas`` (the third Pandas API surface next
+    to scalar @pandas_udf and mapInPandas): each label group arrives as
+    ONE pandas DataFrame and returns its top-2 vectors by quantized
+    squared norm. All arithmetic is int64 (numpy exact), so the result
+    hash-matches the SQL window oracle bit-for-bit.
+
+    Scale shape: one shuffle on label; each group must fit one executor
+    — the documented constraint of grouped-map (use mapInPandas or
+    window functions when groups can be huge)."""
+    import pandas as pd
+
+    from minoan_athenaeum_spark.operators.similarity import quantize
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        F.aggregate(
+            quantize(F.col("embedding")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x * x,
+        ).alias("norm2"),
+    )
+
+    def top2(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = pdf.sort_values(
+            ["norm2", "vec_id"], ascending=[False, True]
+        ).head(2)
+        out = out.assign(rk=range(1, len(out) + 1))
+        return out[["label", "vec_id", "norm2", "rk"]]
+
+    return e.groupBy("label").applyInPandas(
+        top2, "label int, vec_id long, norm2 long, rk integer"
+    )

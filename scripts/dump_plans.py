@@ -38,6 +38,11 @@ EXTRA = [
     "tpch_q8_market_share",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    "stream_static_join_exec",
+    "stream_stream_join_exec",
+    "merge_upsert_orders",
+    "skew_salted_agg",
+    "pdf_grouped_map_topnorm",
 ]
 
 
