@@ -400,3 +400,29 @@ def pdf_grouped_map_topnorm(spark, sf_dir):
     return e.groupBy("label").applyInPandas(
         top2, "label int, vec_id long, norm2 long, rk integer"
     )
+
+
+@query(
+    "misc_unpivot_melt",
+    oracle="""
+    SELECT o_orderkey AS okey, metric, val FROM (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+             CAST(o_custkey AS DOUBLE) AS cust
+      FROM orders WHERE o_orderkey % 100 = 0
+    ) UNPIVOT (val FOR metric IN (price, cust))
+    """,
+    tags=("misc", "unpivot"),
+)
+def misc_unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt (wide → long reshape, the inverse of pivot): two
+    measure columns become (metric, val) rows — the standard shape for
+    feeding per-metric aggregations or plotting pipelines. Map-side
+    only: each input row emits k rows, no shuffle."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    wide = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    return wide.unpivot("okey", ["price", "cust"], "metric", "val")
