@@ -158,7 +158,7 @@ def pipeline_decontaminate(spark, sf_dir):
       FROM toks
     )
     SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
-           COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY source, bin
     """,
     tags=("pipeline", "packing"),

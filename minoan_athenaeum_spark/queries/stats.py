@@ -228,7 +228,7 @@ def stat_exact_median(spark, sf_dir):
     "agg_count_if_bool",
     oracle="""
     SELECT o_orderstatus AS status,
-           count_if(o_totalprice > 200000) AS n_big,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big,
            bool_and(o_totalprice > 0) AS all_positive,
            bool_or(o_orderpriority = '1-URGENT') AS any_urgent
     FROM orders GROUP BY o_orderstatus
