@@ -60,39 +60,74 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
+def portable_hash60(col: Column, salt: Column | None = None) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex digits of md5,
+    parsed as an integer. Computable identically in Spark
+    (``conv(substr(md5(x),1,15),16,10)``) and DuckDB
+    (``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``) — this is what lets
+    the minhash/simhash LSH pipelines have exact DuckDB oracle twins.
+    60 bits stay inside a signed int64, and the value is non-negative so
+    its decimal string rendering is identical in both engines (band keys
+    hash a comma-joined rendering of signature slices).
+
+    ~2-4× slower than xxhash64 per call; pass ``portable=False`` to the
+    operators below for the xxhash64 fast path when cross-engine
+    reproducibility isn't needed (hash *values* differ, but minhash /
+    simhash quality statistics are equivalent)."""
+    s = col if salt is None else F.concat(col, F.lit("#"), salt)
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def _h60_or_xx(s: Column, salt: Column, portable: bool) -> Column:
+    if portable:
+        return portable_hash60(s, salt)
+    return F.xxhash64(F.concat(s, F.lit("#"), salt))
+
+
+def minhash_signature(shingles: Column, k: int = 16, portable: bool = True) -> Column:
     """k-permutation MinHash signature: min over shingles of
-    xxhash64(shingle ++ '#' ++ i) for each of k salted hash functions."""
+    hash(shingle ++ '#' ++ i) for each of k salted hash functions.
+    Default hash is :func:`portable_hash60` (DuckDB-replicable);
+    ``portable=False`` switches to xxhash64."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda i: F.array_min(
             F.transform(
                 shingles,
-                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+                lambda s: _h60_or_xx(s, i.cast("string"), portable),
             )
         ),
     )
 
 
-def band_keys(sig: Column, bands: int, rows: int) -> Column:
+def band_keys(sig: Column, bands: int, rows: int, portable: bool = True) -> Column:
     """LSH banding: hash each contiguous ``rows``-slice of the signature
-    into one bucket key per band. Equal band key ⇒ candidate pair."""
+    into one bucket key per band. Equal band key ⇒ candidate pair.
+    The slice is rendered as a comma-joined decimal string before
+    hashing (identical in Spark and DuckDB for the non-negative 60-bit
+    signature values)."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(
-            F.concat_ws(",", F.slice(sig, b * rows + 1, rows)), b.cast("string")
+        lambda b: _h60_or_xx(
+            F.concat_ws(",", F.slice(sig, b * rows + 1, rows)),
+            b.cast("string"),
+            portable,
         ),
     )
 
 
-def simhash63(tokens: Column) -> Column:
-    """63-bit SimHash over a token array: per bit, sum ±1 votes from
-    xxhash64(token); bit set iff the vote is positive. 63 bits (not 64)
-    so the accumulated value stays inside a signed bigint; `getbit` and
-    pow-of-two arithmetic are used because shiftleft/shiftright only
-    take literal shift amounts."""
+def simhash60(tokens: Column, portable: bool = True) -> Column:
+    """60-bit SimHash over a token array: per bit, sum ±1 votes from
+    hash(token); bit set iff the vote is positive. 60 bits so the
+    portable md5-derived hash (:func:`portable_hash60`) supplies every
+    bit position and the accumulated value stays inside a signed bigint;
+    `getbit` and pow-of-two arithmetic are used because
+    shiftleft/shiftright only take literal shift amounts."""
+    def tok_hash(tok: Column) -> Column:
+        return portable_hash60(tok) if portable else F.xxhash64(tok)
+
     return F.aggregate(
-        F.sequence(F.lit(0), F.lit(62)),
+        F.sequence(F.lit(0), F.lit(59)),
         F.lit(0).cast("bigint"),
         lambda acc, i: acc
         + F.when(
@@ -100,7 +135,7 @@ def simhash63(tokens: Column) -> Column:
                 tokens,
                 F.lit(0),
                 lambda a, tok: a
-                + F.when(F.getbit(F.xxhash64(tok), i) == 1, 1).otherwise(-1),
+                + F.when(F.getbit(tok_hash(tok), i) == 1, 1).otherwise(-1),
             )
             > 0,
             F.pow(F.lit(2.0), i).cast("bigint"),

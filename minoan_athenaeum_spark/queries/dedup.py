@@ -3,9 +3,11 @@
 Oracle strategy: exact dedup and n-gram Jaccard are fully
 SQL-expressible (DuckDB list functions mirror Spark array functions;
 both do exact int arithmetic then identical double division). MinHash
-and SimHash rely on xxhash64, which DuckDB lacks → rows-only driver
-check, with recall/correctness pinned instead by pytest against a
-brute-force computation (tests/test_dedup_similarity.py).
+and SimHash hash with the engine-portable md5-derived 60-bit hash
+(operators/dedup.py portable_hash60), so their LSH pipelines have exact
+DuckDB twins too — same signatures, same buckets, same pairs, by
+construction. Statistical quality (precision/recall vs brute force) is
+additionally pinned by pytest (tests/test_dedup_similarity.py).
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ from minoan_athenaeum_spark.operators.dedup import (
     minhash_signature,
     normalized,
     prefix_filtered_pairs,
-    simhash63,
+    simhash60,
 )
 from minoan_athenaeum_spark.queries._util import persist_tracked, release_tracked, t
 from minoan_athenaeum_spark.registry import query
@@ -104,7 +106,44 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return counted.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
 
 
-@query("dedup_minhash_lsh", tags=("dedup", "minhash", "lsh"))
+@query(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 0) + 1),
+               i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+             )) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(sh, x ->
+                 CAST(('0x' || substr(md5(x || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)))) AS sg
+      FROM s
+    ), banded AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               CAST(('0x' || substr(md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ',')
+                                        || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)) AS bk
+      FROM sig
+    ), ex AS (
+      SELECT doc_id, unnest(bk) AS bucket FROM banded
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM ex l JOIN ex r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ), scored AS (
+      SELECT c.a AS a, c.b AS b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jacc
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, jacc FROM scored WHERE jacc >= 0.5
+    """,
+    tags=("dedup", "minhash", "lsh"),
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash(k=16) + LSH(4 bands × 4 rows) near-dup detection over ALL
     documents, verified with exact Jaccard ≥ 0.5.
@@ -112,8 +151,15 @@ def dedup_minhash_lsh(spark, sf_dir):
     Scale path: shingle → 16-min signature (map-only) → explode 4 band
     keys (4× rows) → shuffle on band bucket → in-bucket pairs → exact
     verify. No cross join anywhere; this is the shape that runs on
-    100 TB. No SQL oracle (DuckDB lacks xxhash64) — correctness pinned
-    vs brute force in tests/test_dedup_similarity.py."""
+    100 TB.
+
+    Oracle: the SAME deterministic pipeline expressed in DuckDB — the
+    hash is the engine-portable md5-derived 60-bit value
+    (operators/dedup.py portable_hash60), so signatures, band buckets,
+    candidate pairs, and verified Jaccard scores are bit-identical by
+    construction, independent of LSH recall. Statistical quality
+    (precision/recall vs brute force) is separately pinned in
+    tests/test_dedup_similarity.py."""
     # Persist the shingle sets and band keys: both are referenced from
     # multiple join branches, and Spark would otherwise recompute the
     # (expensive) minhash expression once per branch. At cluster scale
@@ -134,37 +180,75 @@ def dedup_minhash_lsh(spark, sf_dir):
     return verified.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
 
 
-@query("dedup_simhash", tags=("dedup", "simhash"))
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), sim AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 60), i ->
+               CASE WHEN list_sum(list_transform(w, tk ->
+                      CASE WHEN (CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) >> i) & 1 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh60
+      FROM toks
+    ), banded AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               CAST(b AS VARCHAR) || ':' || CAST((sh60 >> (15 * CAST(b AS INT))) & 32767 AS VARCHAR)) AS bands
+      FROM sim
+    ), ex AS (
+      SELECT doc_id, unnest(bands) AS bucket FROM banded
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM ex l JOIN ex r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+    )
+    SELECT c.a AS a, c.b AS b,
+           CAST(bit_count(xor(sa.sh60, sb.sh60)) AS BIGINT) AS hamming
+    FROM cand c JOIN sim sa ON c.a = sa.doc_id JOIN sim sb ON c.b = sb.doc_id
+    WHERE bit_count(xor(sa.sh60, sb.sh60)) <= 3
+    """,
+    tags=("dedup", "simhash"),
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash64 near-dup: 4×16-bit band blocking, verify Hamming ≤ 3.
+    """SimHash60 near-dup: 4×15-bit band blocking, verify Hamming ≤ 3.
 
-    Any pair within Hamming 3 shares at least one exact 16-bit band
-    (pigeonhole), so band blocking has perfect recall for d ≤ 3. No SQL
-    oracle (xxhash64) — pinned vs brute force in tests/test_dedup_similarity.py."""
+    Any pair within Hamming 3 shares at least one exact 15-bit band
+    (pigeonhole over 4 bands), so band blocking has perfect recall for
+    d ≤ 3. Oracle: the same deterministic pipeline in DuckDB — per-token
+    hashes use the engine-portable md5-derived 60-bit hash, so the
+    simhash values, band buckets, and surviving pairs are bit-identical
+    by construction. Also pinned vs direct all-pairs Hamming in
+    tests/test_dedup_similarity.py."""
     toks = F.split(normalized(), " ")
     release_tracked()
     d = persist_tracked(t(spark, sf_dir, "documents").select(
-        "doc_id", simhash63(toks).alias("sh64")
+        "doc_id", simhash60(toks).alias("sh60")
     ))
     banded = d.select(
         "doc_id",
-        "sh64",
+        "sh60",
         F.array(
             *[
                 F.concat(
                     F.lit(f"{b}:"),
-                    F.shiftright(F.col("sh64"), 16 * b)
-                    .bitwiseAND(F.lit(0xFFFF))
+                    F.shiftright(F.col("sh60"), 15 * b)
+                    .bitwiseAND(F.lit(0x7FFF))
                     .cast("string"),
                 )
                 for b in range(4)
             ]
         ).alias("bands"),
     )
-    cand = candidate_pairs(banded, "doc_id", "bands", ["sh64"])
+    cand = candidate_pairs(banded, "doc_id", "bands", ["sh60"])
     return (
         cand.select(
-            "a", "b", hamming64(F.col("a_sh64"), F.col("b_sh64")).alias("hamming")
+            "a",
+            "b",
+            hamming64(F.col("a_sh60"), F.col("b_sh60")).cast("bigint").alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from minoan_athenaeum_spark.operators.dedup import char_shingles, normalized, simhash63
+from minoan_athenaeum_spark.operators.dedup import char_shingles, normalized, simhash60
 from minoan_athenaeum_spark.registry import load_all
 
 SPECS = load_all()
@@ -42,22 +42,26 @@ def test_minhash_lsh_precision_and_recall(spark, sf_dir):
     # exact score.
     for p, j in got.items():
         assert p in true_pairs and abs(true_pairs[p] - j) < 1e-12
-    # S-curve recall: near-threshold pairs are allowed to be missed,
-    # high-similarity pairs must all be found (measured: 0.688 / 1.0).
+    # S-curve recall: near-threshold pairs are allowed to be missed
+    # (theory: a J=0.5 pair survives 4 bands x 4 rows with p ~ 0.227,
+    # and this corpus is dominated by exactly-J=0.5 pairs), while
+    # high-similarity pairs must all be found. Measured with the
+    # portable md5-derived hash: 0.381 / 1.0. The bit-exact output is
+    # separately pinned by the DuckDB oracle twin (test_oracle_parity).
     recall_all = len(got.keys() & true_pairs.keys()) / len(true_pairs)
-    assert recall_all >= 0.6
+    assert recall_all >= 0.3
     hi = {p for p, j in true_pairs.items() if j >= 0.7}
     assert hi and len(got.keys() & hi) == len(hi)
 
 
 def test_simhash_matches_direct_hamming(spark, sf_dir):
-    # Recompute 63-bit simhashes, then the banding+verify output must
+    # Recompute 60-bit simhashes, then the banding+verify output must
     # equal the direct all-pairs Hamming≤3 set (pigeonhole: ≤3 flipped
-    # bits leave at least one of the 4 16-bit bands untouched).
+    # bits leave at least one of the 4 15-bit bands untouched).
     toks = F.split(normalized(), " ")
     vals = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", simhash63(toks).alias("sh"))
+        .select("doc_id", simhash60(toks).alias("sh"))
         .collect()
     )
     hashes = {r.doc_id: r.sh for r in vals}
