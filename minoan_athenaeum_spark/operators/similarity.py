@@ -40,12 +40,29 @@ def cosine_q(a: Column, b: Column) -> Column:
     return dot_int(a, b).cast("double") / (norm_int(a) * norm_int(b))
 
 
-def sign_lsh_key(q: Column, n_bits: int = 8) -> Column:
+def sign_lsh_key(q: Column, n_bits: int = 8, portable: bool = True) -> Column:
     """Random-hyperplane LSH reduced to sign bits: bit i = sign of a
-    pseudo-random ±1 combination of vector components, with deterministic
-    weights from xxhash64(i, j). Vectors in the same bucket are likely
-    cosine-close; probe = same-bucket join."""
+    pseudo-random ±1 combination of vector components, with
+    deterministic weights from the parity of a hash of (i, j). The
+    default hash is the engine-portable md5-derived 60-bit value
+    (operators.dedup.portable_hash60), so the signature — and therefore
+    the whole ANN probe — is replicable as DuckDB oracle SQL;
+    ``portable=False`` switches to xxhash64. Vectors in the same bucket
+    are likely cosine-close; probe = same-bucket join.
+
+    The weights depend only on (bit, dim) — an n_bits×dim ±1 matrix. At
+    cluster scale you'd materialize it once and broadcast instead of
+    re-hashing per row; at these dims the rehash is noise and keeps the
+    expression self-contained."""
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+
     dim_idx = F.sequence(F.lit(0), F.size(q) - 1)
+
+    def weight_is_pos(i: Column, j: Column) -> Column:
+        s = F.concat(i.cast("string"), F.lit("_"), j.cast("string"))
+        h = portable_hash60(s) if portable else F.xxhash64(s)
+        return h.bitwiseAND(F.lit(1).cast("bigint")) == 1
+
     return F.aggregate(
         F.sequence(F.lit(0), F.lit(n_bits - 1)),
         F.lit(0),
@@ -55,13 +72,7 @@ def sign_lsh_key(q: Column, n_bits: int = 8) -> Column:
                 F.zip_with(
                     q,
                     dim_idx,
-                    lambda x, j: F.when(
-                        F.xxhash64(
-                            F.concat(i.cast("string"), F.lit("_"), j.cast("string"))
-                        ).bitwiseAND(F.lit(1))
-                        == 1,
-                        x,
-                    ).otherwise(-x),
+                    lambda x, j: F.when(weight_is_pos(i, j), x).otherwise(-x),
                 ),
                 F.lit(0).cast("bigint"),
                 lambda a2, x: a2 + x,

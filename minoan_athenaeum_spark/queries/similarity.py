@@ -1,9 +1,11 @@
 """Similarity-search queries over the embeddings table.
 
 ``sim_knn_cosine_brute`` is the oracle-checked correctness baseline
-(quantized-int math ⇒ bit-exact vs DuckDB). The LSH/IVF variants are the
-scale paths — driver rows-only check; recall pinned vs brute force in
-tests/test_similarity.py.
+(quantized-int math ⇒ bit-exact vs DuckDB). The LSH/IVF variants are
+the scale paths; both are deterministic (portable-hash hyperplane
+weights / seeded centroids with exact tie-breaks), so each has an exact
+same-pipeline DuckDB oracle twin, plus recall-vs-brute pins in
+tests/test_dedup_similarity.py.
 """
 
 from __future__ import annotations
@@ -67,13 +69,47 @@ def sim_knn_cosine_brute(spark, sf_dir):
     )
 
 
-@query("sim_ann_lsh_topk", tags=("similarity", "ann", "lsh"))
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), sigs AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm,
+             CAST(list_sum(list_transform(range(0, 8), i ->
+               CASE WHEN list_sum(list_transform(range(1, len(q) + 1), j ->
+                      CASE WHEN (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '_'
+                                         || CAST(j - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1
+                           THEN q[j] ELSE -q[j] END)) > 0
+                    THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS lsh
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0, lsh AS lsh0 FROM sigs WHERE vec_id = 0
+    )
+    SELECT s.vec_id AS nn_id,
+           CAST(list_sum(list_transform(range(1, len(s.q) + 1),
+                                        i -> s.q[i] * qv.q0[i])) AS DOUBLE)
+             / (s.nrm * qv.nrm0) AS cos_sim
+    FROM sigs s, qv
+    WHERE s.vec_id != 0
+      AND bit_count(xor(s.lsh, qv.lsh0)) <= 2
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
 def sim_ann_lsh_topk(spark, sf_dir):
     """ANN top-10 for vec_id=0 via sign-LSH bucketing: score only vectors
     whose 8-bit hyperplane signature is within Hamming ≤ 2 of the query's
     (multi-probe). At scale the bucket key is the shuffle/partition key;
-    scoring touches a small fraction of the corpus. Recall vs brute force
-    is asserted in tests/test_similarity.py."""
+    scoring touches a small fraction of the corpus.
+
+    Oracle: the SAME deterministic probe in DuckDB — hyperplane weights
+    are the parity of the portable md5-derived hash of (bit, dim), so
+    signatures, the Hamming≤2 candidate set, and the scored top-10 are
+    bit-identical by construction. Recall vs brute force is separately
+    asserted in tests/test_dedup_similarity.py."""
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
     keyed = v.select("vec_id", "q", sign_lsh_key(F.col("q"), 8).alias("lsh"))
@@ -96,7 +132,54 @@ def sim_ann_lsh_topk(spark, sf_dir):
     )
 
 
-@query("sim_ann_ivf_topk", tags=("similarity", "ann", "ivf"))
+@query(
+    "sim_ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8
+    ), scored AS (
+      SELECT n.vec_id, cents.cell,
+             CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                          i -> n.q[i] * cents.cq[i])) AS DOUBLE)
+               / (n.nrm * cents.cnrm) AS csim
+      FROM n, cents
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    ), probe AS (
+      SELECT cell FROM (
+        SELECT cents.cell,
+               CAST(list_sum(list_transform(range(1, len(cents.cq) + 1),
+                                            i -> cents.cq[i] * qv.q0[i])) AS DOUBLE)
+                 / (cents.cnrm * qv.nrm0) AS csim
+        FROM cents, qv
+      ) ORDER BY csim DESC, cell LIMIT 3
+    )
+    SELECT n.vec_id AS nn_id,
+           CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                        i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+             / (n.nrm * qv.nrm0) AS cos_sim
+    FROM n
+    JOIN assigned a ON n.vec_id = a.vec_id
+    JOIN probe p ON a.cell = p.cell, qv
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
 def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     """ANN top-10 for vec_id=0 via IVF-Flat: 8 seeded coarse centroids
     (vectors with the 8 smallest vec_ids — deterministic stand-in for a
@@ -107,7 +190,12 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     nprobe/n_cells of the corpus with no shuffle. On isotropic random
     data (this testdata) recall ≈ fraction probed — by design; real
     embedding corpora cluster, which is what makes IVF pay off. Recall
-    vs brute force is pinned in tests/test_similarity.py.
+    vs brute force is pinned in tests/test_dedup_similarity.py.
+
+    Oracle: the same deterministic pipeline in DuckDB — centroid
+    assignment as a window with the identical (csim DESC, cell)
+    tie-break, probe-cell selection, and quantized-int cosine scoring
+    are all bit-exact across engines, so the top-10 matches exactly.
 
     Centroid assignment is MAP-ONLY: the codebook collapses to a single
     broadcast row (array of (cell, centroid) structs) and each vector

@@ -82,8 +82,13 @@ def test_ann_recall_vs_brute(spark, sf_dir):
     ivf = [r.nn_id for r in SPECS["sim_ann_ivf_topk"].fn(spark, sf_dir).collect()]
     assert len(brute) == 10
     # Isotropic random embeddings: recall ≈ fraction of corpus probed.
-    # sign-LSH probes Hamming≤2 of 8 bits (~36%); IVF probes 3/8 cells.
-    assert len(set(brute) & set(lsh)) / 10 >= 0.3
+    # sign-LSH probes Hamming≤2 of 8 independent bits — expected
+    # (1+8+28)/256 ≈ 14.5% of buckets; measured with the portable-hash
+    # hyperplanes: 16.6% probed, recall 0.2. IVF probes 3/8 cells;
+    # measured recall 1.0. Both outputs are additionally pinned
+    # bit-exactly by DuckDB oracle twins (test_oracle_parity), so these
+    # bounds only guard the statistical claim, not correctness.
+    assert len(set(brute) & set(lsh)) / 10 >= 0.15
     assert len(set(brute) & set(ivf)) / 10 >= 0.3
 
 
