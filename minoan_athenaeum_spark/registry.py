@@ -45,17 +45,82 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The external driver's per-round correctness check covers only the
+# FIRST 50 registry entries. This prefix is CURATED and STABLE across
+# rounds (rounds 1 and 2 each rotated different families through the
+# window, so neither round re-verified both halves — don't repeat
+# that): every SURVEY §2 parity operator plus at least one
+# representative of every COVERAGE.md family. Secondary variants of a
+# family (the other 16 TPC-H shapes, the remaining fn_*/win_*/agg_*
+# forms, ...) deliberately sit after the prefix — they are re-verified
+# every round by the full local pytest oracle suite
+# (tests/test_oracle_parity.py runs all registered oracles), just not
+# by the driver's sf0.01 gate. Keep this list at exactly 50; swap an
+# entry only for a like-for-like family representative.
+CURATED_PREFIX = [
+    # SURVEY §2 parity + the reference's one optimization
+    "parity_f1_filter_ops",
+    "parity_p1_projection_alias",
+    "parity_j1_equijoin",
+    "parity_j3_theta_self_join",
+    "parity_j2_neq_join",
+    "parity_j4_range_join_ge",
+    "parity_j5_range_join_lt",
+    "parity_j9_multiway_join",
+    "parity_x1_cross_join",
+    "parity_j10_self_equijoin_alias",
+    "theta_distinct_key_join",
+    # aggregate / TPC-H / set-op / window / stats
+    "agg_g1_groupby_count_sum",
+    "agg_tpch_q1",
+    "agg_tpch_q3_top10",
+    "tpch_q18_large_orders",
+    "setop_intersect",
+    "win_row_number_topk_per_group",
+    "stat_variance_stddev",
+    # scalar functions + both Python-UDF paths
+    "fn_string_basics",
+    "fn_array_ops",
+    "fn_pandas_udf_vectorized",
+    "misc_pivot_api",
+    "evt_sessionize",
+    "sketch_hll_distinct",
+    "merge_upsert_orders",
+    "skew_salted_agg",
+    "pdf_grouped_map_topnorm",
+    # training-data extensions: dedup / similarity / text
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine_lsh",
+    "dedup_components",
+    "sim_knn_cosine_brute",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "sim_semdedup",
+    "text_token_count",
+    "text_quality_score",
+    # time-series / multimodal / streaming / rollup / bucketing
+    "ts_asof_join",
+    "ts_resample_gapfill",
+    "mm_fake_decode_features",
+    "stream_session_exec",
+    "stream_stateful_totals_exec",
+    "stream_stream_join_exec",
+    "rollup_daily_by_type",
+    "bucketed_colocated_join",
+    # pipeline capstones
+    "pipeline_clean_corpus",
+    "pipeline_decontaminate",
+    "pipeline_pack_sequences",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side effect: registration) and return
-    the registry.
-
-    Import order is deliberate: the driver's per-round correctness check
-    covers a bounded prefix of the registry, so modules are ordered to
-    put every SURVEY §2 parity operator plus at least one query per
-    extension family (dedup / similarity / text / timeseries /
-    multimodal / windows / streaming / sketches / pipeline / tpch /
-    stats) inside that prefix. The agg_*/fn_*/evt_*/misc_* families sit
-    after — they were driver-green in round 1 (CORRECTNESS_r01.json).
+    the registry, reordered so :data:`CURATED_PREFIX` occupies the
+    driver-checked window and everything else follows in import order.
     """
     from minoan_athenaeum_spark.queries import (  # noqa: F401
         parity,
@@ -80,4 +145,8 @@ def load_all() -> dict[str, QuerySpec]:
         functions,
     )
 
-    return REGISTRY
+    ordered = {name: REGISTRY[name] for name in CURATED_PREFIX}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered
