@@ -27,12 +27,35 @@ def write_bucketed(
     # A previous session may have left the managed location on disk
     # while the (in-memory) catalog entry died with it; Spark refuses to
     # create a managed table over an existing location, so clear it.
+    # Guarded: only delete a path that (a) is a local file: warehouse,
+    # (b) resolves strictly inside the warehouse root, and (c) looks
+    # like a Spark-written parquet table dir — never whatever else
+    # happens to sit at the derived path.
     if not df.sparkSession.catalog.tableExists(table):
+        import os
         import shutil
 
-        warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir")
-        loc = warehouse.removeprefix("file:") + "/" + table.lower()
-        shutil.rmtree(loc, ignore_errors=True)
+        warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir") or ""
+        if warehouse.startswith("file:"):
+            root = os.path.abspath(warehouse.removeprefix("file:"))
+            loc = os.path.abspath(os.path.join(root, table.lower()))
+            inside = (
+                loc != root
+                and os.path.commonpath([root, loc]) == root
+            )
+            if inside and os.path.isdir(loc):
+                entries = os.listdir(loc)
+                spark_table_markers = (
+                    not entries
+                    or "_SUCCESS" in entries
+                    or any(e.startswith("part-") for e in entries)
+                )
+                if not spark_table_markers:
+                    raise RuntimeError(
+                        f"write_bucketed: refusing to clear {loc!r} — it does "
+                        f"not look like a Spark-written table directory"
+                    )
+                shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .format("parquet")

@@ -55,6 +55,7 @@ def connected_components(
         .localCheckpoint(eager=True)  # checkpoint caches the blocks itself
     )
     try:
+        converged = False
         for _ in range(max_iter):
             prop = sym.join(labels, sym.v == labels.node).select(
                 F.col("u").alias("node"), F.col("comp")
@@ -72,7 +73,19 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # Propagation needs O(diameter) rounds; silently returning
+            # the partial labels would hand the caller WRONG components
+            # (e.g. a path of > max_iter nodes). Fail loudly — the
+            # caller can raise max_iter or switch to large-star/
+            # small-star contraction for high-diameter graphs.
+            raise RuntimeError(
+                f"connected_components did not converge within "
+                f"max_iter={max_iter} rounds (graph diameter exceeds the "
+                f"iteration budget); labels would be incorrect"
+            )
         return labels
     finally:
         sym.unpersist()

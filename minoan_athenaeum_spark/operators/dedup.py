@@ -259,9 +259,19 @@ def prefix_filtered_pairs(
     dfreq = ex.groupBy("item").agg(F.count("*").alias("__df"))
     if bounded_item_universe:
         dfreq = F.broadcast(dfreq)
+    # ceil(tau·|s|) computed in binary floating point can land one ULP
+    # high for thresholds that aren't exactly representable (tau=0.7,
+    # |s|=10 → 7.000000000000001 → ceil 8), silently SHRINKING the
+    # prefix and breaking the recall guarantee. Nudge down by an epsilon
+    # far below 1/|s| resolution before ceil: boundary cases round to
+    # the exact integer, and any over-inclusion only widens the
+    # candidate superset (verification stays exact).
+    _EPS = 1e-9
     w_rank = Window.partitionBy(id_col).orderBy("__df", "item")
     prefix_len = (
-        F.col("__sz") - F.ceil(F.lit(tau) * F.col("__sz")).cast("int") + 1
+        F.col("__sz")
+        - F.ceil(F.lit(tau) * F.col("__sz") - F.lit(_EPS)).cast("int")
+        + 1
     )
     pref = (
         ex.join(dfreq, "item")
@@ -275,9 +285,12 @@ def prefix_filtered_pairs(
             r,
             (F.col("l.item") == F.col("r.item"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            # Jaccard ≥ τ ⇒ τ·|B| ≤ |A| ∧ τ·|A| ≤ |B| (size filter)
-            & (F.col("l.__sz") * tau <= F.col("r.__sz"))
-            & (F.col("r.__sz") * tau <= F.col("l.__sz")),
+            # Jaccard ≥ τ ⇒ τ·|B| ≤ |A| ∧ τ·|A| ≤ |B| (size filter).
+            # Same one-ULP hazard as prefix_len: subtract the epsilon so
+            # exact-boundary pairs are never pruned (loosening only
+            # admits extra candidates; verify is exact).
+            & (F.col("l.__sz") * tau - _EPS <= F.col("r.__sz"))
+            & (F.col("r.__sz") * tau - _EPS <= F.col("l.__sz")),
         )
         .select(F.col(f"l.{id_col}").alias("a"), F.col(f"r.{id_col}").alias("b"))
         .dropDuplicates(["a", "b"])

@@ -22,6 +22,7 @@ def merge_upsert(
     key: str,
     cols: list[str],
     delete_col: str | None = None,
+    validate_keys: bool = True,
 ) -> DataFrame:
     """SQL-MERGE semantics on DataFrames:
 
@@ -31,8 +32,31 @@ def merge_upsert(
     - base-only key   → keep,
     - ``delete_col`` true on a matched update → row dropped.
 
+    PRECONDITION: ``updates`` must have at most one row per key. SQL
+    MERGE raises on multiple matches; a duplicate key here would fan
+    base rows out through the full-outer join and silently multiply
+    output rows. ``validate_keys=True`` (default) enforces this with an
+    eager uniqueness probe over the updates feed — one small job (the
+    feed is the small side of an upsert by construction); pass
+    ``validate_keys=False`` only when uniqueness is guaranteed upstream
+    and the extra action matters.
+
     One shuffle on the key for each side (or a broadcast of the updates
     feed when it is small — the common case, left to AQE)."""
+    if validate_keys:
+        dup = (
+            updates.groupBy(key)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"merge_upsert: updates feed has multiple rows for at least "
+                f"one value of key {key!r}; SQL MERGE semantics require at "
+                f"most one match (dedupe the feed or pick a winner upstream)"
+            )
     b = base.select(F.col(key).alias("__bk"), *[F.col(c).alias(f"__b_{c}") for c in cols])
     extra = [delete_col] if delete_col else []
     u = updates.select(

@@ -43,3 +43,14 @@ def test_star_graph_single_round_shape(spark):
     )
     got = _labels(connected_components(edges))
     assert got == {17: 17, 23: 17, 42: 17, 100: 17}
+
+
+def test_nonconvergence_raises_not_silent(spark):
+    # A path graph needs O(diameter) rounds; with max_iter below that
+    # the labels are WRONG, and returning them silently was the failure
+    # mode flagged in round 2 — it must raise instead.
+    import pytest
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)

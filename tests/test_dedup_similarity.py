@@ -143,3 +143,26 @@ def test_prefix_filter_exact_and_skew_bounded(spark):
     assert got_pairs.keys() == true_pairs.keys()
     for p, j in got_pairs.items():
         assert abs(true_pairs[p] - j) < 1e-12
+
+
+def test_prefix_filter_inexact_tau_boundary(spark):
+    """tau=0.7 is not exactly representable in binary floating point;
+    ceil(0.7*10) computed naively gives 8, shrinking the prefix and
+    losing exact-boundary pairs. Two 10-element sets sharing exactly 7
+    elements have J = 7/13 < 0.7 — so instead use sets where J >= tau
+    holds exactly: A=B (J=1.0) plus a J==0.7 construction: |A|=|B|=17,
+    shared=14 -> J=14/20=0.7. Every such pair must survive."""
+    from minoan_athenaeum_spark.operators.dedup import prefix_filtered_pairs
+
+    tau = 0.7
+    shared = [f"s{k}" for k in range(14)]
+    a_items = shared + ["a1", "a2", "a3"]
+    b_items = shared + ["b1", "b2", "b3"]
+    df = spark.createDataFrame(
+        [(0, a_items), (1, b_items)], "id long, items array<string>"
+    )
+    got = prefix_filtered_pairs(df, "id", "items", tau).collect()
+    assert len(got) == 1
+    r = got[0]
+    j = r.shared / (r.a_size + r.b_size - r.shared)
+    assert abs(j - 0.7) < 1e-12

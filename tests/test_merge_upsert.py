@@ -64,3 +64,17 @@ def test_merge_matches_reference(spark, base, updates):
         for r in merge_upsert(b, u, "k", ["v1", "v2"], delete_col="is_del").collect()
     }
     assert got == reference_merge(base, updates)
+
+
+def test_duplicate_update_keys_rejected(spark):
+    # SQL MERGE raises on multiple matches; merge_upsert must too, not
+    # silently fan base rows out through the full-outer join.
+    import pytest
+
+    b = spark.createDataFrame([(1, 10, "a")], "k long, v1 long, v2 string")
+    u = spark.createDataFrame(
+        [(1, 11, "b", False), (1, 12, "c", False)],
+        "k long, v1 long, v2 string, is_del boolean",
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(b, u, "k", ["v1", "v2"], delete_col="is_del").collect()
