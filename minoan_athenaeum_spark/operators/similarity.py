@@ -149,6 +149,78 @@ def sign_lsh_band_keys(q: Column, bands: int = 12, bits: int = 8) -> Column:
     )
 
 
+def kmeans_refine(v, init_cents, dim: int, iters: int = 1):
+    """Lloyd-refine an IVF codebook with one small Spark job per round.
+
+    ``v`` carries a quantized bigint array column ``q``; ``init_cents``
+    is the seed codebook ``(cell, cq)``. Each round:
+
+    - inline the codebook as a LITERAL array of ``struct(cell, cq)`` and
+      assign every vector to its argmax-cosine cell via
+      :func:`nearest_cell` — MAP-ONLY, the corpus never shuffles and no
+      join node appears in the plan at all;
+    - ``groupBy(cell)`` with per-dimension SUM + COUNT aggregates —
+      partials combine map-side, so the shuffle moves only
+      ``n_cells × dim`` numbers regardless of corpus size;
+    - collect the n_cells result rows to the driver (a codebook is a
+      tiny MODEL artifact — ``n_cells × dim`` integers — so this is the
+      broadcast-variable pattern, not a driver-side data loop) and form
+      new centroid = round-half-up(mean) re-quantized to bigint, so the
+      next round's cosine stays integer-exact and engine-portable
+      (``floor(s/c + 0.5)`` — identical IEEE double math in Python,
+      Spark, and DuckDB, unlike engine ``round()`` tie conventions).
+      Cosine is scale-invariant, so the re-quantized mean preserves
+      assignment semantics while keeping every later dot product within
+      bigint range no matter how many members a cell absorbs.
+
+    Collecting per round also keeps each iteration an INDEPENDENT small
+    job: the alternative (chaining DataFrame plans across rounds) nests
+    every previous round's shuffles under the next round's broadcast
+    subquery, which defeats AQE partition coalescing and re-executes the
+    whole chain for every downstream consumer.
+
+    Empty cells drop out (standard Lloyd's). Returns the refined
+    ``(cell, cq)`` codebook as a small local DataFrame.
+    """
+    import math
+
+    spark = v.sparkSession
+    cent_rows = [(int(r["cell"]), [int(x) for x in r["cq"]]) for r in init_cents.collect()]
+    for _ in range(iters):
+        cb = F.array(
+            *[
+                F.struct(
+                    F.lit(cell).cast("bigint").alias("cell"),
+                    F.array(*[F.lit(x).cast("bigint") for x in cq]).alias("cq"),
+                )
+                for cell, cq in cent_rows
+            ]
+        )
+        assigned = v.select(
+            F.col("q"), nearest_cell(F.col("q"), cb).getField("cell").alias("cell")
+        )
+        sums = assigned.groupBy("cell").agg(
+            *[
+                F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count("*").alias("c"),
+        )
+        cent_rows = sorted(
+            (
+                int(r["cell"]),
+                [
+                    int(math.floor(int(r[f"s{i}"]) / int(r["c"]) + 0.5))
+                    for i in range(dim)
+                ],
+            )
+            for r in sums.collect()
+        )
+    return spark.createDataFrame(
+        [(c, q) for c, q in cent_rows], "cell bigint, cq array<bigint>"
+    )
+
+
 def nearest_cell(q: Column, codebook: Column) -> Column:
     """Map-only nearest-centroid assignment: fold over a (small,
     broadcast) codebook array of ``struct(cell, cq)`` and keep the
@@ -156,15 +228,24 @@ def nearest_cell(q: Column, codebook: Column) -> Column:
     smaller cell id, so the result is independent of the codebook's
     array order. No explode, no window, zero shuffle of the corpus —
     this is the assignment step shared by IVF search and SemDedup."""
-    return F.aggregate(
+    # Score each cell ONCE up front (the naive fold re-evaluates the
+    # cosine three times per entry — in the comparison, the tie check,
+    # and the kept struct — and higher-order functions are interpreted,
+    # so that tripling is real wall-clock), then fold for the argmax.
+    scored = F.transform(
         codebook,
+        lambda c: F.struct(
+            c.cell.cast("long").alias("cell"), cosine_q(q, c.cq).alias("csim")
+        ),
+    )
+    return F.aggregate(
+        scored,
         F.struct(
             F.lit(-1).cast("long").alias("cell"),
             F.lit(float("-inf")).alias("csim"),
         ),
-        lambda acc, c: F.when(
-            (cosine_q(q, c.cq) > acc.csim)
-            | ((cosine_q(q, c.cq) == acc.csim) & (c.cell < acc.cell)),
-            F.struct(c.cell.alias("cell"), cosine_q(q, c.cq).alias("csim")),
+        lambda acc, s: F.when(
+            (s.csim > acc.csim) | ((s.csim == acc.csim) & (s.cell < acc.cell)),
+            s,
         ).otherwise(acc),
     )

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from minoan_athenaeum_spark.operators.similarity import (
     cosine_q,
+    kmeans_refine,
     nearest_cell,
     quantize,
     sign_lsh_key,
@@ -217,6 +218,144 @@ def sim_ann_ivf_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     assigned = (
         v.crossJoin(F.broadcast(codebook))
         .select("vec_id", "q", best.getField("cell").alias("cell"))
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    probe_cells = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cell", cosine_q(F.col("cq"), F.col("q0")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    cand = assigned.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe_cells), "cell"
+    ).crossJoin(F.broadcast(qv))
+    return (
+        cand.select(
+            F.col("vec_id").alias("nn_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )
+
+
+def _ivf_kmeans_oracle(dim: int = 64, n_cells: int = 8, iters: int = 2, nprobe: int = 3) -> str:
+    """Unrolled-Lloyd DuckDB twin of sim_ann_ivf_kmeans_topk. Each
+    iteration mirrors the Spark pipeline exactly: argmax-cosine
+    assignment (ROW_NUMBER with the same (csim DESC, cell) tie-break),
+    per-cell per-dim integer SUM + COUNT, centroid = floor(s/c + 0.5) —
+    every number bit-identical across engines."""
+    cnorm = "sqrt(CAST(list_sum(list_transform(c.cq, x -> x * x)) AS DOUBLE))"
+    parts = [
+        f"WITH v AS (SELECT vec_id, {_QUANT} AS q FROM embeddings)",
+        """n AS (
+          SELECT vec_id, q,
+                 sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+          FROM v)""",
+        f"cents0 AS (SELECT vec_id AS cell, q AS cq FROM v WHERE vec_id < {n_cells})",
+    ]
+    for k in range(1, iters + 1):
+        prev = f"cents{k - 1}"
+        parts += [
+            f"""scored{k} AS (
+              SELECT n.vec_id, c.cell,
+                     CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                  i -> n.q[i] * c.cq[i])) AS DOUBLE)
+                       / (n.nrm * {cnorm}) AS csim
+              FROM n, {prev} c)""",
+            f"""assigned{k} AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY csim DESC, cell) AS rn
+                FROM scored{k}) WHERE rn = 1)""",
+            f"""sums{k} AS (
+              SELECT a.cell, t.i, SUM(n.q[t.i]) AS s
+              FROM assigned{k} a JOIN n USING (vec_id), range(1, {dim} + 1) t(i)
+              GROUP BY a.cell, t.i)""",
+            f"""cnt{k} AS (SELECT cell, COUNT(*) AS c FROM assigned{k} GROUP BY cell)""",
+            f"""cents{k} AS (
+              SELECT s.cell,
+                     list(CAST(floor(CAST(s.s AS DOUBLE) / cnt{k}.c + 0.5) AS BIGINT)
+                          ORDER BY s.i) AS cq
+              FROM sums{k} s JOIN cnt{k} USING (cell)
+              GROUP BY s.cell)""",
+        ]
+    last = f"cents{iters}"
+    parts += [
+        "qv AS (SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0)",
+        f"""fin_assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT n.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+                     CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                  i -> n.q[i] * c.cq[i])) AS DOUBLE)
+                       / (n.nrm * {cnorm}) DESC, c.cell) AS rn
+            FROM n, {last} c) WHERE rn = 1)""",
+        f"""probe AS (
+          SELECT cell FROM (
+            SELECT c.cell,
+                   CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                                i -> c.cq[i] * qv.q0[i])) AS DOUBLE)
+                     / ({cnorm} * qv.nrm0) AS csim
+            FROM {last} c, qv)
+          ORDER BY csim DESC, cell LIMIT {nprobe})""",
+    ]
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT n.vec_id AS nn_id,
+           CAST(list_sum(list_transform(range(1, {dim} + 1),
+                                        i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+             / (n.nrm * qv.nrm0) AS cos_sim
+    FROM n
+    JOIN fin_assigned a ON n.vec_id = a.vec_id
+    JOIN probe p ON a.cell = p.cell, qv
+    WHERE n.vec_id != 0
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+    """
+    )
+
+
+@query(
+    "sim_ann_ivf_kmeans_topk",
+    oracle=_ivf_kmeans_oracle(),
+    tags=("similarity", "ann", "ivf", "kmeans"),
+)
+def sim_ann_ivf_kmeans_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
+    """ANN top-10 for vec_id=0 via IVF-Flat with a k-means-REFINED
+    codebook: the 8 seeded centroids of sim_ann_ivf_topk are improved by
+    two Lloyd iterations (operators.similarity.kmeans_refine) before
+    assignment and probing. On clustered corpora — every real embedding
+    corpus — refinement aligns cells with the density modes, so recall
+    at the same nprobe/n_cells scan fraction rises well above the
+    fraction-probed baseline (pinned in tests/test_dedup_similarity.py
+    on a clustered synthetic set).
+
+    Scale shape: each Lloyd round is a broadcast-codebook map-only
+    assignment plus an n_cells×dim-number shuffle (map-side partial
+    sums); the corpus itself never shuffles, same as the final probe.
+
+    Oracle: the identical unrolled pipeline in DuckDB — integer sums,
+    floor(s/c + 0.5) re-quantized means, and the (csim DESC, cell)
+    tie-break make every intermediate bit-exact across engines."""
+    e = t(spark, sf_dir, "embeddings")
+    release_tracked()
+    v = persist_tracked(e.select("vec_id", quantize(F.col("embedding")).alias("q")))
+    seed = (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("q").alias("cq"))
+    )
+    cents = kmeans_refine(v.select("q"), seed, dim=64, iters=2)
+    codebook = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
+    )
+    best = nearest_cell(F.col("q"), F.col("cb"))
+    assigned = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "q", best.getField("cell").alias("cell")
     )
     qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
     probe_cells = (

@@ -166,3 +166,79 @@ def test_prefix_filter_inexact_tau_boundary(spark):
     r = got[0]
     j = r.shared / (r.a_size + r.b_size - r.shared)
     assert abs(j - 0.7) < 1e-12
+
+def test_ivf_kmeans_refinement_beats_seeded_on_clustered_data(spark):
+    """On a clustered corpus — the case IVF exists for — two Lloyd
+    rounds (kmeans_refine) align cells with the density modes, so the
+    probe reaches the same recall while scanning far less of the corpus
+    than the degenerate seeded codebook (first-8-ids, all drawn from one
+    cluster here by construction). Fully deterministic (seeded numpy,
+    integer quantization), so the measured numbers are stable:
+    seeded nprobe=2 -> recall 1.0 @ 45.7% scanned;
+    refined nprobe=2 -> recall 1.0 @ 24.1% scanned (vs the
+    recall ~= fraction-probed law on unclustered data — 3x above it)."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.similarity import (
+        cosine_q,
+        kmeans_refine,
+        nearest_cell,
+    )
+
+    rng = np.random.RandomState(7)
+    DIM, N = 16, 200
+    centers = rng.randn(4, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cluster = np.arange(N) // 50  # ids 0..49 -> cluster 0, ... (seed is degenerate)
+    pts = centers[cluster] + 0.15 * rng.randn(N, DIM)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    q = np.round(pts * 10000).astype(np.int64)
+    v = spark.createDataFrame(
+        [(int(i), [int(x) for x in q[i]]) for i in range(N)],
+        "vec_id bigint, q array<bigint>",
+    ).persist()
+    QID = 120  # a cluster-2 point; every seed centroid sits in cluster 0
+    qf = q[QID].astype(float)
+    sims = {
+        i: float(np.dot(q[i].astype(float), qf))
+        / (np.linalg.norm(q[i].astype(float)) * np.linalg.norm(qf))
+        for i in range(N)
+        if i != QID
+    }
+    brute10 = set(sorted(sims, key=lambda i: (-sims[i], i))[:10])
+    seed = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("q").alias("cq")
+    )
+
+    def probe_stats(cents, nprobe=2):
+        cb = cents.agg(F.collect_list(F.struct("cell", "cq")).alias("cb"))
+        best = nearest_cell(F.col("q"), F.col("cb"))
+        assigned = v.crossJoin(F.broadcast(cb)).select(
+            "vec_id", "q", best.getField("cell").alias("cell")
+        )
+        q0 = spark.createDataFrame([([int(x) for x in q[QID]],)], "q0 array<bigint>")
+        probe = (
+            cents.crossJoin(F.broadcast(q0))
+            .select("cell", cosine_q(F.col("cq"), F.col("q0")).alias("cs"))
+            .orderBy(F.col("cs").desc(), "cell")
+            .limit(nprobe)
+            .select("cell")
+        )
+        got = {
+            r.vec_id
+            for r in assigned.filter(F.col("vec_id") != QID)
+            .join(F.broadcast(probe), "cell")
+            .collect()
+        }
+        return len(got & brute10) / 10, len(got) / (N - 1)
+
+    seeded_recall, seeded_frac = probe_stats(seed)
+    refined = kmeans_refine(v.select("q"), seed, dim=DIM, iters=2)
+    refined_recall, refined_frac = probe_stats(refined)
+    v.unpersist()
+    assert seeded_recall == 1.0 and refined_recall == 1.0
+    # Refinement's value: same recall, much smaller scan. And in
+    # absolute terms the refined probe's recall (1.0) is far above the
+    # unclustered recall ~= fraction-probed (~0.24) baseline.
+    assert refined_frac < 0.30
+    assert refined_frac < seeded_frac - 0.15
