@@ -112,6 +112,47 @@ def stream_stateful_totals_exec(spark, sf_dir):
     return run_to_memory(stream, name, mode="update")
 
 
+_IDEMPOTENT_SINK_ORACLE = """
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query(
+    "stream_idempotent_sink_exec",
+    oracle=_IDEMPOTENT_SINK_ORACLE,
+    tags=("streaming", "sink", "exec"),
+)
+def stream_idempotent_sink_exec(spark, sf_dir):
+    """EXACTLY-ONCE FILE SINK executed as a stream: the event stream is
+    drained through a foreachBatch parquet sink keyed by batch_id
+    (streaming.ops.idempotent_parquet_writer — per-batch partition
+    overwrite, so checkpoint-recovery replays cannot duplicate rows),
+    then the sink's own output is read back and aggregated. The oracle
+    aggregates the source table directly, so a green row proves the
+    stream → sink → read-back round trip is lossless and duplicate-free.
+    Replay/restart idempotency is separately pinned in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from minoan_athenaeum_spark.streaming.ops import run_with_idempotent_sink
+
+    base = tempfile.mkdtemp(prefix="mas_idem_sink_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+    stream = read_events_stream(spark, sf_dir)
+    run_with_idempotent_sink(stream, out, ckpt)
+    from pyspark.sql import functions as F
+
+    sunk = spark.read.parquet(out)
+    return sunk.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("sum_value"),
+    )
+
+
 _STREAM_STATIC_ORACLE = """
     SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS wstart,
            CAST(user_id % 4 AS BIGINT) AS segment,
