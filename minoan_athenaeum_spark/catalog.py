@@ -60,18 +60,39 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HANDLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
+def _use_bucketed_facts() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_BUCKETED_FACTS", "") not in ("", "0")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _HANDLE_CACHE.get(spark)
     if per_session is None:
         per_session = {}
         _HANDLE_CACHE[spark] = per_session
-    df = per_session.get((sf_dir, name))
+    # Opt-in pre-bucketed fact layout: when SPARK_GRAFT_BUCKETED_FACTS
+    # is set and sources.bucketed.ensure_bucketed_facts has materialized
+    # this table for this sf_dir, serve the managed bucketed table —
+    # same rows and schema, but hash-bucketed + sorted on orderkey, so
+    # every orderkey join/aggregate downstream skips its Exchange.
+    bucketed = _use_bucketed_facts()
+    df = per_session.get((sf_dir, name, bucketed))
     if df is None:
-        if name == "events":
-            df = load_events(spark, sf_dir)
-        else:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        per_session[(sf_dir, name)] = df
+        if bucketed and name in ("lineitem", "orders"):
+            from minoan_athenaeum_spark.sources.bucketed import (
+                bucketed_fact_table_name,
+            )
+
+            table = bucketed_fact_table_name(sf_dir, name)
+            if spark.catalog.tableExists(table):
+                df = spark.table(table)
+        if df is None:
+            if name == "events":
+                df = load_events(spark, sf_dir)
+            else:
+                df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per_session[(sf_dir, name, bucketed)] = df
     return df
 
 

@@ -18,44 +18,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def clear_stale_table_location(spark: SparkSession, table: str) -> None:
+    """A previous session may have left a managed table's location on
+    disk while the (in-memory) catalog entry died with it; Spark refuses
+    to create a managed table over an existing location, so clear it.
+    Guarded: only delete a path that (a) is a local file: warehouse,
+    (b) resolves strictly inside the warehouse root, and (c) looks
+    like a Spark-written parquet table dir — never whatever else
+    happens to sit at the derived path."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir") or ""
+    if warehouse.startswith("file:"):
+        root = os.path.abspath(warehouse.removeprefix("file:"))
+        loc = os.path.abspath(os.path.join(root, table.lower()))
+        inside = loc != root and os.path.commonpath([root, loc]) == root
+        if inside and os.path.isdir(loc):
+            entries = os.listdir(loc)
+            spark_table_markers = (
+                not entries
+                or "_SUCCESS" in entries
+                or any(e.startswith("part-") for e in entries)
+            )
+            if not spark_table_markers:
+                raise RuntimeError(
+                    f"refusing to clear {loc!r} — it does not look like a "
+                    f"Spark-written table directory"
+                )
+            shutil.rmtree(loc)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 16
 ) -> None:
     """Materialize ``df`` as a managed parquet table bucketed AND
     sorted by ``key`` — the layout that makes every future equi-join or
     aggregation on ``key`` exchange-free."""
-    # A previous session may have left the managed location on disk
-    # while the (in-memory) catalog entry died with it; Spark refuses to
-    # create a managed table over an existing location, so clear it.
-    # Guarded: only delete a path that (a) is a local file: warehouse,
-    # (b) resolves strictly inside the warehouse root, and (c) looks
-    # like a Spark-written parquet table dir — never whatever else
-    # happens to sit at the derived path.
     if not df.sparkSession.catalog.tableExists(table):
-        import os
-        import shutil
-
-        warehouse = df.sparkSession.conf.get("spark.sql.warehouse.dir") or ""
-        if warehouse.startswith("file:"):
-            root = os.path.abspath(warehouse.removeprefix("file:"))
-            loc = os.path.abspath(os.path.join(root, table.lower()))
-            inside = (
-                loc != root
-                and os.path.commonpath([root, loc]) == root
-            )
-            if inside and os.path.isdir(loc):
-                entries = os.listdir(loc)
-                spark_table_markers = (
-                    not entries
-                    or "_SUCCESS" in entries
-                    or any(e.startswith("part-") for e in entries)
-                )
-                if not spark_table_markers:
-                    raise RuntimeError(
-                        f"write_bucketed: refusing to clear {loc!r} — it does "
-                        f"not look like a Spark-written table directory"
-                    )
-                shutil.rmtree(loc)
+        clear_stale_table_location(df.sparkSession, table)
     (
         df.write.mode("overwrite")
         .format("parquet")

@@ -40,7 +40,15 @@ def connected_components(
     ``edges`` may list each undirected edge once in either direction;
     self-loops and duplicate edges are fine (they do not change the
     fixpoint).
-    """
+
+    Partitioning note: the per-round shuffles run at the session's wide
+    initial partition count (localCheckpoint materialization bypasses
+    AQE coalescing). Measured at sf0.001, that is FASTER than forcing a
+    small explicit repartition per round (31/15.6 s vs 59/53 s for an
+    8-partition variant) — the wide empty tasks are ~ms each while the
+    extra per-round exchange is real work — and at cluster scale the
+    wide state layout is the posture you want anyway. Don't "fix" this
+    with repartition(n) again without re-measuring both paths."""
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = (
         und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -245,3 +245,45 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     assert p.count("Exchange hashpartitioning") == 1, (
         "join must be exchange-free; only the final aggregate shuffles"
     )
+
+
+def test_bucketed_facts_q18_no_orderkey_exchange(spark, sf_dir):
+    """With SPARK_GRAFT_BUCKETED_FACTS on and lineitem/orders
+    pre-bucketed on orderkey, q18's entire orderkey pipeline — the
+    HAVING aggregate over lineitem, the semi-join onto orders, and the
+    lineitem⋈orders fact join — runs WITHOUT exchanging either fact on
+    orderkey; the only remaining shuffles are the (unbucketed) customer
+    join and the post-join aggregate, which is exactly the residue the
+    layout promises. Broadcast disabled to force the join shape the
+    facts get at scale; the answer must equal the raw-parquet path
+    (which stays oracle-checked in test_oracle_parity;
+    scripts/bucketed_probe.py A/Bs both layouts at 256x)."""
+    import os
+
+    from minoan_athenaeum_spark.sources.bucketed import ensure_bucketed_facts
+
+    ensure_bucketed_facts(spark, sf_dir, n_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    os.environ["SPARK_GRAFT_BUCKETED_FACTS"] = "1"
+    try:
+        p = plan_of(spark, sf_dir, "tpch_q18_large_orders", "simple")
+        df = SPECS["tpch_q18_large_orders"].fn(spark, sf_dir)
+        got = {tuple(r) for r in df.collect()}
+    finally:
+        os.environ.pop("SPARK_GRAFT_BUCKETED_FACTS", None)
+        p_raw = plan_of(spark, sf_dir, "tpch_q18_large_orders", "simple")
+        raw = {
+            tuple(r)
+            for r in SPECS["tpch_q18_large_orders"].fn(spark, sf_dir).collect()
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert p.count("Bucketed: true") >= 2, "scans must read bucket layout"
+    assert "hashpartitioning(l_orderkey" not in p
+    assert "hashpartitioning(o_orderkey" not in p
+    # The raw-parquet plan pays those orderkey shuffles (that's the A).
+    assert "hashpartitioning(l_orderkey" in p_raw
+    assert p.count("Exchange hashpartitioning") < p_raw.count(
+        "Exchange hashpartitioning"
+    )
+    assert got == raw
