@@ -194,6 +194,132 @@ def pipeline_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "pipeline_full_curation",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> list_contains({_EN}, x))) AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    quality AS (
+      SELECT * FROM scored
+      WHERE n_tok >= 20 AND n_stop / CAST(n_tok AS DOUBLE) >= 0.05
+    ),
+    keeper_ids AS (
+      SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY fp
+    ),
+    keepers AS (
+      SELECT q.doc_id, q.source, q.w, q.n_tok
+      FROM quality q JOIN keeper_ids k ON q.doc_id = k.doc_id
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(list_transform(
+               range(1, greatest(len(w) - 7, 0) + 1),
+               i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+      FROM scored WHERE doc_id % 20 = 0
+    ),
+    contaminated AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT k.doc_id, unnest(list_transform(
+                 range(1, greatest(len(k.w) - 7, 0) + 1),
+                 i -> array_to_string(list_slice(k.w, i, i + 7), ' '))) AS gram
+        FROM keepers k WHERE k.doc_id % 20 != 0
+      ) t JOIN eval_grams e USING (gram)
+    ),
+    clean AS (
+      SELECT doc_id, source, n_tok FROM keepers
+      WHERE doc_id % 20 != 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM clean
+    )
+    SELECT source, CAST(floor((cum - n_tok) / 2048) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY source, bin
+    """,
+    tags=("pipeline", "capstone", "curation"),
+)
+def pipeline_full_curation(spark, sf_dir):
+    """The WHOLE curation recipe as one query — quality gate → exact
+    dedup (lowest-doc_id keeper) → benchmark decontamination (drop any
+    keeper sharing a word 8-gram with the held-out doc_id%20 eval
+    slice) → sequence packing into 2048-token bins per source. This is
+    the end-to-end "clean a pretraining corpus" composition of the
+    operator library; every stage reuses the scale shape its standalone
+    query pinned.
+
+    Scale shape: scoring is one map pass; dedup shuffles 32-byte
+    fingerprints (bodies never move); the eval-gram set broadcasts, so
+    decontamination is a map-side semi-join (grams carried as xxhash64
+    bigints, same trade as pipeline_decontaminate); the keeper set
+    anti-joins broadcast contaminated ids; packing windows partition by
+    source. No stage shuffles document text."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+        words.alias("w"),
+        F.size(words).alias("n_tok"),
+        stopword_hits("text", "en").cast("double").alias("n_stop"),
+    )
+    quality = scored.filter(
+        (F.col("n_tok") >= 20)
+        & (F.col("n_stop") / F.col("n_tok").cast("double") >= 0.05)
+    )
+    keeper_ids = quality.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    keepers = quality.join(keeper_ids, "doc_id", "left_semi")
+    n = F.size(F.col("w"))
+    grams = F.when(
+        n >= F.lit(8),
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(7)),
+                lambda i: F.xxhash64(F.slice(F.col("w"), i, 8)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    eval_grams = (
+        scored.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        keepers.filter(F.col("doc_id") % 20 != 0)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        keepers.filter(F.col("doc_id") % 20 != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tok")
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = clean.withColumn("cum", F.sum("n_tok").over(w))
+    return packed.groupBy(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(2048)).alias("bin"),
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens"))
+
+
+@query(
     "pipeline_stratified_sample",
     oracle=r"""
     WITH rated AS (

@@ -66,3 +66,43 @@ def win_running_sum(spark, sf_dir):
         F.col("o_orderkey").alias("okey"),
         F.sum(dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_total"),
     )
+
+
+@query(
+    "win_time_range_moving_sum",
+    oracle="""
+    SELECT user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS hour_sum,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_in_hour
+    FROM events WHERE user_id <= 200
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def win_time_range_moving_sum(spark, sf_dir):
+    """Trailing 1-hour moving sum per user with a RANGE (time-interval)
+    window frame — the frame boundary is a VALUE offset on the ordering
+    column, not a row count, so equal-timestamp peers are always in or
+    out together (ROWS frames cannot express this). Ordering on epoch
+    micros makes the frame arithmetic integer-exact and engine-portable;
+    decimal accumulation keeps the sum exact vs the oracle.
+
+    Scale shape: one shuffle on user_id; frames are evaluated with a
+    sliding aggregate over each partition's sort order — no
+    self-join-per-row (the naive SQL-92 formulation)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") <= 200)
+    return e.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.sum(dec(F.col("value"), 12, 2)).over(w).cast("double").alias("hour_sum"),
+        F.count("*").over(w).alias("n_in_hour"),
+    )
