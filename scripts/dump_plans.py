@@ -43,6 +43,11 @@ EXTRA = [
     "merge_upsert_orders",
     "skew_salted_agg",
     "pdf_grouped_map_topnorm",
+    # r3 additions
+    "sim_ann_ivf_kmeans_topk",
+    "stream_idempotent_sink_exec",
+    "win_time_range_moving_sum",
+    "pipeline_full_curation",
 ]
 
 
