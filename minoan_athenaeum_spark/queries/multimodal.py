@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 
 from minoan_athenaeum_spark.operators.multimodal import (
     fake_decode_features,
+    image_channel_stats,
     with_binary_payload,
+    with_ppm_payload,
 )
 from minoan_athenaeum_spark.queries._util import t
 from minoan_athenaeum_spark.registry import query
@@ -57,3 +59,42 @@ def mm_fake_decode_features(spark, sf_dir):
     the same byte math in SQL, verifying the whole Arrow round trip."""
     d = with_binary_payload(t(spark, sf_dir, "documents"))
     return fake_decode_features(d)
+
+
+@query(
+    "mm_ppm_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           16 AS width, 8 AS height,
+           CAST(list_sum(list_transform(range(0, 384, 3),
+                i -> (doc_id % 251 + 13 * i) % 256)) AS DOUBLE) / 128 AS mean_r,
+           CAST(list_sum(list_transform(range(1, 384, 3),
+                i -> (doc_id % 251 + 13 * i) % 256)) AS DOUBLE) / 128 AS mean_g,
+           CAST(list_sum(list_transform(range(2, 384, 3),
+                i -> (doc_id % 251 + 13 * i) % 256)) AS DOUBLE) / 128 AS mean_b,
+           CAST(list_sum(list_transform(range(0, 32), b ->
+                (b + 1) * list_sum(list_transform(range(0, 12), k ->
+                  (doc_id % 251
+                   + 13 * (((2 * (b // 8) + (k // 6)) * 16
+                            + (2 * (b % 8) + ((k // 3) % 2))) * 3 + (k % 3)))
+                  % 256)))) AS BIGINT) AS down2_checksum
+    FROM documents
+    """,
+    tags=("multimodal", "image", "decode"),
+)
+def mm_ppm_decode_stats(spark, sf_dir):
+    """REAL image decode end-to-end: every document gets a valid binary
+    PPM (P6) payload (deterministic pixel ramp keyed on doc_id), which
+    the pure-numpy PPM parser then decodes inside an Arrow-batched
+    mapInPandas pass — header parse, reshape to H×W×3, per-channel
+    means, and a 2×2 average-pool ("resize") pinned via a
+    position-weighted integer checksum. The oracle recomputes every
+    statistic from the pixel formula in closed form, so a green row
+    certifies the DECODER (not just the plumbing): any mis-parse,
+    channel swap, or pooling stride error changes the values.
+
+    Scale shape: generate → decode → featurize is a single map-only
+    pipeline of two Arrow stages; no shuffle anywhere. Compressed
+    formats would slot into decode_image's dispatch unchanged."""
+    d = with_ppm_payload(t(spark, sf_dir, "documents"), width=16, height=8)
+    return image_channel_stats(d)
