@@ -82,6 +82,100 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM-16 mono/stereo WAV to (sample_rate, int16 array of
+    shape (n_frames, n_channels)). A real RIFF parser: walks chunks
+    ('fmt ' may be followed by LIST/INFO etc. before 'data'), validates
+    the PCM tag and bit depth, and detects truncation. Pure numpy —
+    PCM is uncompressed, so no codec library is needed."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload) and (fmt is None or data is None):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM-16 WAV decodes natively (format={audio_format}, "
+            f"bits={bits}); compressed audio needs a codec library"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[: len(samples) - len(samples) % n_channels].reshape(
+            -1, n_channels
+        )
+    else:
+        samples = samples.reshape(-1, 1)
+    return sample_rate, samples
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Inverse of :func:`decode_wav_pcm16`: (n, ch) int16 → RIFF bytes."""
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def split_ppm_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode a 'video' stored as back-to-back P6 frames (each frame a
+    complete PPM, headers included — the raw-concatenated layout NUT/y4m
+    style tools emit for uncompressed streams). Walks the payload frame
+    by frame with the real PPM parser."""
+    frames, pos = [], 0
+    while pos < len(payload):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame boundary expected P6 at offset {pos}")
+        img = decode_ppm(payload[pos:])
+        frames.append(img)
+        # Advance past this frame: re-find the pixel block length.
+        h, w, _ = img.shape
+        header_end = _ppm_pixel_offset(payload, pos)
+        pos = header_end + h * w * 3
+    return frames
+
+
+def _ppm_pixel_offset(payload: bytes, start: int) -> int:
+    """Offset of the first pixel byte of the P6 frame at ``start``."""
+    pos, seen = start + 2, 0
+    while seen < 3:
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            seen += 1
+    return pos + 1
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload by container magic. PPM decodes for real
     (uncompressed — pure numpy); compressed formats need a codec library
@@ -194,6 +288,157 @@ def image_channel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(stats, IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_checksum", T.LongType()),
+    ]
+)
+
+
+def with_wav_payload(
+    df: DataFrame, n_samples: int = 256, sample_rate: int = 8000
+) -> DataFrame:
+    """Attach a REAL audio payload: a valid PCM-16 mono WAV per row with
+    the deterministic sample ramp ``((doc_id%97)·101 + 37·i) mod 4001 −
+    2000`` — closed-form recomputable by the oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = 37 * np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_wav_pcm16(
+                    (((int(d) % 97) * 101 + idx) % 4001 - 2000)
+                    .astype(np.int16)
+                    .reshape(-1, 1),
+                    sample_rate,
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas decode + featurize with the REAL WAV parser: frame
+    count, peak amplitude, total |amplitude|, and energy (sum of
+    squares) — all integer-exact, so the oracle can certify the decoder
+    bit-for-bit."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav_pcm16(bytes(payload))
+                s64 = s.astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        rate,
+                        s.shape[0],
+                        int(np.abs(s64).max()) if s64.size else 0,
+                        int(np.abs(s64).sum()),
+                        int((s64 * s64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "n_frames",
+                    "peak",
+                    "sum_abs",
+                    "energy",
+                ],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, AUDIO_STATS_SCHEMA)
+
+
+def with_video_payload(
+    df: DataFrame, n_frames: int = 4, width: int = 8, height: int = 4
+) -> DataFrame:
+    """Attach a REAL 'video' payload: ``n_frames`` complete P6 frames
+    back-to-back (the raw-concatenated uncompressed-stream layout),
+    frame f pixel i = ``(doc_id%199 + 7·f + 13·i) mod 256``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = width * height * 3
+        ramp = 13 * np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = b"".join(
+                    encode_ppm(
+                        ((int(d) % 199 + 7 * f + ramp) % 256)
+                        .astype(np.uint8)
+                        .reshape(height, width, 3)
+                    )
+                    for f in range(n_frames)
+                )
+                payloads.append(frames)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def video_frame_sample_stats(df: DataFrame, every: int = 2) -> DataFrame:
+    """mapInPandas frame-sampling over concatenated-P6 video: split the
+    payload into frames with the real parser, keep every ``every``-th
+    frame (the standard decimation step of a video featurizer), and pin
+    WHICH frames were kept via a frame-index-weighted brightness
+    checksum — Σ_{sampled f} (f+1)·Σ pixels(f)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = split_ppm_frames(bytes(payload))
+                sampled = list(range(0, len(frames), every))
+                checksum = sum(
+                    (f + 1) * int(frames[f].astype(np.int64).sum())
+                    for f in sampled
+                )
+                rows.append((int(d), len(frames), len(sampled), checksum))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "n_sampled", "sampled_checksum"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, VIDEO_STATS_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -98,3 +98,80 @@ def mm_ppm_decode_stats(spark, sf_dir):
     formats would slot into decode_image's dispatch unchanged."""
     d = with_ppm_payload(t(spark, sf_dir, "documents"), width=16, height=8)
     return image_channel_stats(d)
+
+
+@query(
+    "mm_wav_audio_features",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(0, 256),
+               i -> ((doc_id % 97) * 101 + 37 * i) % 4001 - 2000) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           CAST(256 AS BIGINT) AS n_frames,
+           CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(v, x -> abs(x))) AS BIGINT) AS sum_abs,
+           CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS energy
+    FROM s
+    """,
+    tags=("multimodal", "audio", "decode"),
+)
+def mm_wav_audio_features(spark, sf_dir):
+    """REAL audio decode end-to-end: every document gets a valid PCM-16
+    mono WAV (deterministic sample ramp keyed on doc_id) which the
+    pure-numpy RIFF parser decodes inside an Arrow-batched mapInPandas
+    pass — chunk walk, PCM/bit-depth validation, int16 samples — then
+    peak / total-|amplitude| / energy, all integer-exact. The oracle
+    recomputes every statistic from the sample formula in closed form,
+    so a green row certifies the WAV DECODER (endianness, header
+    offsets, sign handling), not just plumbing.
+
+    Scale shape: generate → decode → featurize is map-only Arrow
+    stages; no shuffle. Compressed audio raises in the parser with the
+    codec boundary documented."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        audio_features,
+        with_wav_payload,
+    )
+
+    d = with_wav_payload(t(spark, sf_dir, "documents"))
+    return audio_features(d)
+
+
+@query(
+    "mm_video_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_sampled,
+           CAST(list_sum(list_transform(range(0, 96),
+                  i -> (doc_id % 199 + 13 * i) % 256))
+                + 3 * list_sum(list_transform(range(0, 96),
+                  i -> (doc_id % 199 + 14 + 13 * i) % 256)) AS BIGINT)
+             AS sampled_checksum
+    FROM documents
+    """,
+    tags=("multimodal", "video", "decode"),
+)
+def mm_video_frame_sample(spark, sf_dir):
+    """REAL video frame-sampling end-to-end: each document carries a
+    4-frame 'video' of back-to-back P6 frames; the frame splitter walks
+    the payload with the real PPM parser, decimation keeps every 2nd
+    frame (f = 0, 2), and the frame-index-weighted brightness checksum
+    1·Σpx(f0) + 3·Σpx(f2) pins exactly WHICH frames were kept — an
+    off-by-one in the frame walk or the sampling stride changes the
+    value. Oracle recomputes from the pixel formula (frame 2's offset
+    7·2 = 14) in closed form.
+
+    Scale shape: map-only Arrow stages, no shuffle; real codecs slot
+    into the per-frame decode without touching the sampling logic."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        video_frame_sample_stats,
+        with_video_payload,
+    )
+
+    d = with_video_payload(t(spark, sf_dir, "documents"))
+    return video_frame_sample_stats(d, every=2)

@@ -52,3 +52,70 @@ def test_dispatch_by_magic():
         decode_image(b"GIF89a....")
     img = decode_image(encode_ppm(np.zeros((1, 1, 3), dtype=np.uint8)))
     assert img.shape == (1, 1, 3)
+
+
+def test_wav_round_trip_and_chunk_walk():
+    from minoan_athenaeum_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.RandomState(11)
+    s = rng.randint(-32768, 32768, size=(100, 2), dtype=np.int16)
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and out.shape == (100, 2) and (out == s).all()
+
+    # Parser must skip unknown chunks (LIST/INFO before data) and honor
+    # word alignment for odd-sized chunks.
+    payload = encode_wav_pcm16(s[:4], 8000)
+    riff_body = payload[12:]
+    fmt_chunk = riff_body[: 8 + 16]
+    data_chunk = riff_body[8 + 16 :]
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # padded
+    rebuilt = (
+        b"RIFF"
+        + (4 + len(fmt_chunk) + len(junk) + len(data_chunk)).to_bytes(4, "little")
+        + b"WAVE"
+        + fmt_chunk
+        + junk
+        + data_chunk
+    )
+    rate, out = decode_wav_pcm16(rebuilt)
+    assert rate == 8000 and (out == s[:4]).all()
+
+
+def test_wav_error_surface():
+    from minoan_athenaeum_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        decode_wav_pcm16(b"OggS....rest")
+    good = encode_wav_pcm16(np.zeros((4, 1), dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="truncated WAV chunk"):
+        decode_wav_pcm16(good[:-3])
+    # Non-PCM format tag -> explicit codec boundary.
+    mutated = bytearray(good)
+    mutated[20] = 85  # fmt audio_format -> MP3-ish
+    with pytest.raises(NotImplementedError, match="PCM-16"):
+        decode_wav_pcm16(bytes(mutated))
+
+
+def test_video_frame_split():
+    from minoan_athenaeum_spark.operators.multimodal import (
+        encode_ppm,
+        split_ppm_frames,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = [
+        rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8) for _ in range(5)
+    ]
+    payload = b"".join(encode_ppm(f) for f in frames)
+    out = split_ppm_frames(payload)
+    assert len(out) == 5
+    for a, b in zip(out, frames):
+        assert (a == b).all()
+    with pytest.raises(ValueError, match="frame boundary"):
+        split_ppm_frames(payload + b"XX")
