@@ -9,6 +9,9 @@ whenever a DuckDB oracle needs bit-exact agreement.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -149,16 +152,51 @@ def sign_lsh_band_keys(q: Column, bands: int = 12, bits: int = 8) -> Column:
     )
 
 
+def arrow_assigner(cent_rows: list):
+    """Vectorized nearest-centroid assignment as an Arrow-batched pandas
+    UDF: ``cell = assigner(q)``. BIT-IDENTICAL to the
+    :func:`nearest_cell` fold — dot products and squared norms are exact
+    int64 (numpy integer matmul), the cosine is the same
+    ``double(dot) / (sqrt(double(|q|²)) · sqrt(double(|c|²)))``
+    expression with the same operand order (IEEE ops are correctly
+    rounded, so equal inputs give equal bits), and ``np.argmax`` returns
+    the FIRST maximum, which with centroid columns sorted by cell id is
+    exactly the fold's smaller-cell tie-break. The difference is
+    throughput: the HOF fold is interpreted per element; this is C-level
+    matmul over Arrow batches — the fast path when the corpus is large
+    and the codebook is a collected model artifact.
+
+    ``cent_rows``: [(cell, [int, ...]), ...] — closure-captured (tiny),
+    the pandas-UDF analogue of a broadcast variable."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent_rows = sorted(cent_rows)
+    cells = np.array([c for c, _ in cent_rows], dtype=np.int64)
+    C = np.array([cq for _, cq in cent_rows], dtype=np.int64).T  # (dim, k)
+    cnorm = np.sqrt((C.astype(np.int64) ** 2).sum(axis=0).astype(np.float64))
+
+    @pandas_udf("bigint")
+    def assign(qs: pd.Series) -> pd.Series:
+        Q = np.stack(qs.to_numpy()).astype(np.int64)  # (B, dim)
+        dots = Q @ C  # exact int64
+        qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        csim = dots.astype(np.float64) / (qnorm[:, None] * cnorm[None, :])
+        return pd.Series(cells[np.argmax(csim, axis=1)])
+
+    return assign
+
+
 def kmeans_refine(v, init_cents, dim: int, iters: int = 1):
     """Lloyd-refine an IVF codebook with one small Spark job per round.
 
     ``v`` carries a quantized bigint array column ``q``; ``init_cents``
     is the seed codebook ``(cell, cq)``. Each round:
 
-    - inline the codebook as a LITERAL array of ``struct(cell, cq)`` and
-      assign every vector to its argmax-cosine cell via
-      :func:`nearest_cell` — MAP-ONLY, the corpus never shuffles and no
-      join node appears in the plan at all;
+    - assign every vector to its argmax-cosine cell via
+      :func:`arrow_assigner` (closure-captured codebook, C-level int64
+      matmul, bit-identical to the :func:`nearest_cell` fold) —
+      MAP-ONLY, the corpus never shuffles and no join node appears in
+      the plan at all;
     - ``groupBy(cell)`` with per-dimension SUM + COUNT aggregates —
       partials combine map-side, so the shuffle moves only
       ``n_cells × dim`` numbers regardless of corpus size;
@@ -187,18 +225,8 @@ def kmeans_refine(v, init_cents, dim: int, iters: int = 1):
     spark = v.sparkSession
     cent_rows = [(int(r["cell"]), [int(x) for x in r["cq"]]) for r in init_cents.collect()]
     for _ in range(iters):
-        cb = F.array(
-            *[
-                F.struct(
-                    F.lit(cell).cast("bigint").alias("cell"),
-                    F.array(*[F.lit(x).cast("bigint") for x in cq]).alias("cq"),
-                )
-                for cell, cq in cent_rows
-            ]
-        )
-        assigned = v.select(
-            F.col("q"), nearest_cell(F.col("q"), cb).getField("cell").alias("cell")
-        )
+        assign = arrow_assigner(cent_rows)
+        assigned = v.select(F.col("q"), assign(F.col("q")).alias("cell"))
         sums = assigned.groupBy("cell").agg(
             *[
                 F.sum(F.element_at(F.col("q"), i + 1)).alias(f"s{i}")

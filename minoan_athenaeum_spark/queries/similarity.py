@@ -334,9 +334,11 @@ def sim_ann_ivf_kmeans_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
     fraction-probed baseline (pinned in tests/test_dedup_similarity.py
     on a clustered synthetic set).
 
-    Scale shape: each Lloyd round is a broadcast-codebook map-only
-    assignment plus an n_cells×dim-number shuffle (map-side partial
-    sums); the corpus itself never shuffles, same as the final probe.
+    Scale shape: each Lloyd round and the final assignment are map-only
+    Arrow-vectorized passes (operators.similarity.arrow_assigner —
+    int64-matmul cosine, bit-identical to the JVM fold but C-speed) plus
+    an n_cells×dim-number shuffle for the per-cell sums; the corpus
+    itself never shuffles, same as the final probe.
 
     Oracle: the identical unrolled pipeline in DuckDB — integer sums,
     floor(s/c + 0.5) re-quantized means, and the (csim DESC, cell)
@@ -350,13 +352,11 @@ def sim_ann_ivf_kmeans_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
         .select(F.col("vec_id").alias("cell"), F.col("q").alias("cq"))
     )
     cents = kmeans_refine(v.select("q"), seed, dim=64, iters=2)
-    codebook = cents.agg(
-        F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
-    )
-    best = nearest_cell(F.col("q"), F.col("cb"))
-    assigned = v.crossJoin(F.broadcast(codebook)).select(
-        "vec_id", "q", best.getField("cell").alias("cell")
-    )
+    from minoan_athenaeum_spark.operators.similarity import arrow_assigner
+
+    cent_rows = [(int(r["cell"]), [int(x) for x in r["cq"]]) for r in cents.collect()]
+    assign = arrow_assigner(cent_rows)
+    assigned = v.select("vec_id", "q", assign(F.col("q")).alias("cell"))
     qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
     probe_cells = (
         cents.crossJoin(F.broadcast(qv))
