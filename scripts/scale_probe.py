@@ -49,7 +49,14 @@ AMPLIFIED = ["agg_tpch_q1", "agg_tpch_q6", "agg_tpch_q3_top10",
              "ts_asof_join", "evt_sessionize", "stream_tumbling_exec",
              # Theta join over full 153.6M x 9.6M via distinct-key
              # summarization; exact power-sum stats over lineitem.
-             "theta_count_by_key", "stat_variance_stddev"]
+             "theta_count_by_key", "stat_variance_stddev",
+             # r3 additions: full curation capstone, RANGE-frame window,
+             # exactly-once sink drain, Arrow-assigned kmeans IVF, and
+             # the real multimodal decoders (all map-only Arrow stages).
+             "pipeline_full_curation", "win_time_range_moving_sum",
+             "stream_idempotent_sink_exec", "sim_ann_ivf_kmeans_topk",
+             "mm_ppm_decode_stats", "mm_wav_audio_features",
+             "mm_video_frame_sample"]
 
 # Key columns to shift per replica so each copy is a distinct key range.
 SHIFT_KEYS = {
