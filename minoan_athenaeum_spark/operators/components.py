@@ -99,6 +99,94 @@ def connected_components(
         sym.unpersist()
 
 
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 40
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — O(log² n) rounds regardless of graph DIAMETER, the
+    scale path for graphs where min-label propagation's O(diameter)
+    rounds are unaffordable (long chains, adversarial topologies).
+    Returns (node, component) with component = min node id, identical
+    to :func:`connected_components`.
+
+    Each operation is a groupBy over node neighborhoods:
+
+    - large-star: every node u computes m = min(Γ(u) ∪ {u}) and
+      reconnects its LARGER neighbors to m — long tails collapse toward
+      small ids without breaking connectivity;
+    - small-star: orient every edge large→small, then each node
+      reconnects its not-larger neighbors (and itself) to m — stars
+      flatten onto their minimum.
+
+    Fixpoint: the edge set is a union of stars rooted at component
+    minima. Per round: two shuffles on node id (the min-aggregate and
+    the regroup), state O(|E|); every round strictly reduces the
+    potential, no diameter dependence."""
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    # Node universe (isolated-in-round nodes must keep a self label).
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = und.distinct().localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        # ---- large-star: (u, v>u) rewired to min(Γ(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # ---- small-star on the large-star output: orient big→small,
+        # rewire the not-larger neighborhood (and u) onto its min.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = oriented.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        small = (
+            oriented.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = small.localCheckpoint(eager=True)
+        changed = (
+            new_e.exceptAll(e).limit(1).count()
+            + e.exceptAll(new_e).limit(1).count()
+        )
+        e.unpersist()
+        e = new_e
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach a fixpoint in "
+            f"max_rounds={max_rounds} (theory bound is O(log² n) — "
+            f"this indicates a bug or an astronomically large graph)"
+        )
+    # Fixpoint edges are (node → component-min) stars; nodes that ended
+    # isolated (their whole component collapsed into them — i.e. they
+    # ARE the minimum) label themselves. NOTE: `nodes` and the final `e`
+    # stay checkpointed — the returned plan reads them, and a
+    # localCheckpoint's lineage is truncated, so unpersisting here would
+    # make the result uncomputable.
+    star = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
 def dedup_keepers(components: DataFrame) -> DataFrame:
     """Given (node, comp) cluster labels, pick the keeper (min node id)
     per duplicate group — one groupBy, the standard 'keep one copy'

@@ -323,9 +323,10 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     return out
 
 
-@query(
-    "dedup_components",
-    oracle=r"""
+# Shared by dedup_components (min-label propagation) and
+# dedup_components_star (large-star/small-star contraction): both must
+# produce the identical transitive closure.
+_COMPONENTS_ORACLE = r"""
     WITH RECURSIVE sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -349,7 +350,27 @@ def dedup_embedding_cosine_lsh(spark, sf_dir):
     )
     SELECT r.src AS doc_id, LEAST(r.src, MIN(r.dst)) AS component
     FROM reach r GROUP BY r.src
-    """,
+    """
+
+
+def _near_dup_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup PAIRS (the prefix-filtered scale path) —
+    shared edge-builder for both clustering variants."""
+    release_tracked()
+    d = persist_tracked(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", char_shingle_hashes(normalized(), 3).alias("sh"))
+    )
+    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5, bounded_item_universe=True)
+    shared = F.col("shared").cast("double")
+    j = shared / ((F.col("a_size") + F.col("b_size")).cast("double") - shared)
+    return counted.filter(j >= 0.5).select("a", "b")
+
+
+@query(
+    "dedup_components",
+    oracle=_COMPONENTS_ORACLE,
     tags=("dedup", "components"),
 )
 def dedup_components(spark, sf_dir):
@@ -362,17 +383,31 @@ def dedup_components(spark, sf_dir):
     the same transitive closure."""
     from minoan_athenaeum_spark.operators.components import connected_components
 
-    release_tracked()
-    d = persist_tracked(
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id", char_shingle_hashes(normalized(), 3).alias("sh"))
+    comps = connected_components(_near_dup_pairs(spark, sf_dir), src="a", dst="b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
-    counted = prefix_filtered_pairs(d, "doc_id", "sh", 0.5, bounded_item_universe=True)
-    shared = F.col("shared").cast("double")
-    j = shared / ((F.col("a_size") + F.col("b_size")).cast("double") - shared)
-    pairs = counted.filter(j >= 0.5).select("a", "b")
-    comps = connected_components(pairs, src="a", dst="b")
+
+
+@query(
+    "dedup_components_star",
+    oracle=_COMPONENTS_ORACLE,
+    tags=("dedup", "components", "star-contraction"),
+)
+def dedup_components_star(spark, sf_dir):
+    """Same duplicate-group clustering answered by the O(log²)-round
+    LARGE-STAR/SMALL-STAR contraction
+    (operators/components.py::connected_components_star) instead of
+    O(diameter) propagation — the variant a 100 TB pipeline runs when
+    duplicate chains can be arbitrarily long (propagation raises past
+    max_iter; contraction has no diameter dependence). Shares the exact
+    recursive-CTE oracle with dedup_components, so the driver gate
+    certifies both algorithms produce the identical closure."""
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components_star,
+    )
+
+    comps = connected_components_star(_near_dup_pairs(spark, sf_dir), src="a", dst="b")
     return comps.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )

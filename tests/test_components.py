@@ -54,3 +54,51 @@ def test_nonconvergence_raises_not_silent(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(30)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=3)
+
+
+def test_star_contraction_path_graph(spark):
+    # The exact case propagation cannot do in bounded rounds: a long
+    # path (diameter = n). Star contraction closes it in O(log^2 n).
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components_star,
+    )
+
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], ["src", "dst"])
+    got = _labels(connected_components_star(edges))
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_contraction_matches_propagation_on_random_graphs(spark):
+    import random
+
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        nodes = list(range(trial * 1000, trial * 1000 + 60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+        ] + [(n, n) for n in rng.sample(nodes, 5)]  # self-loops tolerated
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        assert _labels(connected_components_star(df)) == _labels(
+            connected_components(df)
+        )
+
+
+def test_star_contraction_two_components_and_duplicate_edges(spark):
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 9), (9, 5), (9, 14), (100, 101), (101, 100)], ["src", "dst"]
+    )
+    got = _labels(connected_components_star(edges))
+    assert got == {5: 5, 9: 5, 14: 5, 100: 100, 101: 100}
