@@ -248,3 +248,78 @@ def test_idempotent_sink_replay_and_restart(spark, sf_dir, tmp_path):
     # this one — step 2 is what it would fail).
     run_with_idempotent_sink(read_events_stream(spark, sf_dir), out, ckpt)
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_idempotent_sink_multi_batch(spark, sf_dir, tmp_path):
+    """Multi-batch exactly-once: split the source into several files,
+    drain with maxFilesPerTrigger=1 so MULTIPLE micro-batches hit the
+    sink, then replay the LAST batch (the one checkpoint recovery would
+    re-deliver) and assert the union is unchanged."""
+    import os
+
+    from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA, load_events
+    from minoan_athenaeum_spark.streaming.ops import (
+        idempotent_parquet_writer,
+    )
+    from pyspark.sql import functions as F
+
+    # Three source FILES (flat in one dir — the file-stream source
+    # globs one level, nested dirs read zero rows) -> three batches.
+    import glob
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    ).withColumn("__b", F.pmod(F.col("event_id"), F.lit(3)))
+    for b in range(3):
+        d = str(tmp_path / f"slice{b}")
+        raw.filter(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/slice{b}.parquet")
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        stream.writeStream.foreachBatch(idempotent_parquet_writer(out))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert len(batch_dirs) >= 2, f"expected multiple batches, got {batch_dirs}"
+    expected = {tuple(r) for r in load_events(spark, sf_dir).collect()}
+    cols = load_events(spark, sf_dir).columns
+    sunk = spark.read.parquet(out).select(*cols)
+    n0 = sunk.count()
+    assert {tuple(r) for r in sunk.collect()} == expected
+    assert n0 == len(expected)
+
+    # Replay the last delivered batch with its original batch_id — the
+    # overwrite must leave the union byte-identical, no duplicates.
+    # (Materialize the batch before handing it to the writer: a lazy
+    # self-read would race the overwrite of its own input files —
+    # Spark's real replay passes the re-computed source batch, not a
+    # read of the sink.)
+    last_id = max(int(d.split("=")[1]) for d in batch_dirs)
+    src_of_last = spark.read.parquet(f"{out}/batch_id={last_id}")
+    last_batch = spark.createDataFrame(
+        src_of_last.collect(), schema=src_of_last.schema
+    )
+    idempotent_parquet_writer(out)(last_batch, last_id)
+    again = spark.read.parquet(out).select(*cols)
+    assert again.count() == n0
+    assert {tuple(r) for r in again.collect()} == expected
