@@ -426,3 +426,71 @@ def misc_unpivot_melt(spark, sf_dir):
         F.col("o_custkey").cast("double").alias("cust"),
     )
     return wide.unpivot("okey", ["price", "cust"], "metric", "val")
+
+
+@query(
+    "misc_scd2_dimension",
+    oracle="""
+    WITH cur AS (
+      SELECT c_custkey AS ckey, c_mktsegment AS segment,
+             '1990-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey AS ckey, 'SEGMENT-NEW' AS segment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 5
+      UNION ALL
+      SELECT c_custkey + 9000000, 'FRESH' FROM customer WHERE c_custkey <= 3
+    ), changed AS (
+      SELECT c.ckey, c.segment AS old_seg, u.segment AS new_seg
+      FROM cur c JOIN upd u USING (ckey)
+      WHERE c.segment != u.segment
+    )
+    SELECT ckey, segment, valid_from, valid_to FROM cur
+    WHERE ckey NOT IN (SELECT ckey FROM changed)
+    UNION ALL
+    SELECT ckey, old_seg, '1990-01-01', '2000-01-01' FROM changed
+    UNION ALL
+    SELECT ckey, new_seg, '2000-01-01', NULL FROM changed
+    UNION ALL
+    SELECT u.ckey, u.segment, '2000-01-01', NULL
+    FROM upd u LEFT JOIN cur c USING (ckey) WHERE c.ckey IS NULL
+    """,
+    tags=("misc", "scd2", "merge"),
+)
+def misc_scd2_dimension(spark, sf_dir):
+    """SCD TYPE-2 dimension maintenance (operators/scd.py::scd2_apply):
+    one update batch against a customer-segment dimension exercises all
+    four paths — change (old version closed at the effective date, new
+    open version inserted), no-op update (same attributes, untouched),
+    no update (untouched), brand-new key (open version inserted). The
+    oracle recomputes the same four-way union in SQL.
+
+    Scale shape: the only join is current-slice ⋈ updates on the
+    business key (updates broadcast); history rows never move."""
+    from minoan_athenaeum_spark.operators.scd import scd2_apply
+
+    c = t(spark, sf_dir, "customer")
+    dim = c.select(
+        F.col("c_custkey").alias("ckey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 10 == 0)
+        .select(F.col("c_custkey").alias("ckey"), F.lit("SEGMENT-NEW").alias("segment"))
+        .unionByName(
+            c.filter(F.col("c_custkey") % 10 == 5).select(
+                F.col("c_custkey").alias("ckey"), F.col("c_mktsegment").alias("segment")
+            )
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") <= 3).select(
+                (F.col("c_custkey") + 9000000).alias("ckey"),
+                F.lit("FRESH").alias("segment"),
+            )
+        )
+    )
+    return scd2_apply(dim, upd, "ckey", ["segment"], "2000-01-01")
