@@ -97,19 +97,52 @@ def stream_session_exec(spark, sf_dir):
     return run_to_memory(stream, name, mode="complete")
 
 
-@query("stream_stateful_totals_exec", tags=("streaming", "stateful", "exec"))
+_STATEFUL_ORACLE = """
+    SELECT user_id,
+           COUNT(*) AS total_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@query(
+    "stream_stateful_totals_exec",
+    oracle=_STATEFUL_ORACLE,
+    tags=("streaming", "stateful", "exec"),
+)
 def stream_stateful_totals_exec(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState) EXECUTED AS A
     STREAM: per-user running totals held in GroupState, drained with
-    availableNow. No SQL oracle by design — update-mode emission with
-    engine-managed state is not expressible as a DuckDB query; the
-    driver records the rows-only check, and stream-vs-batch totals are
-    pinned in tests/test_streaming.py::test_stateful_running_totals."""
+    availableNow, then the FINAL per-user state is read back (the row
+    with the highest running event count — totals are strictly
+    increasing per emission, so that is the last state update). The
+    final state must equal the batch aggregate, which IS
+    SQL-expressible, so the driver's value-hash gate now covers the
+    stateful path end-to-end; per-microbatch update-mode emission stays
+    pinned in tests/test_streaming.py::test_stateful_running_totals.
+
+    Value totals are accumulated as exact integer CENTS: the stream
+    feeds the operator value·100 as integer-valued doubles (double
+    addition of integers < 2^53 is exact and order-independent), so the
+    cross-batch Python accumulation matches DuckDB's decimal sum
+    bit-for-bit regardless of batch boundaries."""
+    from pyspark.sql import functions as F
+
     from minoan_athenaeum_spark.streaming.stateful import user_running_totals
 
-    stream = user_running_totals(read_events_stream(spark, sf_dir))
+    cents = read_events_stream(spark, sf_dir).withColumn(
+        "value",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("long").cast("double"),
+    )
+    stream = user_running_totals(cents)
     name = f"q_stream_stateful_{next(_counter)}"
-    return run_to_memory(stream, name, mode="update")
+    updates = run_to_memory(stream, name, mode="update")
+    return updates.groupBy("user_id").agg(
+        F.max("total_events").alias("total_events"),
+        F.max_by("total_value", "total_events").cast("bigint").alias("total_cents"),
+    )
 
 
 _IDEMPOTENT_SINK_ORACLE = """

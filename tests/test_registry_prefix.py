@@ -59,11 +59,11 @@ def test_every_family_has_a_window_representative():
         assert tag in SPECS[name].tags, f"{name} no longer tagged {tag!r}"
 
 
-def test_window_is_almost_fully_oracle_gated():
-    # Only the two legitimately non-SQL-expressible rows may be
-    # rows-only inside the window: HLL sketch (approximate by design)
-    # and applyInPandasWithState (update-mode state).
+def test_window_is_fully_oracle_gated():
+    # Round 4 closed the last two rows-only entries (HLL via
+    # within-bound verdicts; stateful streaming via final-state
+    # read-back), so EVERY window row must now carry a DuckDB oracle.
     no_oracle = [n for n in CURATED_PREFIX if not SPECS[n].oracle]
-    assert set(no_oracle) <= {"sketch_hll_distinct", "stream_stateful_totals_exec"}, (
-        f"unexpected rows-only queries in the driver window: {no_oracle}"
+    assert not no_oracle, (
+        f"rows-only queries in the driver window: {no_oracle}"
     )
