@@ -76,10 +76,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # this table for this sf_dir, serve the managed bucketed table —
     # same rows and schema, but hash-bucketed + sorted on orderkey, so
     # every orderkey join/aggregate downstream skips its Exchange.
-    bucketed = _use_bucketed_facts()
-    df = per_session.get((sf_dir, name, bucketed))
-    if df is None:
-        if bucketed and name in ("lineitem", "orders"):
+    if _use_bucketed_facts() and name in ("lineitem", "orders"):
+        df = per_session.get((sf_dir, name, True))
+        if df is None:
             from minoan_athenaeum_spark.sources.bucketed import (
                 bucketed_fact_table_name,
             )
@@ -87,12 +86,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             table = bucketed_fact_table_name(sf_dir, name)
             if spark.catalog.tableExists(table):
                 df = spark.table(table)
-        if df is None:
-            if name == "events":
-                df = load_events(spark, sf_dir)
-            else:
-                df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        per_session[(sf_dir, name, bucketed)] = df
+                per_session[(sf_dir, name, True)] = df
+        if df is not None:
+            return df
+        # Not materialized yet: fall through to the raw parquet WITHOUT
+        # caching it under the bucketed key — a later
+        # ensure_bucketed_facts in this session must take effect on the
+        # next load_table call, not be shadowed by this fallback.
+    df = per_session.get((sf_dir, name, False))
+    if df is None:
+        if name == "events":
+            df = load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per_session[(sf_dir, name, False)] = df
     return df
 
 

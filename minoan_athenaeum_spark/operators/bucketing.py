@@ -28,9 +28,24 @@ def clear_stale_table_location(spark: SparkSession, table: str) -> None:
     happens to sit at the derived path."""
     import os
     import shutil
+    from urllib.parse import urlparse
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir") or ""
-    if warehouse.startswith("file:"):
+    scheme = urlparse(warehouse).scheme
+    # Scheme-less paths are local too; anything else (hdfs:, s3a:, ...)
+    # can't be checked from the driver's filesystem — say so loudly
+    # rather than silently skipping, because a leftover location there
+    # would make the subsequent managed CREATE fail.
+    if scheme not in ("", "file"):
+        import warnings
+
+        warnings.warn(
+            f"cannot probe stale location for table {table!r}: warehouse "
+            f"scheme {scheme!r} is not a local filesystem",
+            stacklevel=2,
+        )
+        return
+    if warehouse:
         root = os.path.abspath(warehouse.removeprefix("file:"))
         loc = os.path.abspath(os.path.join(root, table.lower()))
         inside = loc != root and os.path.commonpath([root, loc]) == root

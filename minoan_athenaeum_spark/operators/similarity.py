@@ -39,8 +39,12 @@ def norm_int(a: Column) -> Column:
 
 
 def cosine_q(a: Column, b: Column) -> Column:
-    """Cosine over quantized int vectors — bit-identical across engines."""
-    return dot_int(a, b).cast("double") / (norm_int(a) * norm_int(b))
+    """Cosine over quantized int vectors — bit-identical across engines.
+    A zero-norm operand yields NULL (try_divide), not an ANSI
+    DIVIDE_BY_ZERO error: downstream argmax folds then skip the entry
+    (NULL comparisons never take the when-branch), so degenerate vectors
+    keep the fold's -1 seed instead of crashing the job."""
+    return F.try_divide(dot_int(a, b).cast("double"), norm_int(a) * norm_int(b))
 
 
 def sign_lsh_key(q: Column, n_bits: int = 8, portable: bool = True) -> Column:
@@ -180,8 +184,18 @@ def arrow_assigner(cent_rows: list):
         Q = np.stack(qs.to_numpy()).astype(np.int64)  # (B, dim)
         dots = Q @ C  # exact int64
         qnorm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
-        csim = dots.astype(np.float64) / (qnorm[:, None] * cnorm[None, :])
-        return pd.Series(cells[np.argmax(csim, axis=1)])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            csim = dots.astype(np.float64) / (qnorm[:, None] * cnorm[None, :])
+        # Zero-norm vectors or centroids yield NaN cosines; the
+        # nearest_cell fold never takes a NaN branch (NaN comparisons
+        # are false), so mask NaN to -inf for the argmax and keep the
+        # fold's -1 seed when no finite cosine beats it — bit-identical
+        # on degenerate input instead of argmax-picks-first-NaN.
+        nan_mask = np.isnan(csim)
+        csim[nan_mask] = -np.inf
+        out = cells[np.argmax(csim, axis=1)]
+        out = np.where(np.max(csim, axis=1) == -np.inf, np.int64(-1), out)
+        return pd.Series(out)
 
     return assign
 

@@ -57,6 +57,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (tests/test_oracle_parity.py runs all registered oracles), just not
 # by the driver's sf0.01 gate. Keep this list at exactly 50; swap an
 # entry only for a like-for-like family representative.
+#
+# Rotation policy (round 5+): when a round ADDS an oracle-gated query
+# that supersedes or extends an in-window family member, swap it in for
+# that member the next round so every new operator gets at least one
+# external driver verification. Round 5 rotated in the round-3/4
+# additions: components_star (for components), ivf_kmeans (for seeded
+# ivf), real PPM decode (for the fake decoder), the RANGE-interval
+# window frame (for row_number top-k), and SCD2 (for pivot). The
+# rotated-out members remain oracle-verified by local pytest and were
+# driver-green in rounds 3-4.
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -76,13 +86,13 @@ CURATED_PREFIX = [
     "agg_tpch_q3_top10",
     "tpch_q18_large_orders",
     "setop_intersect",
-    "win_row_number_topk_per_group",
+    "win_time_range_moving_sum",
     "stat_variance_stddev",
     # scalar functions + both Python-UDF paths
     "fn_string_basics",
     "fn_array_ops",
     "fn_pandas_udf_vectorized",
-    "misc_pivot_api",
+    "misc_scd2_dimension",
     "evt_sessionize",
     "sketch_hll_distinct",
     "merge_upsert_orders",
@@ -94,17 +104,17 @@ CURATED_PREFIX = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine_lsh",
-    "dedup_components",
+    "dedup_components_star",
     "sim_knn_cosine_brute",
     "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
+    "sim_ann_ivf_kmeans_topk",
     "sim_semdedup",
     "text_token_count",
     "text_quality_score",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "ts_resample_gapfill",
-    "mm_fake_decode_features",
+    "mm_ppm_decode_stats",
     "stream_session_exec",
     "stream_stateful_totals_exec",
     "stream_stream_join_exec",

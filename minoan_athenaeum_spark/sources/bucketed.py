@@ -65,9 +65,35 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Deterministic fingerprint of the parquet source: every data
+    file's relative path, size, and mtime. Folding this into the managed
+    table's name means a regenerated/changed source parquet no longer
+    resolves to the previously materialized table — the stale copy is
+    simply never served (and ensure_bucketed_facts builds a fresh one
+    under the new tag)."""
+    import os
+
+    h = hashlib.md5()
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                rel = os.path.relpath(fp, path)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.exists(path):
+        st = os.stat(path)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:8]
+
+
 def bucketed_fact_table_name(sf_dir: str, name: str) -> str:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"mas_bfact_{name}_{tag}"
+    fresh = _source_fingerprint(f"{sf_dir}/{name}.parquet")
+    return f"mas_bfact_{name}_{tag}_{fresh}"
 
 
 def ensure_bucketed_facts(

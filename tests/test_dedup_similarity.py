@@ -242,3 +242,44 @@ def test_ivf_kmeans_refinement_beats_seeded_on_clustered_data(spark):
     # unclustered recall ~= fraction-probed (~0.24) baseline.
     assert refined_frac < 0.30
     assert refined_frac < seeded_frac - 0.15
+
+
+def test_arrow_assigner_matches_fold_on_degenerate_vectors(spark):
+    """The vectorized Arrow assigner must agree with the nearest_cell
+    fold on EVERY input, including degenerate ones: a zero-norm query
+    vector (all-NaN cosines) keeps the fold's -1 seed, and a zero-norm
+    centroid column must never win the argmax. Pre-fix, np.argmax over
+    NaN picked the first (NaN) index, breaking the documented
+    bit-identical equivalence."""
+    from minoan_athenaeum_spark.operators.similarity import (
+        arrow_assigner,
+        nearest_cell,
+    )
+
+    cents = [(0, [0, 0, 0, 0]), (3, [1, 2, 3, 4]), (7, [-4, 3, -2, 1])]
+    rows = [
+        (1, [0, 0, 0, 0]),  # zero-norm query -> cell -1 in the fold
+        (2, [1, 2, 3, 4]),
+        (3, [4, -3, 2, -1]),
+        (4, [-1, -2, -3, -4]),
+    ]
+    v = spark.createDataFrame(rows, "vec_id bigint, q array<bigint>")
+    cb = spark.createDataFrame(
+        [(c, cq) for c, cq in cents], "cell bigint, cq array<bigint>"
+    ).agg(F.collect_list(F.struct("cell", "cq")).alias("cb"))
+    fold = {
+        r.vec_id: r.cell
+        for r in v.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id", nearest_cell(F.col("q"), F.col("cb")).getField("cell").alias("cell")
+        )
+        .collect()
+    }
+    assign = arrow_assigner(cents)
+    arrow = {
+        r.vec_id: r.cell
+        for r in v.select("vec_id", assign(F.col("q")).alias("cell")).collect()
+    }
+    assert fold == arrow
+    assert fold[1] == -1  # zero-norm query keeps the seed
+    assert fold[2] == 3  # and real vectors still assign normally

@@ -20,11 +20,11 @@ FAMILY_REPRESENTATIVES = {
     "agg_tpch_q1": "agg",
     "tpch_q18_large_orders": "tpch",
     "setop_intersect": "setop",
-    "win_row_number_topk_per_group": "window",
+    "win_time_range_moving_sum": "window",
     "stat_variance_stddev": "stats",
     "fn_string_basics": "functions",
     "fn_pandas_udf_vectorized": "pandas-udf",
-    "misc_pivot_api": "pivot",
+    "misc_scd2_dimension": "scd2",
     "evt_sessionize": "events",
     "sketch_hll_distinct": "sketch",
     "merge_upsert_orders": "merge",
@@ -34,7 +34,7 @@ FAMILY_REPRESENTATIVES = {
     "sim_knn_cosine_brute": "similarity",
     "text_token_count": "text",
     "ts_asof_join": "timeseries",
-    "mm_fake_decode_features": "multimodal",
+    "mm_ppm_decode_stats": "multimodal",
     "stream_session_exec": "streaming",
     "rollup_daily_by_type": "rollup",
     "bucketed_colocated_join": "bucketing",
