@@ -134,6 +134,22 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     e = und.distinct().localCheckpoint(eager=True)
+
+    # Convergence signature: (edge count, order-independent xor of
+    # per-edge hashes). Comparing the new round's signature with the
+    # carried previous one costs ONE aggregate job per round, replacing
+    # the two exceptAll probes (each a full anti-join) that used to run
+    # here. Both sides are distinct() sets, so multiset-vs-set xor
+    # pitfalls don't apply; a false fixpoint needs a 64-bit xor
+    # collision AND an identical count — negligible next to node-id
+    # hash collisions we already tolerate elsewhere.
+    def _signature(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+        ).first()
+
+    sig = _signature(e)
     for _ in range(max_rounds):
         # ---- large-star: (u, v>u) rewired to min(Γ(u) ∪ {u})
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -161,14 +177,12 @@ def connected_components_star(
             .distinct()
         )
         new_e = small.localCheckpoint(eager=True)
-        changed = (
-            new_e.exceptAll(e).limit(1).count()
-            + e.exceptAll(new_e).limit(1).count()
-        )
+        new_sig = _signature(new_e)
         e.unpersist()
         e = new_e
-        if changed == 0:
+        if new_sig == sig:
             break
+        sig = new_sig
     else:
         raise RuntimeError(
             f"connected_components_star did not reach a fixpoint in "

@@ -69,6 +69,34 @@ def test_star_contraction_path_graph(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_star_contraction_convergence_probe_job_budget(spark):
+    # The fixpoint check is ONE aggregate (count + bit_xor signature)
+    # per round, carried across rounds — not the two exceptAll
+    # anti-joins it used to be. On this exact input the old probe cost
+    # 134 Spark jobs total and the signature version costs 100 (each
+    # exceptAll expanded to ~3 AQE jobs per round); pin a ceiling
+    # between the two so a reintroduced per-round anti-join (or any
+    # second probe action) fails loudly.
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+    edges = spark.createDataFrame([(i, i + 1) for i in range(200)], ["src", "dst"])
+    sc.setJobGroup("cc-star-budget", "convergence probe job budget")
+    try:
+        got = _labels(connected_components_star(edges))
+    finally:
+        sc.setJobGroup(None, None)
+    assert got == {i: 0 for i in range(201)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-star-budget")
+    assert len(jobs) <= 115, (
+        f"star contraction ran {len(jobs)} jobs on the 200-node path; "
+        "the single-signature convergence probe budget is 115 "
+        "(exceptAll-based probing measured 134)"
+    )
+
+
 def test_star_contraction_matches_propagation_on_random_graphs(spark):
     import random
 

@@ -231,6 +231,41 @@ def test_adventureworks_salesreason_join_matches_duckdb(spark):
     assert got == expected and len(got) > 500  # 722 distinct Marketing rows
 
 
+def test_adventureworks_group_by_matches_duckdb(spark):
+    """G1 exercised on the reference's own data (VERDICT r3 #8): COUNT
+    of sales orders per sales reason — the 27,647-row bridge table
+    joined to its dim and grouped via the dialect's GROUP BY/COUNT
+    path, matched against DuckDB aggregating the very same JSON."""
+    sql = (
+        "SELECT r.name, COUNT() AS orders "
+        "FROM salesOrderHeaderSalesReason AS o, salesReason AS r "
+        "WHERE o.sales_reason_id = r.sales_reason_id "
+        "GROUP BY r.name"
+    )
+    q = parse(sql)
+    check_duplicate_aliases(q)
+    tables = {}
+    for tref in q.tables:
+        df, _ = load_table_json(
+            spark, resolve_table_path(f"{REF}/tables", tref.name), tref.name
+        )
+        tables[tref.effective_name] = df
+    got = {tuple(r) for r in Executor(tables).plan(q).collect()}
+
+    con = _adventureworks_duckdb(["salesOrderHeaderSalesReason", "salesReason"])
+    expected = {
+        tuple(r)
+        for r in con.execute(
+            "SELECT r.name, COUNT(*) AS orders "
+            "FROM salesOrderHeaderSalesReason o, salesReason r "
+            "WHERE o.sales_reason_id = r.sales_reason_id "
+            "GROUP BY r.name"
+        ).fetchall()
+    }
+    assert got == expected
+    assert sum(n for _, n in got) == 27647  # every bridge row grouped once
+
+
 def test_dialect_group_by_count_sum(spark):
     """G1 completed at the dialect level: the COUNT/SUM/GROUP BY grammar
     the reference reserved but never shipped
