@@ -177,15 +177,22 @@ def _ppm_pixel_offset(payload: bytes, start: int) -> int:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload by container magic. PPM decodes for real
-    (uncompressed — pure numpy); compressed formats need a codec library
-    this container does not ship."""
+    """Decode an image payload by container magic. PPM (pure-numpy
+    parser) and baseline JPEG (pure-numpy T.81 sequential decoder,
+    operators/jpeg.py) decode for real; PNG would need zlib-inflate +
+    filter reconstruction and remains the one documented codec
+    boundary."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
-    if payload[:3] == b"\xff\xd8\xff" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:3] == b"\xff\xd8\xff":
+        from minoan_athenaeum_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError(
-            "JPEG/PNG decode requires PIL/libjpeg/libpng, not available in "
-            "this container; PPM (P6) payloads decode natively"
+            "PNG decode requires zlib-inflate + per-scanline filter "
+            "reconstruction (libpng/PIL), not available in this container; "
+            "PPM and baseline JPEG decode natively"
         )
     raise ValueError(f"unrecognized image container: magic {payload[:8]!r}")
 
@@ -439,6 +446,92 @@ def video_frame_sample_stats(df: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(stats, VIDEO_STATS_SCHEMA)
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_lum", T.DoubleType()),
+        T.StructField("down2_checksum", T.LongType()),
+    ]
+)
+
+
+def with_jpeg_payload(df: DataFrame, width: int = 24, height: int = 16) -> DataFrame:
+    """Attach a REAL baseline-JPEG payload: each row gets a grayscale
+    image whose 8×8 blocks are constant — block b (row-major) has value
+    ``(doc_id % 251 + 29·b) % 256`` — run through the real encoder
+    (FDCT → quantize → huffman → JFIF markers). With the default DC
+    quant step of 8, block-constant planes survive the lossy pipeline
+    BIT-EXACTLY (operators/jpeg.py docstring), so the decode oracle is
+    closed-form despite the stream being genuinely entropy-coded."""
+    from minoan_athenaeum_spark.operators.jpeg import encode_jpeg_gray
+
+    assert width % 8 == 0 and height % 8 == 0
+    bx, by = width // 8, height // 8
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                blocks = (int(d) % 251 + 29 * np.arange(bx * by)) % 256
+                img = np.repeat(
+                    np.repeat(blocks.reshape(by, bx), 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def jpeg_gray_stats(df: DataFrame) -> DataFrame:
+    """mapInPandas decode + featurize for grayscale JPEG payloads via
+    the magic-dispatching :func:`decode_image` (so the JPEG arm of the
+    dispatch is what's being certified): dimensions, mean luminance,
+    and the same position-weighted 2×2-average-pool checksum the PPM
+    path pins — Σ (block_index+1)·block_sum."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload)).astype(np.int64)
+                if img.ndim != 2:
+                    raise ValueError("expected a 1-component (gray) JPEG")
+                h, w = img.shape
+                h2, w2 = h - h % 2, w - w % 2
+                blocks = (
+                    img[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum(axis=(1, 3))
+                )
+                weights = np.arange(1, blocks.size + 1, dtype=np.int64).reshape(
+                    blocks.shape
+                )
+                rows.append(
+                    (
+                        int(d),
+                        w,
+                        h,
+                        img.sum() / float(h * w),
+                        int((weights * blocks).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_lum",
+                         "down2_checksum"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(stats, JPEG_STATS_SCHEMA)
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

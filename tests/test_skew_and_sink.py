@@ -53,6 +53,67 @@ def test_salted_join_matches_plain(spark, sf_dir):
     assert len(got) == len(plain)
 
 
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join split demonstrated on a deliberately skewed join
+    (VERDICT r3 #4) — the runtime complement to the salting operator:
+    90% of fact rows share one key, broadcast is disabled, and with the
+    skew thresholds scaled to test size the executed plan must show the
+    hot partition split (`AQEShuffleRead ... skewed`). The salted path
+    covers broadcast-infeasible cases AQE can't re-plan (aggregation
+    skew, stream-side state); for plain batch joins THIS is the
+    zero-code path a 100 TB job rides.
+
+    forceOptimizeSkewedJoin is needed because the downstream aggregate
+    adds a shuffle after the join, which otherwise vetoes the split
+    (OptimizeSkewedJoin refuses to introduce extra exchanges). The
+    payload must flow THROUGH the shuffle (the aggregate reads it) —
+    a key-only shuffle of a constant hot key compresses below any
+    realistic skew threshold, which is itself a scale lesson: skew is
+    measured in bytes, not rows."""
+    saved = {}
+    skew_conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1MB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    for k, v in skew_conf.items():
+        saved[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    try:
+        n = 2_000_000
+        fact = spark.range(n).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.pmod(F.xxhash64("id"), F.lit(1000)))
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.sha2(F.col("id").cast("string"), 224).alias("dimval"),
+        )
+        q = (
+            fact.join(dim, "k")
+            .groupBy()
+            .agg(F.sum(F.length("payload") + F.length("dimval")).alias("s"))
+        )
+        # 64-char sha256 hex + 56-char sha224 hex per surviving row
+        assert q.collect()[0].s == n * (64 + 56)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        reads = [ln for ln in plan.splitlines() if "AQEShuffleRead" in ln]
+        assert any("skewed" in ln for ln in reads), plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").withColumn(
         "o_year", F.year("o_orderdate")
