@@ -5,11 +5,15 @@ catalog (``/root/reference/database.py:905-996``); ours is a directory of
 parquet files registered as temp views. Loading is lazy (Spark scans) —
 no eager materialization, so the same code handles 100 TB directories.
 
-Special case: ``events.parquet`` stores its ``ts`` column as parquet
-TIMESTAMP(NANOS), which Spark's parquet reader rejects
-(PARQUET_TYPE_ILLEGAL). We read the physical INT64 with an explicit
-schema and convert ns → a microsecond TIMESTAMP column (session tz is
-UTC, so values agree with DuckDB's naive TIMESTAMP_NS truncated to µs).
+Special case: ``events.parquet``'s ``ts`` column. Some driver rounds
+generate it as parquet TIMESTAMP(NANOS), which Spark's parquet reader
+rejects (PARQUET_TYPE_ILLEGAL); others as TIMESTAMP(MICROS), which
+Spark reads natively. The unit is detected from the parquet footer per
+sf_dir (NOT assumed — round 4's testdata silently switched ns → µs and
+the hardcoded ns workaround divided every microsecond timestamp by
+1000). For ns we read the physical INT64 with an explicit schema and
+convert ns → a microsecond TIMESTAMP column (session tz is UTC, so
+values agree with DuckDB's naive TIMESTAMP_NS truncated to µs).
 """
 
 from __future__ import annotations
@@ -46,10 +50,64 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+# Native read schema for events when ts is already a µs/ms timestamp
+# (file streams require an explicit schema, so both variants are here).
+EVENTS_NATIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def events_ts_unit(sf_dir: str) -> str:
+    """Timestamp unit of ``events.parquet``'s ``ts`` column ('ns', 'us',
+    'ms', 's'), read from the parquet footer of one part file. 'ns'
+    needs the raw-INT64 workaround; everything else reads natively.
+    Cached per sf_dir — the footer read is a driver-side one-off."""
+    unit = _EVENTS_TS_UNIT_CACHE.get(sf_dir)
+    if unit is None:
+        import glob
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "events.parquet")
+        if os.path.isdir(path):
+            parts = sorted(
+                glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            )
+            if not parts:
+                raise FileNotFoundError(f"no parquet part files under {path}")
+            path = parts[0]
+        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        if not pa.types.is_timestamp(field.type):
+            raise TypeError(
+                f"events.ts is {field.type}, expected a parquet timestamp"
+            )
+        unit = field.type.unit
+        _EVENTS_TS_UNIT_CACHE[sf_dir] = unit
+    return unit
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    # Integer division — float division loses µs precision on 19-digit ns.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if events_ts_unit(sf_dir) == "ns":
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
+            f"{sf_dir}/events.parquet"
+        )
+        # Integer division — float division loses µs precision on
+        # 19-digit ns.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.schema(EVENTS_NATIVE_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
+    )
 
 
 # Per-session handle cache: re-creating a DataFrame re-reads parquet

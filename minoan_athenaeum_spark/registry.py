@@ -64,9 +64,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # external driver verification. Round 5 rotated in the round-3/4
 # additions: components_star (for components), ivf_kmeans (for seeded
 # ivf), real PPM decode (for the fake decoder), the RANGE-interval
-# window frame (for row_number top-k), and SCD2 (for pivot). The
-# rotated-out members remain oracle-verified by local pytest and were
-# driver-green in rounds 3-4.
+# window frame (for row_number top-k), and SCD2 (for pivot); later the
+# same round, the new baseline-JPEG decode replaced the PPM row (same
+# image-decode family, strictly harder codec path — PPM was
+# driver-green in r3/r4 and stays pytest-oracled). The rotated-out
+# members remain oracle-verified by local pytest.
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -114,7 +116,7 @@ CURATED_PREFIX = [
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "ts_resample_gapfill",
-    "mm_ppm_decode_stats",
+    "mm_jpeg_decode_stats",
     "stream_session_exec",
     "stream_stateful_totals_exec",
     "stream_stream_join_exec",

@@ -19,7 +19,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+from minoan_athenaeum_spark.catalog import (
+    EVENTS_NATIVE_SCHEMA,
+    EVENTS_RAW_SCHEMA,
+    events_ts_unit,
+)
 
 
 def _events_stream_dir(sf_dir: str) -> str:
@@ -50,13 +54,19 @@ def _events_stream_dir(sf_dir: str) -> str:
 def read_events_stream(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """events.parquet as a file-source stream (ns→µs conversion as in
-    the batch catalog)."""
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    """events.parquet as a file-source stream, with the same
+    footer-detected ts-unit handling as the batch catalog (ns needs the
+    raw-INT64 → µs conversion; µs/ms read natively)."""
+    is_ns = events_ts_unit(sf_dir) == "ns"
+    reader = spark.readStream.schema(
+        EVENTS_RAW_SCHEMA if is_ns else EVENTS_NATIVE_SCHEMA
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.format("parquet").load(_events_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if is_ns:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(

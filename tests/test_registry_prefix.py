@@ -34,7 +34,7 @@ FAMILY_REPRESENTATIVES = {
     "sim_knn_cosine_brute": "similarity",
     "text_token_count": "text",
     "ts_asof_join": "timeseries",
-    "mm_ppm_decode_stats": "multimodal",
+    "mm_jpeg_decode_stats": "multimodal",
     "stream_session_exec": "streaming",
     "rollup_daily_by_type": "rollup",
     "bucketed_colocated_join": "bucketing",

@@ -96,21 +96,18 @@ def test_stateful_accumulates_across_microbatches(spark, sf_dir, tmp_path):
     microbatches, so GroupState must carry totals across batches."""
     import math
 
-    from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
+    from minoan_athenaeum_spark.catalog import EVENTS_NATIVE_SCHEMA
     from minoan_athenaeum_spark.streaming.stateful import user_running_totals
 
     batch = load_events(spark, sf_dir)
     src = str(tmp_path / "events_split")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    raw.repartition(4).write.mode("overwrite").parquet(src)
+    # load_events normalizes the ts unit, so the split copy is native µs
+    batch.repartition(4).write.mode("overwrite").parquet(src)
 
-    stream_raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    stream = (
+        spark.readStream.schema(EVENTS_NATIVE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-    )
-    stream = stream_raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
     got = run_to_memory(user_running_totals(stream), "t_multibatch", mode="update")
     rows = got.collect()
@@ -257,7 +254,7 @@ def test_idempotent_sink_multi_batch(spark, sf_dir, tmp_path):
     re-deliver) and assert the union is unchanged."""
     import os
 
-    from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA, load_events
+    from minoan_athenaeum_spark.catalog import EVENTS_NATIVE_SCHEMA, load_events
     from minoan_athenaeum_spark.streaming.ops import (
         idempotent_parquet_writer,
     )
@@ -265,14 +262,16 @@ def test_idempotent_sink_multi_batch(spark, sf_dir, tmp_path):
 
     # Three source FILES (flat in one dir — the file-stream source
     # globs one level, nested dirs read zero rows) -> three batches.
+    # Sliced from load_events, which already normalizes the ts unit —
+    # the re-written slices are native µs timestamps.
     import glob
     import shutil
 
     src = str(tmp_path / "src")
     os.makedirs(src)
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parquet"
-    ).withColumn("__b", F.pmod(F.col("event_id"), F.lit(3)))
+    raw = load_events(spark, sf_dir).withColumn(
+        "__b", F.pmod(F.col("event_id"), F.lit(3))
+    )
     for b in range(3):
         d = str(tmp_path / f"slice{b}")
         raw.filter(F.col("__b") == b).drop("__b").coalesce(1).write.mode(
@@ -283,10 +282,9 @@ def test_idempotent_sink_multi_batch(spark, sf_dir, tmp_path):
 
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_NATIVE_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     q = (
         stream.writeStream.foreachBatch(idempotent_parquet_writer(out))
