@@ -177,11 +177,13 @@ def _ppm_pixel_offset(payload: bytes, start: int) -> int:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload by container magic. PPM (pure-numpy
-    parser) and baseline JPEG (pure-numpy T.81 sequential decoder,
-    operators/jpeg.py) decode for real; PNG would need zlib-inflate +
-    filter reconstruction and remains the one documented codec
-    boundary."""
+    """Decode an image payload by container magic — ALL three container
+    formats decode for real with no codec library: PPM (pure-numpy
+    parser), baseline JPEG (pure-numpy T.81 sequential decoder,
+    operators/jpeg.py), and PNG (stdlib-zlib inflate + vectorized
+    scanline-filter reconstruction, operators/png.py). Within each
+    codec, exotic variants still raise NotImplementedError (progressive
+    JPEG, palette/16-bit/interlaced PNG)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:3] == b"\xff\xd8\xff":
@@ -189,11 +191,9 @@ def decode_image(payload: bytes) -> np.ndarray:
 
         return decode_jpeg(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            "PNG decode requires zlib-inflate + per-scanline filter "
-            "reconstruction (libpng/PIL), not available in this container; "
-            "PPM and baseline JPEG decode natively"
-        )
+        from minoan_athenaeum_spark.operators.png import decode_png
+
+        return decode_png(payload)
     raise ValueError(f"unrecognized image container: magic {payload[:8]!r}")
 
 
@@ -446,6 +446,40 @@ def video_frame_sample_stats(df: DataFrame, every: int = 2) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(stats, VIDEO_STATS_SCHEMA)
+
+
+def with_png_payload(df: DataFrame, width: int = 12, height: int = 10) -> DataFrame:
+    """Attach a REAL PNG payload: a standards-conforming RGB PNG per
+    row (IHDR/IDAT/IEND, zlib-compressed scanlines) whose pixel bytes
+    are the deterministic ramp ``(doc_id % 241 + 17·i) mod 256`` over
+    flat index i. PNG is lossless, so the decode oracle is the same
+    closed-form pixel formula — but the bytes on the wire go through a
+    genuine DEFLATE stream."""
+    from minoan_athenaeum_spark.operators.png import encode_png
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = width * height * 3
+        ramp = 17 * np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    ((int(d) % 241 + ramp) % 256)
+                    .astype(np.uint8)
+                    .reshape(height, width, 3)
+                )
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
 
 
 JPEG_STATS_SCHEMA = T.StructType(

@@ -1,0 +1,154 @@
+"""PNG codec in pure numpy + stdlib zlib — closes the last image-codec
+boundary (operators/multimodal.py used to raise for PNG because "no
+codec libs"; the DEFLATE half lives in Python's stdlib, and the rest of
+PNG is chunk walking + per-scanline filter reconstruction, which is
+exactly the kind of byte plumbing this engine already does for
+PPM/WAV/JPEG).
+
+Decoder scope: 8-bit greyscale (color type 0), truecolor RGB (2),
+RGBA (6), and greyscale+alpha (4); non-interlaced. Palette (3),
+sub-8-bit depths, 16-bit samples, and Adam7 interlace raise
+NotImplementedError with a clear message. All five standard scanline
+filters (None/Sub/Up/Average/Paeth) are implemented.
+
+Encoder scope: the same color types, filter 0 (None) per scanline —
+enough to produce REAL standards-conforming PNG streams for the
+pipeline and its oracles (any conforming decoder reads them; ours
+round-trips bit-exactly because PNG is lossless).
+
+Unlike JPEG there is no lossy math anywhere, so the oracle recipe is
+simpler: ANY deterministic synthetic image round-trips exactly, and
+closed-form pixel formulas certify the decoder in DuckDB SQL
+(queries/multimodal.py::mm_png_decode_stats).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode a PNG to uint8 pixels: (H, W) for greyscale, (H, W, C)
+    otherwise. Real chunk walk (CRC-tolerant read of IHDR/IDAT*/IEND,
+    unknown ancillary chunks skipped), zlib inflate, and vectorized
+    reconstruction of all five scanline filters."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError(f"not a PNG: magic {payload[:8]!r}")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        elif ctype == b"PLTE":
+            raise NotImplementedError("palette (indexed) PNG")
+        pos += 12 + length  # length + type + data + CRC
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit samples)")
+    if color not in _CHANNELS:
+        raise NotImplementedError(f"PNG color type {color}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {h * (1 + stride)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = arr[:, 0]
+    data = arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_line = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = data[y]
+        prev = out[y - 1] if y else zero_line
+        if f == 0:                                   # None
+            line = cur.copy()
+        elif f == 1:                                 # Sub
+            # serial in x but a per-channel cumsum mod 256 — vectorized
+            line = (
+                cur.reshape(-1, ch).astype(np.uint64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:                                 # Up
+            line = (cur.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:                                 # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                line[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:                                 # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                a, b, c = left, int(prev[x]), ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        out[y] = line
+    px = out.reshape(h, w, ch)
+    return px[:, :, 0] if ch == 1 else px
+
+
+def encode_png(pixels: np.ndarray, level: int = 6) -> bytes:
+    """Encode uint8 pixels — (H, W) grey or (H, W, {2,3,4}) — as a
+    standards-conforming PNG (filter 0 scanlines, one IDAT)."""
+    if pixels.dtype != np.uint8:
+        raise ValueError("encode_png needs uint8 pixels")
+    if pixels.ndim == 2:
+        h, w = pixels.shape
+        ch, color = 1, 0
+        flat = pixels.reshape(h, w)
+    elif pixels.ndim == 3 and pixels.shape[2] in (2, 3, 4):
+        h, w, ch = pixels.shape
+        color = {2: 4, 3: 2, 4: 6}[ch]
+        flat = pixels.reshape(h, w * ch)
+    else:
+        raise ValueError(f"unsupported pixel shape {pixels.shape}")
+    stride = w * ch
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)  # filter type None
+        raw += flat[y].tobytes()
+    idat = zlib.compress(bytes(raw), level)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )

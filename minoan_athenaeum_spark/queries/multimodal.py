@@ -101,6 +101,52 @@ def mm_ppm_decode_stats(spark, sf_dir):
 
 
 @query(
+    "mm_png_decode_stats",
+    oracle="""
+    SELECT doc_id,
+           12 AS width, 10 AS height,
+           CAST(list_sum(list_transform(range(0, 360, 3),
+                i -> (doc_id % 241 + 17 * i) % 256)) AS DOUBLE) / 120
+             AS mean_r,
+           CAST(list_sum(list_transform(range(1, 360, 3),
+                i -> (doc_id % 241 + 17 * i) % 256)) AS DOUBLE) / 120
+             AS mean_g,
+           CAST(list_sum(list_transform(range(2, 360, 3),
+                i -> (doc_id % 241 + 17 * i) % 256)) AS DOUBLE) / 120
+             AS mean_b,
+           CAST(list_sum(list_transform(range(0, 30), b ->
+                (b + 1) * list_sum(list_transform(range(0, 12), k ->
+                  (doc_id % 241
+                   + 17 * (((2 * (b // 6) + (k // 6)) * 12
+                            + (2 * (b % 6) + ((k // 3) % 2))) * 3 + (k % 3)))
+                  % 256)))) AS BIGINT) AS down2_checksum
+    FROM documents
+    """,
+    tags=("multimodal", "image", "png", "decode"),
+)
+def mm_png_decode_stats(spark, sf_dir):
+    """REAL PNG decode end-to-end: every document gets a
+    standards-conforming RGB PNG (stdlib-zlib DEFLATE stream, filtered
+    scanlines) built from the deterministic pixel ramp, decoded back
+    through decode_image → operators/png.py inside an Arrow-batched
+    mapInPandas pass, then the same channel-stats + 2×2-pool checksum
+    as the PPM path. PNG is lossless, so the oracle is the exact pixel
+    formula — a green row certifies chunk walk, inflate, filter
+    reconstruction, and channel order. 12×10 RGB, pixel i =
+    (doc_id%241 + 17·i) % 256.
+
+    Scale shape: map-only Arrow stages, no shuffle — identical to the
+    PPM/JPEG paths."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        image_channel_stats,
+        with_png_payload,
+    )
+
+    d = with_png_payload(t(spark, sf_dir, "documents"), width=12, height=10)
+    return image_channel_stats(d)
+
+
+@query(
     "mm_jpeg_decode_stats",
     oracle="""
     SELECT doc_id,

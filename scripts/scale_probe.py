@@ -79,26 +79,30 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
             continue  # idempotent per table (lets new tables amplify in place)
         if os.path.islink(f"{out_dir}/{name}.parquet"):
             os.unlink(f"{out_dir}/{name}.parquet")
-        if name == "events":
-            # Amplify the RAW representation (ts stays a ns LONG) so the
-            # batch loader's ns→µs conversion and the stream reader's
-            # schema keep working against the amplified file.
-            from minoan_athenaeum_spark.catalog import EVENTS_RAW_SCHEMA
-            df = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
-                f"{src_sf}/events.parquet"
-            )
-        else:
-            df = load_table(spark, src_sf, name)
+        # events goes through load_table too: the catalog normalizes the
+        # source's ts unit (footer-detected ns or µs) to a native µs
+        # TIMESTAMP, and Spark writes that back as TIMESTAMP(MICROS) —
+        # which the loader and the stream reader then read natively.
+        df = load_table(spark, src_sf, name)
         if name in SHIFT_KEYS:
-            copies = []
-            for i in range(times):
-                c = df
-                for k in SHIFT_KEYS[name]:
-                    c = c.withColumn(k, F.col(k) + F.lit(i * KEY_STRIDE))
-                copies.append(c)
-            out = copies[0]
-            for c in copies[1:]:
-                out = out.unionAll(c)
+            # Replicate via a broadcast crossJoin with the replica-id
+            # range and shift keys by replica — one compact plan at any
+            # amplification (a 1024-way union plan chokes the
+            # optimizer). Same row set as unioning shifted copies.
+            reps = F.broadcast(
+                spark.range(times).select(F.col("id").alias("__rep"))
+            )
+            # spread the expansion across all cores — the single-file
+            # testdata source reads as a couple of partitions, and a
+            # 1024x expansion through 3 tasks serializes the write
+            out = df.repartition(32).crossJoin(reps)
+            for k in SHIFT_KEYS[name]:
+                out = out.withColumn(
+                    k, F.col(k) + F.col("__rep") * F.lit(KEY_STRIDE)
+                )
+            # splittable output: scale file count with volume
+            n_files = min(512, max(32, times // 2))
+            out = out.drop("__rep").repartition(n_files)
         else:
             out = df  # dims stay fixed (realistic: dims grow slower)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
@@ -106,6 +110,9 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
 
 def main() -> None:
     times = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    # Optional second arg: comma-separated query subset (the full
+    # AMPLIFIED list at very large amplifications would take hours).
+    subset = sys.argv[2].split(",") if len(sys.argv) > 2 else AMPLIFIED
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/mas_scale_probe_x{times}"
     spark = get_spark(app_name="mas-scale-probe")
@@ -113,10 +120,18 @@ def main() -> None:
     amplify(spark, src, out_dir, times)  # idempotent per table
     print(f"# amplify x{times} ensured in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
+    if os.environ.get("SPARK_GRAFT_BUCKETED_FACTS", "") not in ("", "0"):
+        from minoan_athenaeum_spark.sources.bucketed import ensure_bucketed_facts
+
+        t0 = time.perf_counter()
+        ensure_bucketed_facts(spark, out_dir)
+        print(f"# bucketize ensured in {time.perf_counter()-t0:.1f}s",
+              file=sys.stderr)
+
     specs = load_all()
     spark.read.parquet(f"{out_dir}/lineitem.parquet").count()  # warm listing
     timings = {}
-    for name in AMPLIFIED:
+    for name in subset:
         t0 = time.perf_counter()
         specs[name].fn(spark, out_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)

@@ -44,11 +44,11 @@ def test_error_surface():
 
 
 def test_dispatch_by_magic():
-    # JPEG magic now routes to the REAL baseline decoder — a garbage
-    # body is a parse error there, not a codec boundary.
+    # JPEG/PNG magic now route to the REAL decoders — garbage bodies
+    # are parse errors there, not codec boundaries.
     with pytest.raises(ValueError, match="truncated JPEG segment"):
         decode_image(b"\xff\xd8\xff\xe0rest")
-    with pytest.raises(NotImplementedError, match="PNG"):
+    with pytest.raises(ValueError, match="PNG missing IHDR"):
         decode_image(b"\x89PNG\r\n\x1a\nrest")
     with pytest.raises(ValueError, match="unrecognized image container"):
         decode_image(b"GIF89a....")
@@ -353,12 +353,120 @@ def test_jpeg_error_surface():
         decode_jpeg(bytes(mutated))
 
 
-def test_jpeg_dispatch_and_png_boundary():
+def test_jpeg_and_png_dispatch():
     from minoan_athenaeum_spark.operators.multimodal import decode_image
     from minoan_athenaeum_spark.operators.jpeg import encode_jpeg_gray
+    from minoan_athenaeum_spark.operators.png import encode_png
 
     img = np.full((8, 16), 55, dtype=np.uint8)
     out = decode_image(encode_jpeg_gray(img))
     assert np.array_equal(out, img)
-    with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    rgb = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(decode_image(encode_png(rgb)), rgb)
+
+
+# -------------------------------------------------------------- PNG
+# Pure numpy + stdlib zlib (operators/png.py). Lossless, so every round
+# trip must be bit-exact; the filter bank is pinned by hand-building a
+# stream that uses all five filter types.
+
+
+def test_png_round_trips_all_color_types():
+    from minoan_athenaeum_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for shape in [(5, 7), (4, 6, 3), (3, 5, 4), (6, 2, 2)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape and np.array_equal(out, img), shape
+
+
+def test_png_all_five_filters_decode():
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+
+    h, w, ch = 5, 6, 3
+    img = (
+        np.arange(h * w * ch, dtype=np.int64).reshape(h, w, ch) * 11 % 256
+    ).astype(np.uint8)
+    flat = img.reshape(h, w * ch).astype(np.int64)
+    raw = bytearray()
+    for y in range(h):
+        f = [0, 1, 2, 3, 4][y]
+        raw.append(f)
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int64)
+        enc = np.zeros(w * ch, dtype=np.int64)
+        for x in range(w * ch):
+            left = cur[x - ch] if x >= ch else 0
+            ul = prev[x - ch] if x >= ch else 0
+            up = prev[x]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = (
+                    left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                )
+            enc[x] = (cur[x] - pred) % 256
+        raw += bytes(enc.astype(np.uint8))
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_error_surface():
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import (
+        _PNG_MAGIC,
+        decode_png,
+        encode_png,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\xff\xd8\xffJFIF")
+    rng = np.random.RandomState(9)
+    good = encode_png(rng.randint(0, 256, size=(30, 30), dtype=np.uint8))
+    # cut mid-IDAT (clipping only IEND is harmless by design — the
+    # pixel data is complete without it)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(good[: len(good) // 2])
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    # 16-bit depth and interlace are explicit boundaries
+    for depth, color, inter, msg in [
+        (16, 0, 0, "16-bit"),
+        (8, 3, 0, "color type|palette"),
+        (8, 0, 1, "interlaced"),
+    ]:
+        p = (
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter))
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match=msg):
+            decode_png(p)
