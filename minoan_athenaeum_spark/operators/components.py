@@ -62,6 +62,17 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)  # checkpoint caches the blocks itself
     )
+    # Convergence signature, same trick as the star variant below: the
+    # node set is fixed, so consecutive label tables are equal iff
+    # their (count, xor-of-row-hashes) signatures match — ONE aggregate
+    # job per round instead of a labels⋈labels anti-join probe.
+    def _signature(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(node, comp))").alias("x"),
+        ).first()
+
+    sig = _signature(labels)
     try:
         converged = False
         for _ in range(max_iter):
@@ -71,18 +82,13 @@ def connected_components(
             new_labels = (
                 labels.union(prop).groupBy("node").agg(F.min("comp").alias("comp"))
             ).localCheckpoint(eager=True)
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .limit(1)
-                .count()
-            )
+            new_sig = _signature(new_labels)
             labels.unpersist()
             labels = new_labels
-            if changed == 0:
+            if new_sig == sig:
                 converged = True
                 break
+            sig = new_sig
         if not converged:
             # Propagation needs O(diameter) rounds; silently returning
             # the partial labels would hand the caller WRONG components
