@@ -333,6 +333,27 @@ def test_jpeg_ac_path_matches_independent_reference():
     assert (diff != 0).mean() < 0.01  # near-universal bit-exact agreement
 
 
+def test_jpeg_odd_dimensions_pad_and_crop():
+    # Non-multiple-of-8 sizes: encoder pads with edge replication,
+    # decoder crops back. Agreement with the independent reference on
+    # the same bitstream pins the pad/crop geometry; proximity to the
+    # source bounds the quant error (flat AC step 16 -> per-pixel error
+    # well under 8·16/8 after IDCT energy spreading).
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(13)
+    img = (rng.randint(0, 64, size=(10, 13)) * 4).astype(np.uint8)
+    payload = encode_jpeg_gray(img)
+    got = decode_jpeg(payload)
+    assert got.shape == (10, 13)
+    ref = _reference_decode_gray(payload)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 40
+
+
 def test_jpeg_error_surface():
     from minoan_athenaeum_spark.operators.jpeg import (
         decode_jpeg,
