@@ -287,3 +287,58 @@ def test_bucketed_facts_q18_no_orderkey_exchange(spark, sf_dir):
         "Exchange hashpartitioning"
     )
     assert got == raw
+
+
+def test_reattach_bucketed_build_is_metadata_only(spark, sf_dir, tmp_path):
+    """Cross-session pay-once: a completed bucketed build re-attaches
+    via DDL (CLUSTERED BY ... LOCATION) without rewriting — simulated
+    by copying a built table's directory to a fresh location and
+    registering it under a new name. The reattached table must (a) hold
+    the same rows, (b) scan as Bucketed: true, and (c) sort-merge-join
+    against the other bucketed fact with no orderkey exchange."""
+    import shutil
+
+    from minoan_athenaeum_spark.sources.bucketed import (
+        _table_location,
+        bucketed_fact_table_name,
+        ensure_bucketed_facts,
+        reattach_bucketed_table,
+    )
+
+    ensure_bucketed_facts(spark, sf_dir, n_buckets=4)
+    src_table = bucketed_fact_table_name(sf_dir, "orders")
+    src_loc = _table_location(spark, src_table)
+    copy_loc = str(tmp_path / "orders_copy")
+    shutil.copytree(src_loc, copy_loc)
+    new_table = "mas_test_reattach_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {new_table}")
+    assert reattach_bucketed_table(
+        spark, new_table, copy_loc, "o_orderkey", 4
+    )
+    try:
+        re_df = spark.table(new_table)
+        assert re_df.count() == spark.table(src_table).count()
+
+        li = spark.table(bucketed_fact_table_name(sf_dir, "lineitem"))
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = li.join(
+                re_df, li.l_orderkey == re_df.o_orderkey
+            ).groupBy("o_orderpriority").count()
+            j.collect()
+            p = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # the executed-plan dump repeats the tree (Final + Initial plan)
+        assert p.count("Bucketed: true") >= 2
+        assert "SortMergeJoin" in p
+        assert "hashpartitioning(l_orderkey" not in p
+        assert "hashpartitioning(o_orderkey" not in p
+        # an incomplete location (no _SUCCESS) is refused
+        (tmp_path / "empty").mkdir()
+        assert not reattach_bucketed_table(
+            spark, "mas_test_nope", str(tmp_path / "empty"), "o_orderkey", 4
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {new_table}")
