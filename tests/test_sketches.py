@@ -31,12 +31,31 @@ def test_hll_raw_estimate_error(spark, sf_dir):
     assert abs(r.a - r.e) <= max(0.08 * r.e, 2), (r.a, r.e)
 
 
-def test_approx_percentiles_ordered_and_close(spark, sf_dir):
+def test_approx_percentiles_verdicts_and_order(spark, sf_dir):
     rows = SPECS["sketch_approx_percentiles"].fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
-        p25, p50, p75 = r.approx_pcts
-        assert p25 <= p50 <= p75
-        # ~0.01% rank error at accuracy=10000 — p50 within 2% in value
-        # on this smooth distribution.
-        assert abs(p50 - r.exact_p50) <= 0.02 * abs(r.exact_p50) + 1e-9
+        assert r.p25_exact <= r.p50_exact <= r.p75_exact
+        assert r.p25_within_bound == 1, (r.rflag, r.p25_exact)
+        assert r.p50_within_bound == 1, (r.rflag, r.p50_exact)
+        assert r.p75_within_bound == 1, (r.rflag, r.p75_exact)
+
+
+def test_approx_percentiles_raw_estimate_error(spark, sf_dir):
+    # The query surfaces only verdicts + exact values; keep the raw
+    # sketch's tighter error magnitude pinned here (accuracy=10000 ⇒
+    # rank error ≤ max(n/10000, 1); p50 within 2% in VALUE on this
+    # smooth distribution).
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries._util import t
+
+    r = (
+        t(spark, sf_dir, "lineitem")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("e"),
+        )
+        .collect()[0]
+    )
+    assert abs(r.a - r.e) <= 0.02 * abs(r.e) + 1e-9, (r.a, r.e)
