@@ -1,13 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed with Arrow-batched pandas transforms (`mapInPandas`).
 
-Decode status: `decode_image` REALLY decodes binary PPM (P6) — a full
-pure-numpy parser (magic, comment-tolerant header, maxval check,
-truncation errors), no codec library needed. Compressed formats
-(JPEG/PNG, detected by magic bytes) raise NotImplementedError because
-the container has no libjpeg/libpng; swapping in PIL later only
-changes that dispatch arm. `fake_decode_features` remains as the
-codec-free byte-level plumbing path.
+Decode status: every dispatch arm decodes FOR REAL with no codec
+library. Images: PPM (pure-numpy parser), baseline JPEG
+(operators/jpeg.py), PNG (operators/png.py). Audio: PCM-16 WAV plus
+the compressed formats G.711 μ-law/A-law and mono IMA/DVI ADPCM
+(operators/audio_codecs.py). Video: back-to-back P6 frame streams.
+`fake_decode_features` remains as the codec-free byte-level plumbing
+path. Exotic variants inside each codec still raise
+NotImplementedError (progressive JPEG, palette/16-bit/interlaced PNG,
+multi-channel ADPCM).
 """
 
 from __future__ import annotations
@@ -82,12 +84,10 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
 
 
-def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
-    """Decode a PCM-16 mono/stereo WAV to (sample_rate, int16 array of
-    shape (n_frames, n_channels)). A real RIFF parser: walks chunks
-    ('fmt ' may be followed by LIST/INFO etc. before 'data'), validates
-    the PCM tag and bit depth, and detects truncation. Pure numpy —
-    PCM is uncompressed, so no codec library is needed."""
+def _riff_fmt_data(payload: bytes) -> tuple[bytes, bytes]:
+    """Walk a RIFF/WAVE payload's chunks ('fmt ' may be followed by
+    LIST/INFO/fact etc. before 'data'), validating sizes; return the
+    (fmt, data) chunk bodies."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload: {payload[:12]!r}")
     pos, fmt, data = 12, None, None
@@ -104,14 +104,24 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
+    return fmt, data
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a PCM-16 mono/stereo WAV to (sample_rate, int16 array of
+    shape (n_frames, n_channels)). A real RIFF parser: walks chunks,
+    validates the PCM tag and bit depth, and detects truncation. Pure
+    numpy — PCM is uncompressed, so no codec library is needed.
+    Compressed formats go through :func:`decode_wav`."""
+    fmt, data = _riff_fmt_data(payload)
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(
-            f"only PCM-16 WAV decodes natively (format={audio_format}, "
-            f"bits={bits}); compressed audio needs a codec library"
+            f"only PCM-16 decodes on this path (format={audio_format}, "
+            f"bits={bits}); use decode_wav for G.711/ADPCM"
         )
     samples = np.frombuffer(data, dtype="<i2")
     if n_channels > 1:
@@ -121,6 +131,72 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
     else:
         samples = samples.reshape(-1, 1)
     return sample_rate, samples
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode a mono/stereo WAV of ANY supported format to
+    (sample_rate, int16 array (n_frames, n_channels)): PCM-16 (tag 1),
+    G.711 A-law (6), G.711 μ-law (7), and mono IMA/DVI ADPCM (0x11)
+    all decode for real via pure-numpy codecs
+    (operators/audio_codecs.py). Anything else raises with the tag."""
+    fmt, data = _riff_fmt_data(payload)
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    if audio_format == 1:
+        return decode_wav_pcm16(payload)
+    from minoan_athenaeum_spark.operators import audio_codecs as ac
+
+    if audio_format == 7:
+        flat = ac.decode_mulaw(data)
+    elif audio_format == 6:
+        flat = ac.decode_alaw(data)
+    elif audio_format == 0x11:
+        if n_channels != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        flat = ac.decode_ima_adpcm(data, block_align)
+    else:
+        raise NotImplementedError(f"WAV format tag {audio_format}")
+    if n_channels > 1:
+        flat = flat[: len(flat) - len(flat) % n_channels].reshape(
+            -1, n_channels
+        )
+    else:
+        flat = flat.reshape(-1, 1)
+    return sample_rate, flat
+
+
+def encode_wav_raw(
+    data: bytes,
+    fmt_tag: int,
+    n_channels: int,
+    sample_rate: int,
+    bits: int,
+    block_align: int,
+    extra: bytes = b"",
+) -> bytes:
+    """Wrap an already-encoded data chunk in a RIFF/WAVE container with
+    an arbitrary format tag (the generation side for the compressed-
+    codec queries; PCM-16 keeps :func:`encode_wav_pcm16`)."""
+    byte_rate = sample_rate * block_align
+    fmt = (
+        fmt_tag.to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    if extra:
+        fmt += len(extra).to_bytes(2, "little") + extra
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if len(fmt) & 1:
+        chunks += b"\x00"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -618,3 +694,168 @@ def fake_decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak_mu", T.LongType()),
+        T.StructField("sum_abs_mu", T.LongType()),
+        T.StructField("energy_mu", T.LongType()),
+        T.StructField("peak_a", T.LongType()),
+        T.StructField("sum_abs_a", T.LongType()),
+        T.StructField("energy_a", T.LongType()),
+    ]
+)
+
+
+def with_g711_payload(df: DataFrame, n_samples: int = 256) -> DataFrame:
+    """Attach two REAL compressed-audio payloads per row: the same
+    deterministic byte ramp ``(doc_id % 251 + 7·i) mod 256`` wrapped as
+    a μ-law WAV (format tag 7) and an A-law WAV (format tag 6). The
+    companded bytes are the ramp itself, so the oracle recomputes the
+    G.711 expansion per byte in closed form and certifies the decoder
+    tables bit-for-bit."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = 7 * np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            mu, al = [], []
+            for d in pdf["doc_id"]:
+                raw = ((int(d) % 251 + idx) % 256).astype(np.uint8).tobytes()
+                mu.append(encode_wav_raw(raw, 7, 1, 8000, 8, 1))
+                al.append(encode_wav_raw(raw, 6, 1, 8000, 8, 1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload_mu": mu, "payload_a": al}
+            )
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload_mu", T.BinaryType()),
+                T.StructField("payload_a", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def g711_features(df: DataFrame) -> DataFrame:
+    """Decode BOTH G.711 variants with the real WAV dispatch
+    (:func:`decode_wav` → audio_codecs tables) and emit integer-exact
+    peak / total-|amplitude| / energy for each."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, pmu, pa in zip(
+                pdf["doc_id"], pdf["payload_mu"], pdf["payload_a"]
+            ):
+                _, smu = decode_wav(bytes(pmu))
+                _, sa = decode_wav(bytes(pa))
+                m64 = smu.astype(np.int64)
+                a64 = sa.astype(np.int64)
+                rows.append(
+                    (
+                        int(d),
+                        smu.shape[0],
+                        int(np.abs(m64).max()),
+                        int(np.abs(m64).sum()),
+                        int((m64 * m64).sum()),
+                        int(np.abs(a64).max()),
+                        int(np.abs(a64).sum()),
+                        int((a64 * a64).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in G711_STATS_SCHEMA])
+
+    return df.mapInPandas(stats, G711_STATS_SCHEMA)
+
+
+ADPCM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("sum_abs", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("last_sample", T.LongType()),
+    ]
+)
+
+ADPCM_BLOCKS = 2
+ADPCM_BODY_BYTES = 32  # 64 nibbles per block; block_align = 4 + 32
+
+
+def with_adpcm_payload(df: DataFrame) -> DataFrame:
+    """Attach a REAL mono IMA/DVI ADPCM WAV per row (format tag 0x11):
+    2 blocks, each a 4-byte header (predictor ``(doc_id + 7k) % 1001 −
+    500``, step index ``(doc_id + 3k) % 89``) + 32 body bytes from the
+    ramp ``(doc_id % 251 + 7·(32k + j)) mod 256``. Every quantity is a
+    closed-form function of (doc_id, block, offset), so the oracle can
+    re-run the *sequential* decode as a recursive-CTE fold."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        joff = 7 * np.arange(ADPCM_BODY_BYTES, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blocks = b""
+                for k in range(ADPCM_BLOCKS):
+                    pred = (d + 7 * k) % 1001 - 500
+                    idx = (d + 3 * k) % 89
+                    body = (
+                        ((d % 251 + 7 * 32 * k + joff) % 256)
+                        .astype(np.uint8)
+                        .tobytes()
+                    )
+                    blocks += (
+                        pred.to_bytes(2, "little", signed=True)
+                        + bytes([idx, 0])
+                        + body
+                    )
+                payloads.append(
+                    encode_wav_raw(
+                        blocks, 0x11, 1, 8000, 4, 4 + ADPCM_BODY_BYTES
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def adpcm_features(df: DataFrame) -> DataFrame:
+    """Decode the IMA ADPCM payload with the real sequential decoder
+    and emit integer-exact stats; ``last_sample`` pins the final
+    predictor state (any mis-step anywhere in the fold shifts it)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64).ravel()
+                rows.append(
+                    (
+                        int(d),
+                        s64.size,
+                        int(np.abs(s64).max()),
+                        int(np.abs(s64).sum()),
+                        int((s64 * s64).sum()),
+                        int(s64[-1]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in ADPCM_STATS_SCHEMA])
+
+    return df.mapInPandas(stats, ADPCM_STATS_SCHEMA)

@@ -262,3 +262,162 @@ def mm_video_frame_sample(spark, sf_dir):
 
     d = with_video_payload(t(spark, sf_dir, "documents"))
     return video_frame_sample_stats(d, every=2)
+
+
+# G.711 expansion as DuckDB lambdas: μ-law (complement, biased exponent
+# shift) and A-law (XOR 0x55, inverted sign convention — MSB set means
+# POSITIVE). Mirrors the decode tables in operators/audio_codecs.py.
+_G711_ORACLE = """
+    WITH s AS (
+      SELECT doc_id,
+             list_transform(range(0, 256),
+               i -> (doc_id % 251 + 7 * i) % 256) AS b
+      FROM documents
+    ), dec AS (
+      SELECT doc_id,
+             list_transform(b, c -> CASE WHEN (255 - c) >= 128
+               THEN -((((255 - c) % 16) * 8 + 132)
+                      * (1 << (((255 - c) // 16) % 8)) - 132)
+               ELSE ((((255 - c) % 16) * 8 + 132)
+                     * (1 << (((255 - c) // 16) % 8)) - 132) END) AS mu,
+             list_transform(b, c -> CASE WHEN xor(c, 85) >= 128
+               THEN CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                    THEN (xor(c, 85) % 16) * 16 + 8
+                    ELSE ((xor(c, 85) % 16) * 16 + 264)
+                         * (1 << ((xor(c, 85) // 16) % 8 - 1)) END
+               ELSE -(CASE WHEN (xor(c, 85) // 16) % 8 = 0
+                    THEN (xor(c, 85) % 16) * 16 + 8
+                    ELSE ((xor(c, 85) % 16) * 16 + 264)
+                         * (1 << ((xor(c, 85) // 16) % 8 - 1)) END) END) AS al
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(256 AS BIGINT) AS n_frames,
+           CAST(list_max(list_transform(mu, x -> abs(x))) AS BIGINT) AS peak_mu,
+           CAST(list_sum(list_transform(mu, x -> abs(x))) AS BIGINT) AS sum_abs_mu,
+           CAST(list_sum(list_transform(mu, x -> x * x)) AS BIGINT) AS energy_mu,
+           CAST(list_max(list_transform(al, x -> abs(x))) AS BIGINT) AS peak_a,
+           CAST(list_sum(list_transform(al, x -> abs(x))) AS BIGINT) AS sum_abs_a,
+           CAST(list_sum(list_transform(al, x -> x * x)) AS BIGINT) AS energy_a
+    FROM dec
+"""
+
+
+@query(
+    "mm_g711_audio_features",
+    oracle=_G711_ORACLE,
+    tags=("multimodal", "audio", "decode", "compressed"),
+)
+def mm_g711_audio_features(spark, sf_dir):
+    """REAL compressed-audio decode: every document gets the same
+    deterministic companded byte ramp wrapped as BOTH a G.711 μ-law WAV
+    (format tag 7) and an A-law WAV (tag 6); the pure-numpy codec
+    tables (operators/audio_codecs.py, cross-checked bit-exactly
+    against stdlib audioop) expand them to linear PCM inside one
+    Arrow-batched mapInPandas pass, then integer-exact peak /
+    total-|amplitude| / energy per variant. The oracle recomputes the
+    full G.711 expansion per byte as SQL lambdas — a green row
+    certifies both companding laws (complement vs XOR-0x55 framing,
+    biased exponent, the A-law inverted sign bit), not just plumbing.
+
+    Scale shape: generate → decode → featurize is map-only; no
+    shuffle; 256 samples/doc ⇒ linear in corpus size."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        g711_features,
+        with_g711_payload,
+    )
+
+    d = with_g711_payload(t(spark, sf_dir, "documents"))
+    return g711_features(d)
+
+
+# The IMA ADPCM decode is a *sequential* fold (each 4-bit delta updates
+# the predictor and step index that decode the next), so the oracle is
+# a recursive CTE stepping sample-by-sample: s = 0..129 over 2 blocks
+# of (1 header sample + 64 nibbles); a block boundary reloads state
+# from the closed-form header.
+_ADPCM_ORACLE = """
+    WITH RECURSIVE dec AS (
+      SELECT doc_id,
+             CAST(0 AS BIGINT) AS s,
+             CAST(doc_id % 1001 - 500 AS BIGINT) AS pred,
+             CAST(doc_id % 89 AS BIGINT) AS idx,
+             CAST(doc_id % 1001 - 500 AS BIGINT) AS sample
+      FROM documents
+      UNION ALL
+      SELECT doc_id, s,
+             CASE WHEN hdr THEN hpred ELSE GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) END,
+             CASE WHEN hdr THEN hidx ELSE GREATEST(0, LEAST(88,
+               idx + it[(nib % 8) + 1])) END,
+             CASE WHEN hdr THEN hpred ELSE GREATEST(-32768, LEAST(32767,
+               pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)) END
+      FROM (
+        SELECT doc_id, s, pred, idx, hdr, hpred, hidx, nib, it,
+               step // 8
+               + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END
+               + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+               + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END AS diff
+        FROM (
+          SELECT doc_id, s, pred, idx, hdr, hpred, hidx, it,
+                 CASE WHEN jn % 2 = 0 THEN bval % 16 ELSE bval // 16 END AS nib,
+                 st[idx + 1] AS step
+          FROM (
+            SELECT doc_id, s + 1 AS s, pred, idx,
+                   ((s + 1) % 65 = 0) AS hdr,
+                   CAST((doc_id + 7 * ((s + 1) // 65)) % 1001 - 500 AS BIGINT) AS hpred,
+                   CAST((doc_id + 3 * ((s + 1) // 65)) % 89 AS BIGINT) AS hidx,
+                   (s + 1) % 65 - 1 AS jn,
+                   (doc_id % 251 + 7 * (32 * ((s + 1) // 65)
+                     + GREATEST((s + 1) % 65 - 1, 0) // 2)) % 256 AS bval,
+                   [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,
+                    50,55,60,66,73,80,88,97,107,118,130,143,157,173,190,209,
+                    230,253,279,307,337,371,408,449,494,544,598,658,724,796,
+                    876,963,1060,1166,1282,1411,1552,1707,1878,2066,2272,2499,
+                    2749,3024,3327,3660,4026,4428,4871,5358,5894,6484,7132,
+                    7845,8630,9493,10442,11487,12635,13899,15289,16818,18500,
+                    20350,22385,24623,27086,29794,32767] AS st,
+                   [-1,-1,-1,-1,2,4,6,8] AS it
+            FROM dec WHERE s < 129
+          )
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(130 AS BIGINT) AS n_frames,
+           CAST(MAX(ABS(sample)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs,
+           CAST(SUM(sample * sample) AS BIGINT) AS energy,
+           CAST(MAX(CASE WHEN s = 129 THEN sample END) AS BIGINT) AS last_sample
+    FROM dec GROUP BY doc_id
+"""
+
+
+@query(
+    "mm_adpcm_audio_features",
+    oracle=_ADPCM_ORACLE,
+    tags=("multimodal", "audio", "decode", "compressed"),
+)
+def mm_adpcm_audio_features(spark, sf_dir):
+    """REAL IMA/DVI ADPCM decode (WAV format tag 0x11) — a genuinely
+    SEQUENTIAL codec: each 4-bit delta updates the predictor and the
+    quantizer step index that decode the NEXT delta, with saturation
+    clamps on both. Every document carries a 2-block mono ADPCM WAV
+    (closed-form per-block headers + nibble ramp); the decoder
+    (operators/audio_codecs.py, verified against an independent
+    reference loop over random blocks) runs inside one Arrow
+    mapInPandas pass; the oracle re-executes the fold sample-by-sample
+    as a recursive CTE, so a green row certifies the full state
+    machine: step table, index table, both clamps, low-nibble-first
+    packing, and block-boundary state reload. `last_sample` pins the
+    final predictor — any mis-step anywhere shifts it.
+
+    Scale shape: map-only Arrow decode, no shuffle; blocks are
+    independent so a long recording parallelizes by block."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        adpcm_features,
+        with_adpcm_payload,
+    )
+
+    d = with_adpcm_payload(t(spark, sf_dir, "documents"))
+    return adpcm_features(d)

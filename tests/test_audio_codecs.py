@@ -1,0 +1,127 @@
+"""Compressed-audio codec pins: G.711 tables bit-exact vs an
+independent implementation (stdlib audioop where present), IMA ADPCM
+vs a textbook reference loop over random blocks, and the WAV dispatch
+error boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from minoan_athenaeum_spark.operators.audio_codecs import (
+    ALAW_TABLE,
+    IMA_INDEX_TABLE,
+    IMA_STEP_TABLE,
+    MULAW_TABLE,
+    decode_ima_adpcm,
+    unpack_nibbles,
+)
+from minoan_athenaeum_spark.operators.multimodal import (
+    decode_wav,
+    encode_wav_raw,
+)
+
+
+def test_g711_tables_match_audioop():
+    audioop = pytest.importorskip("audioop")  # removed in Python 3.13
+    allb = bytes(range(256))
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(allb, 2), dtype="<i2"), MULAW_TABLE
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(allb, 2), dtype="<i2"), ALAW_TABLE
+    )
+
+
+def test_g711_known_codewords():
+    # μ-law: 0xFF is +0, 0x7F is -0, 0x80 is the most negative value.
+    assert MULAW_TABLE[0xFF] == 0
+    assert MULAW_TABLE[0x7F] == 0
+    assert MULAW_TABLE[0x00] == -32124  # max negative magnitude
+    assert MULAW_TABLE[0x80] == 32124
+    # A-law: inverted sign convention; 0x55 decodes to -8 (quiet).
+    assert ALAW_TABLE[0x55] == -8
+    assert ALAW_TABLE[0xD5] == 8
+    assert int(np.abs(ALAW_TABLE.astype(np.int64)).max()) == 32256
+
+
+def test_unpack_nibbles_low_first():
+    assert list(unpack_nibbles(b"\x2f\xa0")) == [0xF, 0x2, 0x0, 0xA]
+
+
+def _reference_decode_block(block: bytes) -> list[int]:
+    """Textbook IMA ADPCM loop, written independently of the operator."""
+    pred = int.from_bytes(block[0:2], "little", signed=True)
+    idx = block[2]
+    out = [pred]
+    nibs = []
+    for b in block[4:]:
+        nibs += [b & 15, b >> 4]
+    for n in nibs:
+        step = int(IMA_STEP_TABLE[idx])
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + int(IMA_INDEX_TABLE[n & 7])))
+        out.append(pred)
+    return out
+
+
+def test_ima_adpcm_random_blocks_match_reference():
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        nblocks = int(rng.integers(1, 4))
+        data, expect = b"", []
+        for _k in range(nblocks):
+            pred = int(rng.integers(-32768, 32768))
+            idx = int(rng.integers(0, 89))
+            body = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+            blk = (
+                pred.to_bytes(2, "little", signed=True)
+                + bytes([idx, 0])
+                + body
+            )
+            data += blk
+            expect += _reference_decode_block(blk)
+        assert list(decode_ima_adpcm(data, 36)) == expect
+
+
+def test_ima_adpcm_saturation_clamps():
+    # Start at max predictor with the largest step: positive deltas
+    # must clamp at 32767, then negative deltas walk back down.
+    blk = (32767).to_bytes(2, "little", signed=True) + bytes([88, 0]) + (
+        b"\x77" * 4 + b"\xff" * 4
+    )
+    out = decode_ima_adpcm(blk, len(blk))
+    assert out[1] == 32767  # clamped immediately
+    assert out[-1] < 32767
+    assert all(-32768 <= int(x) <= 32767 for x in out)
+
+
+def test_wav_dispatch_roundtrip_and_errors():
+    raw = bytes(range(64))
+    mu = encode_wav_raw(raw, 7, 1, 8000, 8, 1)
+    rate, s = decode_wav(mu)
+    assert rate == 8000 and s.shape == (64, 1)
+    assert np.array_equal(s[:, 0], MULAW_TABLE[np.frombuffer(raw, np.uint8)])
+    al = encode_wav_raw(raw, 6, 1, 8000, 8, 1)
+    _, sa = decode_wav(al)
+    assert np.array_equal(sa[:, 0], ALAW_TABLE[np.frombuffer(raw, np.uint8)])
+    # Unknown format tag raises with the tag named.
+    bad = encode_wav_raw(raw, 2, 1, 8000, 8, 1)  # MS ADPCM: unsupported
+    with pytest.raises(NotImplementedError, match="format tag 2"):
+        decode_wav(bad)
+    # Stereo ADPCM is a declared boundary.
+    adp = encode_wav_raw(b"\x00" * 36, 0x11, 2, 8000, 4, 36)
+    with pytest.raises(NotImplementedError, match="mono"):
+        decode_wav(adp)
+    # Truncated block header detected.
+    short = encode_wav_raw(b"\x00\x01\x02", 0x11, 1, 8000, 4, 36)
+    with pytest.raises(ValueError, match="truncated IMA ADPCM"):
+        decode_wav(short)
