@@ -351,3 +351,212 @@ def pipeline_stratified_sample(spark, sf_dir):
         .groupBy("source")
         .agg(F.count("*").alias("n_sampled"), F.min("rate").alias("rate_pct"))
     )
+
+
+# PII redaction patterns — identical Java-regex / RE2 subset (literal
+# classes, \d, \b, {m,n}; no lookaround), so Spark and DuckDB agree.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+_PII_ORACLE = rf"""
+    WITH inj AS (
+      SELECT doc_id,
+             text || ' Contact user' || doc_id || '@mail' || (doc_id % 7) || '.org'
+             || CASE WHEN doc_id % 2 = 0
+                THEN ' call 555-' || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+                ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' ssn ' || (100 + doc_id % 900) || '-' || (10 + doc_id % 90) || '-' || (1000 + doc_id % 9000)
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id // 7) % 256) || '.' || (1 + doc_id % 254)
+                ELSE '' END AS txt
+      FROM documents
+    ), red AS (
+      SELECT doc_id, txt,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(txt, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{_PII_SSN}', '[SSN]', 'g'),
+                 '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IP}', '[IP]', 'g') AS redacted
+      FROM inj
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(txt, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+           CAST(len(regexp_extract_all(regexp_replace(txt, '{_PII_SSN}', '[SSN]', 'g'),
+                                       '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(txt, '{_PII_IP}')) AS BIGINT) AS n_ips,
+           CAST(length(redacted) AS BIGINT) AS red_len,
+           md5(redacted) AS red_fp
+    FROM red
+"""
+
+
+@query(
+    "pipeline_pii_redact",
+    oracle=_PII_ORACLE,
+    tags=("pipeline", "text", "pii"),
+)
+def pipeline_pii_redact(spark, sf_dir):
+    """PII redaction — a first-class pre-training scrub pass: emails,
+    SSNs, phone numbers, and IPv4 addresses are masked with typed
+    tokens via chained JVM `regexp_replace` (no UDF; whole-stage
+    codegen keeps this a map-only scan at any scale). The corpus text
+    carries no PII by construction, so each doc gets deterministic
+    synthetic PII injected first (closed-form in doc_id — same recipe
+    as the multimodal payload generators); the oracle re-runs the
+    injection AND the redaction in DuckDB, and the md5 of the redacted
+    text pins every replacement byte-for-byte. Counts are taken
+    pre-redaction (phones counted after SSN masking, since the two
+    patterns share the NNN- prefix shape).
+
+    Scale shape: map-only; regex state machines run JVM-side; nothing
+    shuffles."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id"),
+        F.lit("@mail"),
+        F.col("doc_id") % 7,
+        F.lit(".org"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                100 + F.col("doc_id") % 900,
+                F.lit("-"),
+                1000 + F.col("doc_id") % 9000,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" ssn "),
+                100 + F.col("doc_id") % 900,
+                F.lit("-"),
+                10 + F.col("doc_id") % 90,
+                F.lit("-"),
+                1000 + F.col("doc_id") % 9000,
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                F.col("doc_id") % 256,
+                F.lit("."),
+                F.expr("(doc_id div 7) % 256"),
+                F.lit("."),
+                1 + F.col("doc_id") % 254,
+            ),
+        ).otherwise(F.lit("")),
+    )
+    inj = d.select("doc_id", txt.alias("txt"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("txt", _PII_EMAIL, "[EMAIL]"),
+                _PII_SSN,
+                "[SSN]",
+            ),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    return inj.select(
+        "doc_id",
+        F.regexp_count("txt", F.lit(_PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count("txt", F.lit(_PII_SSN)).cast("bigint").alias("n_ssns"),
+        F.regexp_count(
+            F.regexp_replace("txt", _PII_SSN, "[SSN]"), F.lit(_PII_PHONE)
+        )
+        .cast("bigint")
+        .alias("n_phones"),
+        F.regexp_count("txt", F.lit(_PII_IP)).cast("bigint").alias("n_ips"),
+        F.length(red).cast("bigint").alias("red_len"),
+        F.md5(red.cast("binary")).alias("red_fp"),
+    )
+
+
+# Wildcard-subdomain blocklist: a host is blocked when ANY label
+# suffix of it appears in the list (the adblock/registrable-domain
+# convention). Small by nature → broadcast.
+_BLOCKLIST = ("src1.example.com", "h7.src0.example.com", "spam.test")
+
+_URL_ORACLE = f"""
+    WITH urls AS (
+      SELECT doc_id, source,
+             'h' || (doc_id % 50) || '.' || source || '.example.com' AS host
+      FROM documents
+    ), sfx AS (
+      SELECT doc_id, source, host,
+             list_transform(
+               range(1, len(string_split(host, '.')) + 1),
+               i -> array_to_string(string_split(host, '.')[i:], '.')) AS suffixes
+      FROM urls
+    )
+    SELECT doc_id, host
+    FROM sfx
+    WHERE NOT EXISTS (
+      SELECT 1 FROM (VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST)}) b(domain)
+      WHERE list_contains(suffixes, b.domain)
+    )
+"""
+
+
+@query(
+    "pipeline_url_blocklist_filter",
+    oracle=_URL_ORACLE,
+    tags=("pipeline", "filter", "url"),
+)
+def pipeline_url_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist filtering with wildcard-subdomain semantics (a
+    host is dropped when any label suffix matches a blocked domain —
+    so `src1.example.com` blocks every `h*.src1.example.com` host,
+    while `h7.src0.example.com` blocks exactly one). Hosts are derived
+    deterministically from (doc_id, source); the implementation
+    explodes each host into its ≤4 label suffixes and semi-joins the
+    BROADCAST blocklist (map-side; the blocklist never shuffles), then
+    anti-joins the matched doc ids back out — that right side is the
+    BLOCKED subset, normally a tiny fraction of the corpus, so AQE
+    broadcasts it too and the corpus itself is scanned once and never
+    shuffled.
+
+    Mirrors the real curation step (UT1-style domain filtering) where
+    the blocklist is a few MB against billions of URLs."""
+    d = t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("h"),
+        F.col("doc_id") % 50,
+        F.lit("."),
+        F.col("source"),
+        F.lit(".example.com"),
+    )
+    urls = d.select("doc_id", host.alias("host"))
+    sfx = urls.select(
+        "doc_id",
+        "host",
+        F.expr(
+            "transform(sequence(0, size(split(host, '\\\\.')) - 1), "
+            "i -> array_join(slice(split(host, '\\\\.'), i + 1, "
+            "size(split(host, '\\\\.')) - i), '.'))"
+        ).alias("suffixes"),
+    )
+    bl = spark.createDataFrame(
+        [(x,) for x in _BLOCKLIST], "domain string"
+    )
+    blocked = (
+        sfx.select("doc_id", F.explode("suffixes").alias("sfx"))
+        .join(F.broadcast(bl), F.col("sfx") == F.col("domain"), "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return urls.join(blocked, "doc_id", "left_anti").select("doc_id", "host")
