@@ -239,3 +239,64 @@ def text_tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("source", "term", "tf", "df", "rn")
     )
+
+
+_CHUNK_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk,
+             unnest(range(0, 1 + GREATEST(len(tk) - 32 + 23, 0) // 24)) AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS chunk_len,
+           md5(array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ')) AS chunk_fp
+    FROM chunks
+"""
+
+
+@query(
+    "text_chunk_sliding_window",
+    oracle=_CHUNK_ORACLE,
+    tags=("text", "chunking", "pipeline"),
+)
+def text_chunk_sliding_window(spark, sf_dir):
+    """Sliding-window document chunking (window 32 tokens, stride 24 ⇒
+    8-token overlap) — the RAG-indexing / context-packing primitive.
+    Chunk count per doc is ``1 + ceil(max(n−32, 0)/24)`` so coverage is
+    complete and the final chunk may be short but never empty; the md5
+    of each chunk's joined tokens pins the exact token boundaries (an
+    off-by-one in the slice start or window length changes every
+    fingerprint).
+
+    All JVM expressions: tokenize → sequence → explode → slice →
+    array_join. Map-only with bounded ~n/stride amplification; no
+    shuffle at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim("text")), r"\s+").alias("tk"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    F.greatest(F.size("tk") - 32 + 23, F.lit(0)) / 24
+                ).cast("int"),
+            )
+        ).alias("chunk_id"),
+    )
+    sliced = F.slice("tk", F.col("chunk_id") * 24 + 1, F.lit(32))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(sliced).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(sliced, " ").cast("binary")).alias("chunk_fp"),
+    )
