@@ -295,3 +295,52 @@ def stream_stream_join_exec(spark, sf_dir):
     ).select("purchase_id", "click_id")
     name = f"q_stream_stream_{next(_counter)}"
     return run_to_memory(joined, name, mode="append")
+
+
+_DEDUP_ORACLE = """
+    SELECT event_id, user_id, event_type,
+           epoch_us(ts) AS us,
+           CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS BIGINT) AS cents
+    FROM events
+"""
+
+
+@query(
+    "stream_dedup_exec",
+    oracle=_DEDUP_ORACLE,
+    tags=("streaming", "dedup", "exec"),
+)
+def stream_dedup_exec(spark, sf_dir):
+    """Streaming exact dedup EXECUTED AS A STREAM with
+    ``dropDuplicatesWithinWatermark`` — the state-BOUNDED dedup API (a
+    key's state is evicted once the watermark passes it, so unbounded
+    streams don't accumulate unbounded state, unlike plain
+    dropDuplicates). The stream is doubled first (explode ×2 downstream
+    of the source, so every event_id arrives exactly twice), then
+    deduped on event_id; the oracle is simply the ORIGINAL events table
+    — a green row proves the operator dropped exactly the injected
+    duplicates (without it the row count doubles and the gate goes
+    red).
+
+    Scale shape: dedup state is hash-partitioned by key and bounded by
+    the watermark horizon; the doubling is map-side."""
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.withColumn(
+        "_copy", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_copy")
+    deduped = doubled.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = deduped.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    name = f"q_stream_dedup_{next(_counter)}"
+    return run_to_memory(out, name, mode="append")

@@ -68,6 +68,19 @@ def test_streaming_dedup(spark, sf_dir):
     assert got.count() == batch.select("event_id").distinct().count()
 
 
+def test_stream_dedup_exec_injection_is_real(spark, sf_dir):
+    # The oracle-gated stream_dedup_exec doubles the stream before
+    # deduping; pin that the doubling alone really yields 2× rows, so
+    # the green oracle row can only come from the dedup operator.
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.withColumn(
+        "_c", F.explode(F.array(F.lit(0), F.lit(1)))
+    ).drop("_c")
+    got = run_to_memory(doubled, "t_doubled", mode="append")
+    batch = load_events(spark, sf_dir)
+    assert got.count() == 2 * batch.count()
+
+
 def test_stateful_running_totals(spark, sf_dir):
     import math
 
