@@ -291,3 +291,35 @@ def nearest_cell(q: Column, codebook: Column) -> Column:
             s,
         ).otherwise(acc),
     )
+
+
+def pq_encoder(codebooks: np.ndarray):
+    """Product-quantization encoder as an Arrow-batched pandas UDF:
+    ``codes = enc(q)`` maps a dim-D quantized-int vector to M sub-codes,
+    each the argmin integer-L2 centroid of its subspace. ``codebooks``
+    is an (M, K, D/M) int64 array — a collected model artifact
+    (M·K·D numbers), closure-captured like a broadcast variable.
+
+    Exactness: distances are int64 (no FP), and ``np.argmin`` returns
+    the FIRST minimum ⇒ ties break to the LOWEST code — the same
+    (dist, code) ordering the DuckDB oracle's ROW_NUMBER uses, so
+    encodings are bit-identical by construction."""
+    from pyspark.sql.functions import pandas_udf
+
+    CB = codebooks.astype(np.int64)
+    m, _k, d_sub = CB.shape
+
+    @pandas_udf("array<int>")
+    def enc(qs: pd.Series) -> pd.Series:
+        Q = np.stack(qs.to_numpy()).astype(np.int64)  # (B, dim)
+        codes = np.empty((Q.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            sub = Q[:, s * d_sub : (s + 1) * d_sub]  # (B, d_sub)
+            # (B, K, d_sub) diff without materializing when K small:
+            dist = (
+                (sub[:, None, :] - CB[s][None, :, :]) ** 2
+            ).sum(axis=2)  # exact int64
+            codes[:, s] = np.argmin(dist, axis=1)
+        return pd.Series([c for c in codes])
+
+    return enc

@@ -504,3 +504,126 @@ def sim_semdedup(spark, sf_dir):
         ).alias("keeper_id"),
         F.min("csim").alias("min_sim"),
     )
+
+
+_PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), cb AS (
+      SELECT ms.m, v.vec_id AS code,
+             v.q[ms.m * 8 + 1 : ms.m * 8 + 8] AS cvec
+      FROM v, (SELECT unnest(range(0, 8)) AS m) ms
+      WHERE v.vec_id < 16
+    ), dists AS (
+      SELECT v.vec_id, cb.m, cb.code,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.q[cb.m * 8 + i] - cb.cvec[i])
+                    * (v.q[cb.m * 8 + i] - cb.cvec[i]))) AS dist
+      FROM v, cb
+    ), enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT m, code, dist FROM dists WHERE vec_id = 0
+    ), adc AS (
+      SELECT e.vec_id, SUM(qt.dist) AS adc_dist
+      FROM enc e JOIN qtab qt ON e.m = qt.m AND e.code = qt.code
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    ), top AS (
+      SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    )
+    SELECT t.vec_id AS nn_id,
+           CAST(t.adc_dist AS BIGINT) AS adc_dist,
+           CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                        i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+             / (n.nrm * qv.nrm0) AS cos_sim
+    FROM top t JOIN n ON t.vec_id = n.vec_id, qv
+"""
+
+
+@query(
+    "sim_ann_pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    tags=("similarity", "ann", "pq"),
+)
+def sim_ann_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (PQ + asymmetric distance computation):
+    the 64-dim corpus is split into M=8 subspaces of 8 dims; each
+    subspace gets a K=16 codebook (seeded from the first 16 vectors —
+    the same seeding discipline as sim_ann_ivf_topk, so the pipeline is
+    fully deterministic); every vector is encoded to 8 sub-codes
+    (argmin integer L2, Arrow-batched numpy, operators.similarity.
+    pq_encoder); the query's ADC table — its integer L2 distance to all
+    M·K centroids — is a driver-side model artifact folded into a
+    literal lookup expression; approximate distance is the table-lookup
+    sum over codes (pure JVM, codegen), and the top-10 by (adc, vec_id)
+    are exact-rescored with quantized-int cosine.
+
+    Why it matters at 100 TB: codes are 8 BYTES per vector vs 256 for
+    the raw floats — a 32× smaller scan for the candidate sweep, the
+    memory-bandwidth win PQ exists for. Composing with the IVF coarse
+    stage (sim_ann_ivf_kmeans_topk) gives the standard IVFADC layout;
+    both stages are map-only over the corpus.
+
+    Oracle: the identical pipeline in DuckDB — integer sub-distances,
+    (dist, code) tie-breaks, integer ADC sums — bit-exact end to end;
+    the only doubles are the final cosines, computed with the same
+    expression shape as every other similarity oracle. Recall vs brute
+    is pinned in tests/test_dedup_similarity.py."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.similarity import pq_encoder
+
+    e = t(spark, sf_dir, "embeddings")
+    release_tracked()
+    v = persist_tracked(
+        e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    )
+    # Bounded model artifacts: 16 seed vectors (codebooks) + the query.
+    seed_rows = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in v.filter(F.col("vec_id") < 16).collect()
+    }
+    q0 = seed_rows[0]
+    CB = np.array(
+        [[seed_rows[c][s * 8 : (s + 1) * 8] for c in range(16)] for s in range(8)],
+        dtype=np.int64,
+    )  # (M=8, K=16, 8)
+    q0_np = np.array(q0, dtype=np.int64)
+    # ADC table: query sub-distance to every centroid — ints, exact.
+    tab = [
+        [int(((q0_np[s * 8 : (s + 1) * 8] - CB[s][c]) ** 2).sum()) for c in range(16)]
+        for s in range(8)
+    ]
+    enc = pq_encoder(CB)
+    coded = v.select("vec_id", "q", enc(F.col("q")).alias("codes"))
+    adc = None
+    for s in range(8):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in tab[s]]),
+            F.col("codes").getItem(s).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    top = (
+        coded.filter(F.col("vec_id") != 0)
+        .select("vec_id", "q", adc.cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    return top.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("nn_id"),
+        "adc_dist",
+        cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+    )

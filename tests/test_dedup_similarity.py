@@ -92,6 +92,20 @@ def test_ann_recall_vs_brute(spark, sf_dir):
     assert len(set(brute) & set(ivf)) / 10 >= 0.3
 
 
+def test_pq_adc_recall_vs_brute(spark, sf_dir):
+    brute = [r.nn_id for r in SPECS["sim_knn_cosine_brute"].fn(spark, sf_dir).collect()]
+    pq = SPECS["sim_ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(pq) == 10
+    # ADC distances ascend with the (adc, vec_id) ordering the query pins.
+    adcs = [r.adc_dist for r in pq]
+    assert adcs == sorted(adcs)
+    # 8-byte codes on isotropic random vectors: recall reflects pure
+    # quantization distortion (measured 0.4 at sf0.001); bound loosely —
+    # exactness of the whole pipeline is separately pinned bit-for-bit
+    # by the DuckDB oracle twin (test_oracle_parity).
+    assert len(set(brute) & {r.nn_id for r in pq}) / 10 >= 0.2
+
+
 def test_exact_dedup_keeps_all_distinct(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = SPECS["dedup_exact"].fn(spark, sf_dir)
