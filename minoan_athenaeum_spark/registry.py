@@ -69,6 +69,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # image-decode family, strictly harder codec path — PPM was
 # driver-green in r3/r4 and stays pytest-oracled). The rotated-out
 # members remain oracle-verified by local pytest.
+#
+# Later in round 5 the session's four strongest additions rotated in,
+# each like-for-like: PQ-ADC for sign-LSH (ANN subfamily; brute + IVF
+# stay), ADPCM decode for the grouped-map demo (the hardest Arrow-
+# Python path now in window; applyInPandasWithState still covers the
+# grouped-state shape), PII redaction for token counting (text-scrub
+# family; token counts are embedded in every pipeline capstone), and
+# watermark-bounded streaming dedup for session windows (evt_sessionize
+# keeps the session shape in window via its batch twin).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -99,7 +108,7 @@ CURATED_PREFIX = [
     "sketch_hll_distinct",
     "merge_upsert_orders",
     "skew_salted_agg",
-    "pdf_grouped_map_topnorm",
+    "mm_adpcm_audio_features",
     # training-data extensions: dedup / similarity / text
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -108,16 +117,16 @@ CURATED_PREFIX = [
     "dedup_embedding_cosine_lsh",
     "dedup_components_star",
     "sim_knn_cosine_brute",
-    "sim_ann_lsh_topk",
+    "sim_ann_pq_adc_topk",
     "sim_ann_ivf_kmeans_topk",
     "sim_semdedup",
-    "text_token_count",
+    "pipeline_pii_redact",
     "text_quality_score",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "ts_resample_gapfill",
     "mm_jpeg_decode_stats",
-    "stream_session_exec",
+    "stream_dedup_exec",
     "stream_stateful_totals_exec",
     "stream_stream_join_exec",
     "rollup_daily_by_type",

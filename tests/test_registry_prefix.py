@@ -29,13 +29,15 @@ FAMILY_REPRESENTATIVES = {
     "sketch_hll_distinct": "sketch",
     "merge_upsert_orders": "merge",
     "skew_salted_agg": "skew",
-    "pdf_grouped_map_topnorm": "pandas",
+    "mm_adpcm_audio_features": "compressed",
     "dedup_exact": "dedup",
     "sim_knn_cosine_brute": "similarity",
-    "text_token_count": "text",
+    "sim_ann_pq_adc_topk": "pq",
+    "pipeline_pii_redact": "pii",
+    "text_quality_score": "text",
     "ts_asof_join": "timeseries",
     "mm_jpeg_decode_stats": "multimodal",
-    "stream_session_exec": "streaming",
+    "stream_dedup_exec": "streaming",
     "rollup_daily_by_type": "rollup",
     "bucketed_colocated_join": "bucketing",
     "pipeline_clean_corpus": "pipeline",
