@@ -164,6 +164,7 @@ def load_all() -> dict[str, QuerySpec]:
         misc,
         aggregates,
         functions,
+        graph,
     )
 
     ordered = {name: REGISTRY[name] for name in CURATED_PREFIX}
