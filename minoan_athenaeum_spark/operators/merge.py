@@ -75,3 +75,38 @@ def merge_upsert(
             .alias(c)
         )
     return j.select(*out_cols)
+
+
+def apply_changelog(
+    changelog: DataFrame,
+    key: str,
+    seq: str,
+    op: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """CDC changelog compaction: collapse an insert/update/delete event
+    stream to the current snapshot — the Debezium/binlog-materialization
+    pattern (last writer wins by ``seq``; a final ``'D'`` removes the
+    key; a later I/U after a D re-inserts it).
+
+    Implemented as a single ``groupBy(key)`` with ``max_by`` per
+    payload column (+ the final op), NOT a row_number window: max_by
+    carries O(1) state per key through a partial (map-side) aggregate,
+    so the shuffle moves one pre-reduced row per key per input
+    partition instead of sorting every version of every key — at
+    100 TB of changelog that is the difference between a merge-sort of
+    the full history and a cheap hash aggregate.
+
+    PRECONDITION: ``seq`` is unique per key (true of binlog positions /
+    LSNs by construction). Emits ``versions`` (change-count per key)
+    alongside the surviving payload.
+    """
+    aggs = [F.max_by(F.col(c), F.col(seq)).alias(c) for c in payload_cols]
+    aggs.append(F.max_by(F.col(op), F.col(seq)).alias("__final_op"))
+    aggs.append(F.count("*").alias("versions"))
+    return (
+        changelog.groupBy(key)
+        .agg(*aggs)
+        .where(F.col("__final_op") != F.lit("D"))
+        .drop("__final_op")
+    )

@@ -165,6 +165,7 @@ def load_all() -> dict[str, QuerySpec]:
         aggregates,
         functions,
         graph,
+        cdc,
     )
 
     ordered = {name: REGISTRY[name] for name in CURATED_PREFIX}
