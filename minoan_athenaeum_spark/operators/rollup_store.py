@@ -21,29 +21,10 @@ def build_rollups(
     """Write one parquet rollup table per grain, partitioned by
     event_type (partition pruning on the common filter column)."""
     grains = grains or GRAINS
-    base = events.select(
-        "event_type",
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("us"),
-        F.col("value").cast("decimal(12,2)").alias("v"),
-    )
     for name, secs in grains.items():
-        rolled = (
-            base.withColumn(
-                "bucket", (F.floor(F.expr("us div 1000000") / secs) * secs).cast("long")
-            )
-            .groupBy("event_type", "bucket")
-            .agg(
-                F.count("*").alias("cnt"),
-                F.sum("v").alias("sum_v"),
-                F.min("v").alias("min_v"),
-                F.max("v").alias("max_v"),
-                F.countDistinct("user_id").alias("nd_users"),
-            )
-        )
-        rolled.write.mode("overwrite").partitionBy("event_type").parquet(
-            f"{out_dir}/rollup_{name}"
-        )
+        aggregate_at_grain(events, secs).write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(f"{out_dir}/rollup_{name}")
 
 
 def pick_grain(requested_secs: int, grains: dict[str, int] | None = None) -> str:
@@ -86,3 +67,65 @@ def query_rollup(
         )
     )
     return rolled
+
+
+def aggregate_at_grain(events: DataFrame, secs: int) -> DataFrame:
+    """Aggregate raw events to one grain: the single source of truth
+    for the rollup schema (build_rollups and the incremental refresh
+    both delegate here, so stored and recomputed buckets can never
+    diverge structurally)."""
+    return (
+        events.select(
+            "event_type",
+            "user_id",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+            (
+                F.floor(F.expr("unix_micros(ts) div 1000000") / secs) * secs
+            ).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.countDistinct("user_id").alias("nd_users"),
+        )
+    )
+
+
+def refresh_dirty_buckets(
+    existing: DataFrame, all_events: DataFrame, delta: DataFrame, secs: int
+) -> DataFrame:
+    """Incremental continuous-aggregate refresh via dirty-bucket
+    invalidation (the TimescaleDB continuous-aggregate model): the
+    delta marks (event_type, bucket) pairs dirty; ONLY those buckets
+    are re-aggregated from raw events, everything else is served
+    unchanged from the existing rollup.
+
+    Recompute-not-merge is deliberate: COUNT(DISTINCT user_id) is not
+    mergeable across partial aggregates, and recomputing only dirty
+    buckets keeps it exact while still never rescanning clean history.
+
+    Scale shape: the raw re-scan is pre-filtered by the delta's minimum
+    bucket time (a pushed-down predicate that prunes time partitions —
+    late data is almost always recent) and then exact-filtered by a
+    broadcastable semi-join on the dirty keys; the clean side is a
+    rollup-sized anti-join. Raw history outside the dirty window is
+    never read.
+    """
+    bucket_of = (
+        F.floor(F.expr("unix_micros(ts) div 1000000") / secs) * secs
+    ).cast("long")
+    dirty = delta.select("event_type", bucket_of.alias("bucket")).distinct()
+    min_bucket = dirty.agg(F.min("bucket")).collect()[0][0]
+    if min_bucket is None:  # empty delta: nothing to refresh
+        return existing
+    recomputed = aggregate_at_grain(
+        all_events.where(F.expr("unix_micros(ts) div 1000000") >= min_bucket),
+        secs,
+    ).join(F.broadcast(dirty), ["event_type", "bucket"], "left_semi")
+    kept = existing.join(
+        F.broadcast(dirty), ["event_type", "bucket"], "left_anti"
+    )
+    return kept.unionByName(recomputed)
