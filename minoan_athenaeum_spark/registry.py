@@ -78,6 +78,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family; token counts are embedded in every pipeline capstone), and
 # watermark-bounded streaming dedup for session windows (evt_sessionize
 # keeps the session shape in window via its batch twin).
+#
+# Round-4 continuation rotated four more like-for-like slots so the
+# session's new operators get their one external verification:
+# cdc_apply_changelog for merge_upsert_orders (merge/CDC family),
+# rollup_incremental_refresh for rollup_daily_by_type (rollup family;
+# the refresh path exercises the same aggregate_at_grain math),
+# text_inverted_index for text_quality_score (text family), and
+# graph_triangle_count for fn_array_ops (scalar functions keep two
+# reps: fn_string_basics + fn_pandas_udf_vectorized; the new graph
+# family gains its representative). All four verified green at sf0.01
+# before rotation; rotated-out members stay pytest-oracled.
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -101,12 +112,12 @@ CURATED_PREFIX = [
     "stat_variance_stddev",
     # scalar functions + both Python-UDF paths
     "fn_string_basics",
-    "fn_array_ops",
+    "graph_triangle_count",
     "fn_pandas_udf_vectorized",
     "misc_scd2_dimension",
     "evt_sessionize",
     "sketch_hll_distinct",
-    "merge_upsert_orders",
+    "cdc_apply_changelog",
     "skew_salted_agg",
     "mm_adpcm_audio_features",
     # training-data extensions: dedup / similarity / text
@@ -121,7 +132,7 @@ CURATED_PREFIX = [
     "sim_ann_ivf_kmeans_topk",
     "sim_semdedup",
     "pipeline_pii_redact",
-    "text_quality_score",
+    "text_inverted_index",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "ts_resample_gapfill",
@@ -129,7 +140,7 @@ CURATED_PREFIX = [
     "stream_dedup_exec",
     "stream_stateful_totals_exec",
     "stream_stream_join_exec",
-    "rollup_daily_by_type",
+    "rollup_incremental_refresh",
     "bucketed_colocated_join",
     # pipeline capstones
     "pipeline_clean_corpus",

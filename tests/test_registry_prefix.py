@@ -23,22 +23,23 @@ FAMILY_REPRESENTATIVES = {
     "win_time_range_moving_sum": "window",
     "stat_variance_stddev": "stats",
     "fn_string_basics": "functions",
+    "graph_triangle_count": "graph",
     "fn_pandas_udf_vectorized": "pandas-udf",
     "misc_scd2_dimension": "scd2",
     "evt_sessionize": "events",
     "sketch_hll_distinct": "sketch",
-    "merge_upsert_orders": "merge",
+    "cdc_apply_changelog": "merge",
     "skew_salted_agg": "skew",
     "mm_adpcm_audio_features": "compressed",
     "dedup_exact": "dedup",
     "sim_knn_cosine_brute": "similarity",
     "sim_ann_pq_adc_topk": "pq",
     "pipeline_pii_redact": "pii",
-    "text_quality_score": "text",
+    "text_inverted_index": "text",
     "ts_asof_join": "timeseries",
     "mm_jpeg_decode_stats": "multimodal",
     "stream_dedup_exec": "streaming",
-    "rollup_daily_by_type": "rollup",
+    "rollup_incremental_refresh": "rollup",
     "bucketed_colocated_join": "bucketing",
     "pipeline_clean_corpus": "pipeline",
 }
