@@ -1,0 +1,103 @@
+"""Distributed prefix sum (parallel scan) and the operators built on
+it.
+
+A naive global running sum — ``Window.orderBy(col)`` with no
+partitionBy — collapses the whole dataset into ONE partition (Spark
+warns `WindowExec: No Partition Defined`); at 100 TB that is a
+guaranteed OOM. The classic two-phase scan fixes it:
+
+1. range-partition by the order column; per-partition local running
+   sums (each partition sorts only its own slice);
+2. per-partition totals (one tiny row per partition) get their own
+   exclusive prefix via a window over partition ids — thousands of
+   rows at most, safe on one reducer — and broadcast-join back as
+   offsets.
+
+Total cost: one range shuffle of the data + one tiny offsets job; no
+step ever holds more than a partition in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Inclusive global running sum of ``value_col`` in ``order_col``
+    order (order values must be unique — they define the scan order).
+
+    Returns the input columns plus ``out_col``. Deterministic for any
+    range-boundary placement: the scan order is the total order of
+    ``order_col``, so boundaries only move work, not results.
+    """
+    d = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        if num_partitions
+        else df.repartitionByRange(F.col(order_col))
+    )
+    d = d.withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
+
+    totals = local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
+    w_off = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptotal").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, F.col("_local") + F.col("_off"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    order_col: str,
+    weight_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weight-proportional systematic sampling without replacement:
+    lay every row's integer weight end-to-end along a line in
+    ``order_col`` order, then pick the row covering each of the ``k``
+    evenly spaced points — the classic PPS-systematic design (Madow
+    1949), fully deterministic and integer-exact (selection tests
+    ``floor(cum·k/total) > floor((cum−w)·k/total)``, no floats).
+
+    Rows heavier than total/k can cover several points (sample_hits
+    reports how many); every row's inclusion probability is
+    proportional to its weight. Adds ``cum`` and ``sample_hits``
+    (>0 ⇒ selected).
+
+    Scale: one range shuffle (the scan) + a broadcast of the scalar
+    total; weights*k must fit in BIGINT — beyond ~9e18 move the
+    selection arithmetic to DECIMAL(38,0).
+    """
+    c = global_cumsum(df, order_col, weight_col, "cum", num_partitions)
+    total = c.agg(F.max("cum").alias("t"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .withColumn(
+            "sample_hits",
+            (
+                F.expr(f"cum * {k} div t")
+                - F.expr(f"(cum - {weight_col}) * {k} div t")
+            ).cast("long"),
+        )
+        .drop("t")
+    )

@@ -560,3 +560,42 @@ def pipeline_url_blocklist_filter(spark, sf_dir):
         .distinct()
     )
     return urls.join(blocked, "doc_id", "left_anti").select("doc_id", "host")
+
+
+_WSAMPLE_ORACLE = """
+    WITH c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ), tt AS (SELECT MAX(cum) AS t FROM c)
+    SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+           CAST((cum * 50) // t - ((cum - n_chars) * 50) // t AS BIGINT)
+             AS sample_hits
+    FROM c, tt
+    WHERE (cum * 50) // t - ((cum - n_chars) * 50) // t > 0
+"""
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle=_WSAMPLE_ORACLE,
+    tags=("pipeline", "sampling", "scan"),
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    """Weight-proportional (PPS) systematic sample of ~50 documents by
+    character count — the 'sample big docs more' curation primitive —
+    built on the distributed two-phase prefix scan
+    (`operators/scan.py::global_cumsum`), NOT a single-partition
+    global window: per-partition local running sums + a broadcast of
+    the tiny per-partition offsets, so no executor ever materializes
+    more than its own slice. Selection is integer-exact
+    (floor-crossing rule), hence bit-reproducible and replayed
+    verbatim by the window-function oracle.
+    """
+    from minoan_athenaeum_spark.operators.scan import weighted_systematic_sample
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    s = weighted_systematic_sample(docs, "doc_id", "n_chars", k=50)
+    return s.where(F.col("sample_hits") > 0).select(
+        "doc_id", "n_chars", F.col("cum").cast("long").alias("cum"), "sample_hits"
+    )
