@@ -411,3 +411,105 @@ def dedup_components_star(spark, sf_dir):
     return comps.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
+
+
+_SUBSTRING_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), aug AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 10 = 7 AND d.doc_id IS NOT NULL
+                  THEN list_concat(b.tk, list_slice(d.tk, 6, 45))
+                  ELSE b.tk END AS tk
+      FROM base b
+      LEFT JOIN base d ON d.doc_id = b.doc_id - 5 AND b.doc_id % 10 = 7
+    ), posting0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, greatest(len(tk) - 19, 0) + 1),
+               i -> struct_pack(
+                 pos := CAST(i - 1 AS BIGINT),
+                 gram := array_to_string(list_slice(tk, i, i + 19), ' ')))) AS g
+      FROM aug
+    ), posting AS (
+      SELECT doc_id, g.pos AS pos, g.gram AS gram FROM posting0
+    ), dup AS (
+      SELECT gram FROM posting GROUP BY gram HAVING COUNT(*) >= 2
+    ), marked AS (
+      SELECT p.doc_id, p.pos FROM posting p JOIN dup USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 20
+                  THEN 0 ELSE 1 END AS brk
+      FROM marked
+    ), grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, g, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+      FROM grp GROUP BY doc_id, g
+    )
+    SELECT s.doc_id, s.span_start, s.span_end,
+           s.span_end - s.span_start + 1 AS span_len,
+           md5(array_to_string(
+             list_slice(a.tk, CAST(s.span_start + 1 AS BIGINT),
+                        CAST(s.span_end + 1 AS BIGINT)), ' ')) AS span_md5
+    FROM spans s JOIN aug a USING (doc_id)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_ORACLE,
+    tags=("dedup", "substring"),
+)
+def dedup_substring_spans(spark, sf_dir):
+    """EXACT SUBSTRING dedup (Lee et al., ACL 2022 "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    run of >= 20 tokens that occurs verbatim more than once in the
+    corpus, as (doc, span_start, span_end, span_len, md5-of-span).
+    Document-level dedup misses shared boilerplate inside otherwise
+    distinct pages; this is the operator that catches it.
+
+    The synthetic corpus has no natural 20-token repeats, so the query
+    first builds a deterministic quotation corpus — every doc with
+    doc_id % 10 == 7 appends tokens 6..45 of doc (doc_id - 5) — and the
+    oracle replays the identical construction; a green row proves the
+    operator finds exactly the injected 40-token shared spans (donor
+    and quoting side both marked, overlapping windows merged into one
+    maximal span each).
+
+    Scale shape (operators/substring.py::duplicated_spans): postings
+    shuffle 8-byte gram hashes + two ints (gram text never enters an
+    exchange); duplicated grams come out of a map-side-combined
+    count>=2 aggregate (a million-fold repeated phrase is ONE row — no
+    hot posting list); span merge is a per-doc window. Gram hashing is
+    xxhash64 (narrow shuffles); the oracle groups the gram STRINGS —
+    results agree unless xxhash64 collides among corpus grams
+    (p ~ 1e-11 at this corpus size)."""
+    from minoan_athenaeum_spark.operators.substring import duplicated_spans
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized(), " ").alias("tk")
+    )
+    donors = d.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.slice("tk", 6, 40).alias("quote"),
+    )
+    aug = (
+        d.join(donors, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % 10 == 7) & F.col("quote").isNotNull(),
+                F.concat(F.col("tk"), F.col("quote")),
+            )
+            .otherwise(F.col("tk"))
+            .alias("tk"),
+        )
+    )
+    return duplicated_spans(aug, id_col="doc_id", tokens_col="tk", length=20)
