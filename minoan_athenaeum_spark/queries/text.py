@@ -316,7 +316,7 @@ _INVERTED_ORACLE = r"""
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS df,
            CAST(SUM(tf) AS BIGINT) AS total_tf,
-           (list(doc_id ORDER BY doc_id))[1:20] AS postings_head
+           array_to_string((list(doc_id ORDER BY doc_id))[1:20], ',') AS postings_head
     FROM tf
     GROUP BY term
 """
@@ -348,7 +348,7 @@ def text_inverted_index(spark, sf_dir):
     return tf.groupBy("term").agg(
         F.count("*").alias("df"),
         F.sum("tf").alias("total_tf"),
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias(
-            "postings_head"
-        ),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("postings_head"),
     )
