@@ -1,0 +1,141 @@
+"""Distributed suffix-array construction by prefix doubling.
+
+The suffix array (the permutation that sorts all suffixes of a corpus)
+underlies the strongest exact-dedup tooling — Lee et al.'s substring
+dedup ships a suffix-array implementation precisely because it finds
+ALL repeated substrings, not just fixed-L grams. A suffix automaton /
+in-RAM sort does not survive 100 TB; prefix doubling
+(Manber-Myers 1990) does, because every round is plain relational
+algebra:
+
+  round k:  rank_{2k}(p)  =  dense_rank( rank_k(p), rank_k(p+k) )
+
+* ``rank_k(p+k)`` is a self-equi-join on position (one narrow shuffle
+  of (pos, rank) longs); positions past the end rank as -1, which
+  reproduces "a proper prefix sorts before its extensions" — exactly
+  byte-wise string comparison.
+* the dense_rank is the two-phase distributed ranking below — a range
+  shuffle of the distinct pairs plus a broadcast of per-partition
+  offsets; NO global single-partition window ever exists.
+* ceil(log2 n) rounds total, with an O(1)-row early-exit probe per
+  round (all ranks distinct <=> max rank == n-1).
+
+Cross-engine determinism: ranks are integers, comparisons are integer
+comparisons, and the initial ranks come from ASCII codes — so the
+result is bit-identical to DuckDB's ``ORDER BY substr(corpus, pos)``
+on the same (ASCII) corpus, which is what the oracle runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.operators.scan import global_cumsum
+
+
+def global_dense_rank(
+    df: DataFrame,
+    cols: list[str],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense rank of the tuple ``cols`` over the whole dataset,
+    without a global window.
+
+    Two-phase: (1) distinct key tuples are RANGE-partitioned (so
+    partition i's keys all precede partition i+1's) and locally
+    row-numbered; (2) per-partition counts — one tiny row each — get an
+    exclusive prefix sum on the driver-safe offsets window and
+    broadcast back. Appends ``out_col`` to the input via a join on the
+    key tuple."""
+    kcols = [F.col(c) for c in cols]
+    keys = df.select(*cols).distinct()
+    keys = (
+        keys.repartitionByRange(num_partitions, *kcols)
+        if num_partitions
+        else keys.repartitionByRange(*kcols)
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*kcols)
+    local = keys.withColumn("_lrank", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    ranked = (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(
+            *cols,
+            (F.col("_lrank") + F.col("_off") - 1).cast("bigint").alias(out_col),
+        )
+    )
+    return df.join(ranked, cols)
+
+
+def corpus_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "txt",
+    sep: str = "|",
+) -> DataFrame:
+    """Explode documents into one row per corpus character:
+    (pos, code) with ``pos`` the GLOBAL 0-based position in the
+    concatenation of (text || sep) in ``id_col`` order. Per-doc offsets
+    come from the distributed two-phase prefix scan — no driver-side
+    concatenation ever happens. ASCII corpora only (codes are
+    codepoints; byte order == codepoint order only for ASCII)."""
+    d = docs.select(
+        F.col(id_col), F.concat(F.col(text_col), F.lit(sep)).alias("_s")
+    ).withColumn("_len", F.length("_s").cast("bigint"))
+    d = global_cumsum(d, id_col, "_len", "_cum")
+    d = d.withColumn("_off", F.col("_cum") - F.col("_len"))
+    return d.select(
+        "_off", F.posexplode(F.split("_s", "")).alias("_i", "_ch")
+    ).select(
+        (F.col("_off") + F.col("_i")).alias("pos"),
+        F.ascii("_ch").alias("code"),
+    )
+
+
+def suffix_array(
+    chars: DataFrame,
+    n: int,
+    pos_col: str = "pos",
+    code_col: str = "code",
+) -> DataFrame:
+    """Suffix ranks by prefix doubling: returns (pos, rank) where
+    ``rank`` is the 0-based position of suffix ``pos`` in the sorted
+    order of all n suffixes. ``chars`` is (pos, code) as produced by
+    :func:`corpus_positions`; ``n`` is the corpus length (a scalar the
+    caller already knows or counts once).
+
+    Each round: one pos-equi-join + one distributed dense rank; rounds
+    are capped at ceil(log2 n) and exit early once all ranks are
+    distinct. localCheckpoint() cuts the iterative lineage each round
+    (the standard guard for loop-built plans)."""
+    ranks = global_dense_rank(
+        chars.select(F.col(pos_col).alias("pos"), F.col(code_col).alias("code")),
+        ["code"],
+        "rank",
+    ).select("pos", "rank")
+    ranks = ranks.localCheckpoint()
+
+    k = 1
+    while k < n:
+        if ranks.agg(F.max("rank")).first()[0] == n - 1:
+            break
+        shifted = ranks.select(
+            (F.col("pos") - k).alias("pos"), F.col("rank").alias("rank2")
+        )
+        pairs = (
+            ranks.join(shifted, "pos", "left")
+            .withColumn("rank2", F.coalesce(F.col("rank2"), F.lit(-1)))
+        )
+        ranks = (
+            global_dense_rank(pairs, ["rank", "rank2"], "nrank")
+            .select("pos", F.col("nrank").alias("rank"))
+            .localCheckpoint()
+        )
+        k *= 2
+    return ranks

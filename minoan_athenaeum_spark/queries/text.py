@@ -352,3 +352,59 @@ def text_inverted_index(spark, sf_dir):
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
         ).alias("postings_head"),
     )
+
+
+_SUFFIX_ARRAY_ORACLE = r"""
+    WITH c AS (
+      SELECT string_agg(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || '|',
+               '' ORDER BY doc_id) AS corpus
+      FROM documents WHERE doc_id < 40
+    ), p AS (
+      SELECT corpus, CAST(UNNEST(range(0, length(corpus))) AS BIGINT) AS pos
+      FROM c
+    )
+    SELECT pos,
+           CAST(row_number() OVER (ORDER BY substr(corpus, CAST(pos AS INTEGER) + 1)) - 1
+                AS BIGINT) AS rank
+    FROM p
+"""
+
+
+@query("text_suffix_array", oracle=_SUFFIX_ARRAY_ORACLE, tags=("text", "suffix-array"))
+def text_suffix_array(spark, sf_dir):
+    """DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber-Myers) —
+    the index structure under full substring search and
+    all-repeated-substrings dedup (Lee et al.'s substring dedup is
+    built on exactly this). The corpus is the doc_id-ordered
+    concatenation of normalized doc texts (docs < 40, '|'-terminated so
+    the oracle stays cheap); the output is the suffix rank of every
+    corpus position — i.e. the inverse suffix array.
+
+    Scale shape (operators/suffixarray.py): NOTHING is ever assembled
+    on the driver — per-doc offsets come from the two-phase prefix
+    scan, each of the ceil(log2 n) doubling rounds is one narrow
+    (pos, rank) self-join plus a two-phase distributed dense-rank
+    (range-partitioned distinct pairs + broadcast offsets; no global
+    window), and lineage is cut per round with localCheckpoint. The
+    oracle sorts the actual suffix STRINGS (`ORDER BY substr(corpus,
+    pos)`) — rank equality certifies the whole doubling recursion
+    against the definition."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.suffixarray import (
+        corpus_positions,
+        suffix_array,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", normalized().alias("txt"))
+    )
+    chars = corpus_positions(docs, id_col="doc_id", text_col="txt", sep="|")
+    chars = chars.persist()
+    n = chars.count()
+    try:
+        return suffix_array(chars, n)
+    finally:
+        chars.unpersist()
