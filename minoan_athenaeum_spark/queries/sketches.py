@@ -181,3 +181,54 @@ def sketch_approx_percentiles(spark, sf_dir):
         "p50_within_bound",
         "p75_within_bound",
     )
+
+
+_HEAVY_HITTERS_ORACLE = r"""
+    WITH stream AS (
+      SELECT CASE WHEN l_linenumber >= 3 THEN 'hot_' || CAST(l_orderkey % 3 AS VARCHAR)
+                  ELSE 'cold_' || CAST(l_partkey AS VARCHAR) END AS key
+      FROM lineitem
+    ), tot AS (
+      SELECT COUNT(*) AS n FROM stream
+    )
+    SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM stream, tot
+    GROUP BY key, tot.n
+    HAVING COUNT(*) * 20 > tot.n
+"""
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=_HEAVY_HITTERS_ORACLE,
+    tags=("sketch", "heavy-hitters"),
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Frequent items (> n/20 of a skewed key stream) via per-partition
+    MISRA-GRIES summaries + exact candidate re-count
+    (operators/heavyhitters.py). The stream is lineitem keyed so that
+    ~3 hot keys carry more than half the rows while ~2·sf·100k cold
+    keys carry the rest — the sketch pass holds 20 counters per
+    partition against tens of thousands of distinct keys, and the
+    verification shuffle re-counts only the surviving candidates
+    (output-sized, not input-sized): the 100 TB plan for "what are the
+    dominant values" questions.
+
+    The output is DETERMINISTIC despite the sketch (MG guarantees the
+    candidate union is a superset of every key above the threshold;
+    the exact pass then decides membership), which is why a plain
+    GROUP BY ... HAVING cnt*20 > n oracle can gate it. Adversarial
+    partitionings and the superset guarantee are pinned in
+    tests/test_heavy_hitters.py."""
+    from minoan_athenaeum_spark.operators.heavyhitters import heavy_hitters
+
+    li = t(spark, sf_dir, "lineitem")
+    stream = li.select(
+        F.when(
+            F.col("l_linenumber") >= 3,
+            F.concat(F.lit("hot_"), (F.col("l_orderkey") % 3).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold_"), F.col("l_partkey").cast("string")))
+        .alias("key")
+    )
+    return heavy_hitters(stream, "key", 20)
