@@ -408,3 +408,94 @@ def text_suffix_array(spark, sf_dir):
         return suffix_array(chars, n)
     finally:
         chars.unpersist()
+
+
+_BIGRAM_LM_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)),
+                 i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d
+      )
+    ), cbg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM cbg GROUP BY w1
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(cbg.c_bg) AS BIGINT) AS numer,
+           CAST(SUM(cctx.c_ctx) AS BIGINT) AS denom,
+           CAST(CAST(SUM(cbg.c_bg) AS DOUBLE) / CAST(SUM(cctx.c_ctx) AS DOUBLE)
+                AS DOUBLE) AS avg_cond_freq
+    FROM bg
+    JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+    JOIN cctx ON bg.w1 = cctx.w1
+    GROUP BY bg.doc_id
+"""
+
+
+@query("text_bigram_lm_score", oracle=_BIGRAM_LM_ORACLE, tags=("text", "lm", "quality"))
+def text_bigram_lm_score(spark, sf_dir):
+    """Statistical-fluency quality signal: a bigram language model is
+    trained on the corpus itself (C(w1,w2) and C(w1) count tables) and
+    every document is scored by its average conditional bigram
+    frequency Σ C(w1,w2) / Σ C(w1) — the count-based stand-in for LM
+    perplexity filtering (a CCNet/KenLM-style pipeline stage). Docs
+    full of never-seen-elsewhere transitions score low; formulaic docs
+    score high.
+
+    Exactness: both sums are exact BIGINTs and the score is ONE IEEE
+    double division — no floating sums, no logs — so the value is
+    independent of partitioning and bit-equal across engines.
+
+    Scale shape: tokenize/bigram is a map-side explode; the count
+    tables are vocab²-bounded partial aggregates; scoring re-joins the
+    corpus bigram stream to the count tables by key (AQE broadcasts
+    them when small, hash-join otherwise) and reduces per doc — three
+    narrow shuffles total, document text never moves after
+    tokenization. Docs with < 2 tokens have no bigrams and are
+    excluded (identically in both engines)."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized(), " ").alias("tk")
+    )
+    pairs = F.when(
+        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at("tk", i).alias("w1"),
+                F.element_at("tk", i + 1).alias("w2"),
+            ),
+        )
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    return (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("c_bg").alias("numer"),
+            F.sum("c_ctx").alias("denom"),
+        )
+        .withColumn(
+            "avg_cond_freq",
+            F.col("numer").cast("double") / F.col("denom").cast("double"),
+        )
+    )
