@@ -494,3 +494,60 @@ def misc_scd2_dimension(spark, sf_dir):
         )
     )
     return scd2_apply(dim, upd, "ckey", ["segment"], "2000-01-01")
+
+
+_EVENTS_TEXT_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events
+    GROUP BY event_type
+"""
+
+
+@query("src_csv_events_agg", oracle=_EVENTS_TEXT_ORACLE, tags=("source", "csv"))
+def src_csv_events_agg(spark, sf_dir):
+    """CSV source connector, proven by round trip: events exported once
+    to headered CSV (timestamps as epoch micros, money as integer
+    cents — a LOSSLESS text schema), read back with an EXPLICIT schema
+    (no inference pass — at 100 TB schema inference is a full extra
+    scan), and aggregated; the oracle reads the original parquet, so a
+    green row certifies the text round trip bit-for-bit.
+    Export is fingerprint-keyed (sources/textio.py) — regenerated
+    testdata can never serve a stale export."""
+    from minoan_athenaeum_spark.sources.textio import (
+        ensure_events_export,
+        read_events_csv,
+    )
+
+    path = ensure_events_export(spark, sf_dir, "csv")
+    ev = read_events_csv(spark, path)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+
+
+@query("src_jsonl_events_agg", oracle=_EVENTS_TEXT_ORACLE, tags=("source", "jsonl"))
+def src_jsonl_events_agg(spark, sf_dir):
+    """JSON-lines source connector, same round-trip proof and lossless
+    text schema as src_csv_events_agg (JSONL is the lingua franca of
+    web-scraped training corpora — every dump reader starts here)."""
+    from minoan_athenaeum_spark.sources.textio import (
+        ensure_events_export,
+        read_events_jsonl,
+    )
+
+    path = ensure_events_export(spark, sf_dir, "json")
+    ev = read_events_jsonl(spark, path)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )

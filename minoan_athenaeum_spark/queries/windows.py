@@ -106,3 +106,37 @@ def win_time_range_moving_sum(spark, sf_dir):
         F.sum(dec(F.col("value"), 12, 2)).over(w).cast("double").alias("hour_sum"),
         F.count("*").over(w).alias("n_in_hour"),
     )
+
+
+@query(
+    "win_distribution_funcs",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM customer
+    WHERE c_acctbal > 9000
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window", "distribution"),
+)
+def win_distribution_funcs(spark, sf_dir):
+    """Distribution window functions — percent_rank, cume_dist,
+    ntile(4) — per market segment over account balance. The ORDER BY is
+    made total with the unique custkey tiebreak so ntile (which splits
+    by row position, not value) is deterministic; percent_rank and
+    cume_dist are exact-integer ratios through one IEEE division, so
+    all three are bit-equal across engines."""
+    w = W.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
