@@ -551,3 +551,45 @@ def src_jsonl_events_agg(spark, sf_dir):
         F.min("us").alias("first_us"),
         F.max("us").alias("last_us"),
     )
+
+
+@query(
+    "misc_compaction_roundtrip",
+    oracle=_EVENTS_TEXT_ORACLE,
+    tags=("maintenance", "compaction"),
+)
+def misc_compaction_roundtrip(spark, sf_dir):
+    """Small-files compaction proven by round trip: events is first
+    splintered into 64 tiny parquet files (the streaming-sink
+    pathology), then compacted to ~4 MB targets via the metadata-driven
+    repartition (sources/parquet_sink.py::compact_small_files — file
+    count from the LISTING, no extra data pass), and the compacted copy
+    is aggregated against the original-parquet oracle. A green row
+    certifies compaction moved every row exactly once. File-count
+    behavior is pinned separately in tests/test_compaction.py."""
+    import os
+
+    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
+    from minoan_athenaeum_spark.sources.parquet_sink import compact_small_files
+
+    fp = _source_fingerprint(f"{sf_dir}/events.parquet")[:16]
+    base = f"/tmp/mas_compaction/{fp}"
+    shattered, compacted = f"{base}/shattered", f"{base}/compacted"
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        ev.repartition(64).write.mode("overwrite").parquet(shattered)
+        compact_small_files(spark, shattered, compacted, target_bytes=4 * 1024 * 1024)
+    ev = spark.read.parquet(compacted)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
