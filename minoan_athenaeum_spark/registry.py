@@ -89,6 +89,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # reps: fn_string_basics + fn_pandas_udf_vectorized; the new graph
 # family gains its representative). All four verified green at sf0.01
 # before rotation; rotated-out members stay pytest-oracled.
+#
+# Later in the round-4 continuation, three more like-for-like swaps
+# for the session's flagship additions (each verified green vs its
+# DuckDB oracle at sf0.001 AND sf0.01 before rotation):
+# dedup_substring_spans for dedup_simhash (dedup family — simhash was
+# driver-green r2/r3; substring dedup is the Lee-et-al. operator the
+# family lacked), text_suffix_array for ts_resample_gapfill (the
+# time-series family keeps ts_asof_join; the text-index family gains
+# the prefix-doubling suffix array next to the inverted index), and
+# sketch_heavy_hitters for stat_variance_stddev (summary-statistics
+# family — variance/stddev was driver-green r1-r3 and stays
+# pytest-oracled; the Misra-Gries sketch-then-verify plan is the
+# scale-relevant member).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -109,7 +122,7 @@ CURATED_PREFIX = [
     "tpch_q18_large_orders",
     "setop_intersect",
     "win_time_range_moving_sum",
-    "stat_variance_stddev",
+    "sketch_heavy_hitters",
     # scalar functions + both Python-UDF paths
     "fn_string_basics",
     "graph_triangle_count",
@@ -124,7 +137,7 @@ CURATED_PREFIX = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_substring_spans",
     "dedup_embedding_cosine_lsh",
     "dedup_components_star",
     "sim_knn_cosine_brute",
@@ -135,7 +148,7 @@ CURATED_PREFIX = [
     "text_inverted_index",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
-    "ts_resample_gapfill",
+    "text_suffix_array",
     "mm_jpeg_decode_stats",
     "stream_dedup_exec",
     "stream_stateful_totals_exec",

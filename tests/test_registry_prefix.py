@@ -21,7 +21,9 @@ FAMILY_REPRESENTATIVES = {
     "tpch_q18_large_orders": "tpch",
     "setop_intersect": "setop",
     "win_time_range_moving_sum": "window",
-    "stat_variance_stddev": "stats",
+    "sketch_heavy_hitters": "heavy-hitters",
+    "dedup_substring_spans": "substring",
+    "text_suffix_array": "suffix-array",
     "fn_string_basics": "functions",
     "graph_triangle_count": "graph",
     "fn_pandas_udf_vectorized": "pandas-udf",
