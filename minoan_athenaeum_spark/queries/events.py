@@ -173,3 +173,38 @@ def evt_pivot_counts(spark, sf_dir):
         for et in ("click", "view", "purchase", "signup", "error")
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+@query(
+    "evt_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tags=("events", "variant", "json"),
+)
+def evt_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through the VARIANT type (Spark 4):
+    props parses once into the binary variant encoding
+    (``parse_json``), then fields are read with typed
+    ``variant_get`` — the engine path that replaces repeated
+    string-level ``get_json_object`` parsing. At scale the difference
+    is structural: VARIANT parses each JSON document ONCE into a
+    shredded binary form that all downstream extractions share, while
+    the string path re-parses per extraction expression. The oracle
+    computes the same aggregates with DuckDB's JSON functions."""
+    e = t(spark, sf_dir, "events")
+    v = e.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.count("*").alias("cnt"),
+    )

@@ -335,3 +335,52 @@ def fn_pandas_udf_vectorized(spark, sf_dir):
         py_token_count(F.col("text")).alias("py_tokens"),
         py_len_bucket(F.col("text")).alias("py_bucket"),
     )
+
+
+@query(
+    "fn_python_udtf",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(
+               regexp_split_to_array(lower(trim(text)), '\s+'))) AS word
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, word, CAST(length(word) AS INTEGER) AS wlen
+    FROM words WHERE word <> ''
+    """,
+    tags=("functions", "udtf"),
+)
+def fn_python_udtf(spark, sf_dir):
+    """Python USER-DEFINED TABLE FUNCTION (Spark 4 ``@udtf``): a
+    row-to-many-rows generator usable in a lateral position — the
+    extension point for tokenizers/parsers that genuinely need Python
+    yet must produce table-shaped output. The UDTF emits each doc's
+    distinct words with lengths; the oracle replays it with SQL list
+    functions. (Arrow-optimized UDTFs batch rows through the same
+    Arrow channel as pandas UDFs; this demo registers the plain form —
+    the plumbing under both is identical table-function planning.)"""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="word: string, wlen: int")
+    class DistinctWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            seen = set()
+            for w in text.lower().strip().split():
+                if w and w not in seen:
+                    seen.add(w)
+                    yield w, len(w)
+
+    spark.udtf.register("mas_distinct_words", DistinctWords)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("mas_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.word, w.wlen
+        FROM mas_udtf_docs d,
+             LATERAL mas_distinct_words(d.text) w
+        """
+    )
