@@ -208,3 +208,172 @@ def evt_variant_extract(spark, sf_dir):
         F.max("k").alias("max_k"),
         F.count("*").alias("cnt"),
     )
+
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS name, CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users
+    UNION ALL
+    SELECT 2, 'view>click', CAST((SELECT COUNT(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT 3, 'view>click>purchase', CAST((SELECT COUNT(*) FROM p) AS BIGINT)
+"""
+
+
+@query("evt_funnel_stages", oracle=_FUNNEL_ORACLE, tags=("events", "funnel"))
+def evt_funnel_stages(spark, sf_dir):
+    """ORDERED-SEQUENCE FUNNEL (view -> click -> purchase): how many
+    users completed each prefix of the journey IN ORDER — the core
+    product-analytics operator (a user who purchased before ever
+    clicking does not count for stage 3). Each stage is the
+    conditional-min pattern: earliest qualifying event strictly after
+    the previous stage's timestamp.
+
+    Scale shape: events are filtered to each stage's type FIRST
+    (map-side, pushdown-friendly), then shuffled once per stage on
+    user_id; AQE co-partitions the stage joins on the same key, and
+    stage tables only ever shrink. Timestamps never appear in the
+    output (driver-hash discipline) — only stage counts."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = lambda num, name, df: df.agg(  # noqa: E731
+        F.lit(num).alias("stage"),
+        F.lit(name).alias("name"),
+        F.count("*").alias("users"),
+    )
+    return (
+        stage(1, "view", v)
+        .unionAll(stage(2, "view>click", c))
+        .unionAll(stage(3, "view>click>purchase", p))
+    )
+
+
+_RETENTION_ORACLE = """
+    WITH cohort AS (
+      SELECT user_id,
+             strftime(date_trunc('week', MIN(ts)), '%Y-%m-%d') AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('week', ts), '%Y-%m-%d') AS active_week
+      FROM events
+    )
+    SELECT c.cohort_week, a.active_week,
+           CAST(COUNT(*) AS BIGINT) AS users
+    FROM cohort c JOIN activity a USING (user_id)
+    GROUP BY c.cohort_week, a.active_week
+"""
+
+
+@query("evt_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("events", "retention"))
+def evt_retention_cohorts(spark, sf_dir):
+    """COHORT RETENTION matrix: users bucketed by first-seen week
+    (cohort), counted in every week they were active — the triangle
+    behind every retention curve. Weeks are Monday-truncated dates
+    rendered as strings (identical in Spark and DuckDB; raw timestamps
+    never reach the output).
+
+    Scale shape: one shuffle on user_id for the cohort min, a distinct
+    over (user, week) — partial-agg collapses repeat events map-side —
+    and a cohort⋈activity join co-partitioned on user_id; the final
+    week×week aggregate is tiny."""
+    e = t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
+    )
+    activity = e.select(
+        "user_id",
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
+            "active_week"
+        ),
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+_ANOMALY_ORACLE = """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    ), z AS (
+      SELECT e.event_id, e.event_type, CAST(e.value AS DOUBLE) AS value,
+             (CAST(e.value AS DOUBLE) - s.sx / s.n)
+               / sqrt((s.sxx - s.sx * s.sx / s.n) / (s.n - 1)) AS zscore
+      FROM events e JOIN s USING (event_type)
+    )
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE abs(zscore) > 2.5
+"""
+
+
+@query("evt_anomaly_zscore", oracle=_ANOMALY_ORACLE, tags=("events", "anomaly"))
+def evt_anomaly_zscore(spark, sf_dir):
+    """Z-SCORE ANOMALY DETECTION: events whose value deviates > 2.5
+    sample standard deviations from their event-type mean. Group
+    statistics come from exact decimal power sums (the engine-portable
+    variance recipe), broadcast back onto the stream — a map-only
+    second pass, the standard two-pass outlier screen at any scale.
+    All divisions and the sqrt are single IEEE operations on exact
+    inputs, so the z-scores (and the > 2.5 cut) are bit-identical
+    across engines."""
+    e = t(spark, sf_dir, "events")
+    val = dec(F.col("value"), 12, 2)
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(val).cast("double").alias("sx"),
+        F.sum(val * val).cast("double").alias("sxx"),
+    )
+    mean = F.col("sx") / F.col("n")
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value").cast("double") - mean) / F.sqrt(var)
+    return (
+        e.join(F.broadcast(s), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 2.5)
+    )
