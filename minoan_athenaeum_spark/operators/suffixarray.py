@@ -98,28 +98,30 @@ def corpus_positions(
     )
 
 
-def suffix_array(
+def suffix_array_tables(
     chars: DataFrame,
     n: int,
     pos_col: str = "pos",
     code_col: str = "code",
-) -> DataFrame:
-    """Suffix ranks by prefix doubling: returns (pos, rank) where
-    ``rank`` is the 0-based position of suffix ``pos`` in the sorted
-    order of all n suffixes. ``chars`` is (pos, code) as produced by
-    :func:`corpus_positions`; ``n`` is the corpus length (a scalar the
-    caller already knows or counts once).
+) -> tuple[DataFrame, list[tuple[int, DataFrame]]]:
+    """Prefix doubling, returning the final ranks AND every
+    intermediate rank table as (window, ranks) pairs — rank_w(p) ==
+    rank_w(q) iff the suffixes at p and q share their first w
+    characters. The tables are what LCP binary lifting consumes
+    (:func:`lcp_adjacent`).
 
     Each round: one pos-equi-join + one distributed dense rank; rounds
     are capped at ceil(log2 n) and exit early once all ranks are
-    distinct. localCheckpoint() cuts the iterative lineage each round
-    (the standard guard for loop-built plans)."""
+    distinct (the per-round probe is one scalar agg). localCheckpoint()
+    cuts the iterative lineage each round (the standard guard for
+    loop-built plans)."""
     ranks = global_dense_rank(
         chars.select(F.col(pos_col).alias("pos"), F.col(code_col).alias("code")),
         ["code"],
         "rank",
     ).select("pos", "rank")
     ranks = ranks.localCheckpoint()
+    tables: list[tuple[int, DataFrame]] = [(1, ranks)]
 
     k = 1
     while k < n:
@@ -138,4 +140,73 @@ def suffix_array(
             .localCheckpoint()
         )
         k *= 2
+        tables.append((k, ranks))
+    return ranks, tables
+
+
+def suffix_array(
+    chars: DataFrame,
+    n: int,
+    pos_col: str = "pos",
+    code_col: str = "code",
+) -> DataFrame:
+    """Suffix ranks by prefix doubling: returns (pos, rank) where
+    ``rank`` is the 0-based position of suffix ``pos`` in the sorted
+    order of all n suffixes. ``chars`` is (pos, code) as produced by
+    :func:`corpus_positions`; ``n`` is the corpus length (a scalar the
+    caller already knows or counts once)."""
+    ranks, _tables = suffix_array_tables(chars, n, pos_col, code_col)
     return ranks
+
+
+def lcp_adjacent(
+    tables: list[tuple[int, DataFrame]],
+) -> DataFrame:
+    """LCP array from the doubling rank tables, by BINARY LIFTING:
+    for each rank-adjacent suffix pair (a, b), walk the windows from
+    largest to smallest; whenever rank_w(a+acc) == rank_w(b+acc)
+    (both present), the suffixes agree on w more characters — add w
+    and advance. Correctness needs no level beyond the last doubling
+    round: the early exit fires only when all ranks at window w are
+    distinct, which bounds every adjacent LCP below w, and windows
+    1..w can express any value below 2w.
+
+    Each level is two hash joins of the (n-1)-row pair table against
+    that level's rank table — O(log n) narrow joins, no sequential
+    Kasai pass (which is inherently single-threaded and needs the
+    whole text in RAM).
+
+    Returns (rank, pos, lcp): the suffix at ``rank`` shares ``lcp``
+    leading characters with the suffix at rank-1 (ranks 1..n-1)."""
+    final = tables[-1][1]
+    sa = final.select("rank", F.col("pos").alias("b"))
+    prev = final.select(
+        (F.col("rank") + 1).alias("rank"), F.col("pos").alias("a")
+    )
+    pairs = sa.join(prev, "rank").withColumn("acc", F.lit(0).cast("bigint"))
+
+    for w, ranks in sorted(tables, key=lambda t: -t[0]):
+        ra = ranks.select(
+            F.col("pos").alias("_pa"), F.col("rank").alias("_ra")
+        )
+        rb = ranks.select(
+            F.col("pos").alias("_pb"), F.col("rank").alias("_rb")
+        )
+        pairs = (
+            pairs.join(ra, F.col("a") + F.col("acc") == F.col("_pa"), "left")
+            .join(rb, F.col("b") + F.col("acc") == F.col("_pb"), "left")
+            .withColumn(
+                "acc",
+                F.when(
+                    F.col("_ra").isNotNull()
+                    & F.col("_rb").isNotNull()
+                    & (F.col("_ra") == F.col("_rb")),
+                    F.col("acc") + w,
+                ).otherwise(F.col("acc")),
+            )
+            .drop("_pa", "_ra", "_pb", "_rb")
+            .localCheckpoint()
+        )
+    return pairs.select(
+        "rank", F.col("b").alias("pos"), F.col("acc").alias("lcp")
+    )

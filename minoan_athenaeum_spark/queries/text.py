@@ -499,3 +499,75 @@ def text_bigram_lm_score(spark, sf_dir):
             F.col("numer").cast("double") / F.col("denom").cast("double"),
         )
     )
+
+
+_LCP_ORACLE = r"""
+    WITH c AS (
+      SELECT string_agg(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || '|',
+               '' ORDER BY doc_id) AS corpus
+      FROM documents WHERE doc_id < 40
+    ), p AS (
+      SELECT corpus, CAST(UNNEST(range(0, length(corpus))) AS BIGINT) AS pos
+      FROM c
+    ), o AS (
+      SELECT corpus, pos,
+             CAST(row_number() OVER (ORDER BY substr(corpus, CAST(pos AS INTEGER) + 1)) - 1
+                  AS BIGINT) AS rank
+      FROM p
+    ), pr AS (
+      SELECT corpus, rank, pos,
+             lag(pos) OVER (ORDER BY rank) AS prev_pos
+      FROM o
+    )
+    SELECT rank, pos,
+           CAST(COALESCE(
+             (SELECT MAX(i) FROM range(1, 65) r(i)
+              WHERE substr(corpus, CAST(prev_pos AS INTEGER) + 1, CAST(i AS INTEGER))
+                  = substr(corpus, CAST(pos AS INTEGER) + 1, CAST(i AS INTEGER))),
+             0) AS BIGINT) AS lcp64
+    FROM pr WHERE prev_pos IS NOT NULL
+"""
+
+
+@query("text_lcp_adjacent", oracle=_LCP_ORACLE, tags=("text", "suffix-array", "lcp"))
+def text_lcp_adjacent(spark, sf_dir):
+    """LCP ARRAY over the suffix array, by distributed BINARY LIFTING
+    (operators/suffixarray.py::lcp_adjacent): for every rank-adjacent
+    suffix pair, the length of the common prefix — the structure that
+    turns a suffix array into an all-repeated-substrings index (any
+    substring repeated anywhere appears as an LCP >= its length;
+    max(lcp) IS the longest repeated substring). No Kasai pass: Kasai
+    is inherently sequential and needs the text in RAM; lifting is
+    O(log n) narrow hash joins over the doubling rank tables the
+    suffix-array build already produced.
+
+    Output lcp is capped at 64 ONLY so the oracle's brute-force
+    char-compare stays cheap; the Spark side computes the exact value
+    and applies least(lcp, 64) at the end. The corpus (docs < 40)
+    contains exact-duplicate documents, so deep LCPs (~whole documents)
+    are genuinely exercised — the cap is load-bearing, not
+    decorative."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.suffixarray import (
+        corpus_positions,
+        lcp_adjacent,
+        suffix_array_tables,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", normalized().alias("txt"))
+    )
+    chars = corpus_positions(docs, id_col="doc_id", text_col="txt", sep="|")
+    chars = chars.persist()
+    n = chars.count()
+    try:
+        _ranks, tables = suffix_array_tables(chars, n)
+        lcp = lcp_adjacent(tables)
+        return lcp.select(
+            "rank", "pos", F.least(F.col("lcp"), F.lit(64)).alias("lcp64")
+        )
+    finally:
+        chars.unpersist()

@@ -78,3 +78,49 @@ def test_rank_is_permutation(spark):
     n = len(s) + 1
     assert sorted(ranks.keys()) == list(range(n))
     assert sorted(ranks.values()) == list(range(n))
+
+
+def _brute_lcp(corpus: str) -> dict[int, tuple[int, int]]:
+    order = sorted(range(len(corpus)), key=lambda i: corpus[i:])
+    out = {}
+    for r in range(1, len(order)):
+        a, b = corpus[order[r - 1]:], corpus[order[r]:]
+        l = 0
+        while l < min(len(a), len(b)) and a[l] == b[l]:
+            l += 1
+        out[r] = (order[r], l)
+    return out
+
+
+def _spark_lcp(spark, texts: list[str]) -> dict[int, tuple[int, int]]:
+    from minoan_athenaeum_spark.operators.suffixarray import (
+        lcp_adjacent,
+        suffix_array_tables,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id bigint, txt string"
+    )
+    chars = corpus_positions(docs)
+    n = chars.count()
+    _ranks, tables = suffix_array_tables(chars, n)
+    return {r.rank: (r.pos, r.lcp) for r in lcp_adjacent(tables).collect()}
+
+
+def test_lcp_matches_brute_force_random(spark):
+    rng = random.Random(13)
+    s = "".join(rng.choice("ab c") for _ in range(150))
+    assert _spark_lcp(spark, [s]) == _brute_lcp(s + "|")
+
+
+def test_lcp_deep_repeats(spark):
+    # Duplicate documents force LCPs spanning whole documents — the
+    # deep-lifting path (multiple accepted windows per pair).
+    texts = ["the quick brown fox jumps", "the quick brown fox jumps", "xyz"]
+    corpus = "".join(t + "|" for t in texts)
+    assert _spark_lcp(spark, texts) == _brute_lcp(corpus)
+
+
+def test_lcp_all_same_char(spark):
+    s = "a" * 40
+    assert _spark_lcp(spark, [s]) == _brute_lcp(s + "|")
