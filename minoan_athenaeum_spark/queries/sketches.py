@@ -232,3 +232,54 @@ def sketch_heavy_hitters(spark, sf_dir):
         .alias("key")
     )
     return heavy_hitters(stream, "key", 20)
+
+
+_HLL_MERGE_ORACLE = """
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS exact_custs,
+           CAST(1 AS BIGINT) AS merged_within_bound,
+           CAST(1 AS BIGINT) AS merge_is_lossless
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@query("sketch_hll_mergeable", oracle=_HLL_MERGE_ORACLE, tags=("sketch", "mergeable"))
+def sketch_hll_mergeable(spark, sf_dir):
+    """SKETCH MERGEABILITY — the property that makes sketches the
+    100 TB answer: per-(priority, year) PARTIAL HLL sketches
+    (hll_sketch_agg, Apache DataSketches binaries) are materialized
+    first, then UNIONED per priority (hll_union_agg) and estimated —
+    exactly how a sketch STORE serves "distinct customers this quarter"
+    from pre-aggregated daily sketches without touching raw data.
+
+    Deterministic surface: exact distinct customers per priority, a
+    verdict that the merged estimate lands within 3% of exact, and a
+    verdict that merging partials loses nothing vs sketching the whole
+    group directly (both estimates must be EQUAL — HLL union of
+    register maxima is exact w.r.t. the direct sketch). The oracle
+    asserts both verdicts are 1."""
+    o = t(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    merged = partials.groupBy("priority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("direct_est"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+    )
+    j = merged.join(direct, "priority")
+    rel = F.abs(F.col("merged_est").cast("double") - F.col("exact_custs")) / F.col(
+        "exact_custs"
+    )
+    return j.select(
+        "priority",
+        "exact_custs",
+        (rel < 0.03).cast("bigint").alias("merged_within_bound"),
+        (F.col("merged_est") == F.col("direct_est")).cast("bigint").alias(
+            "merge_is_lossless"
+        ),
+    )

@@ -243,3 +243,46 @@ def agg_count_if_bool(spark, sf_dir):
         F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
     )
+
+
+_EQUIDEPTH_ORACLE = """
+    WITH r AS (
+      SELECT event_type, value, event_id,
+             ntile(8) OVER (PARTITION BY event_type
+                            ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hi
+    FROM r GROUP BY event_type, bucket
+"""
+
+
+@query("stat_equidepth_histogram", oracle=_EQUIDEPTH_ORACLE, tags=("stats", "histogram"))
+def stat_equidepth_histogram(spark, sf_dir):
+    """EQUI-DEPTH HISTOGRAM (8 buckets per event type): the optimizer/
+    monitoring structure that answers "where does the mass sit" with
+    equal row counts per bucket and exact value boundaries. ntile over
+    a TOTAL order (decimal value, event_id tiebreak) makes bucket
+    assignment deterministic; boundaries are exact decimals cast once
+    to double.
+
+    Scale note: ntile partitions by event_type, so each type sorts
+    within its own shuffle partition — for a type too hot for one
+    reducer, the two-phase rank pattern (operators/scan.py) is the
+    drop-in; the per-type histogram here is the common case."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(12,2)")
+    w = W.partitionBy("event_type").orderBy(v.asc(), F.col("event_id").asc())
+    r = e.select(
+        "event_type", v.alias("dv"), F.ntile(8).over(w).alias("bucket")
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.count("*").alias("cnt"),
+        F.min("dv").cast("double").alias("lo"),
+        F.max("dv").cast("double").alias("hi"),
+    )
