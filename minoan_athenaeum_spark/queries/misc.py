@@ -132,3 +132,35 @@ def misc_deterministic_sample(spark, sf_dir):
     return o.filter((F.col("o_orderkey") * 37 + 11) % 100 < 7).select(
         F.col("o_orderkey").alias("okey"), F.col("o_totalprice").alias("price")
     )
+
+
+_FUZZY_ORACLE = """
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND a.c_custkey < 400 AND b.c_custkey < 400
+      AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("misc_fuzzy_join_dist1", oracle=_FUZZY_ORACLE, tags=("fuzzy", "join"))
+def misc_fuzzy_join_dist1(spark, sf_dir):
+    """FUZZY SELF-JOIN (edit distance <= 1) on customer names via
+    FastSS deletion neighborhoods (operators/fuzzy.py) — entity
+    resolution's core primitive, which Spark has no operator for and
+    the naive O(n²) levenshtein cross join cannot deliver at scale.
+    Candidates come from an equi-join on 0/1-deletion variants (a
+    provable dist<=1 superset), then the built-in levenshtein verifies
+    — so the result EQUALS the brute-force definition, which is
+    exactly what the oracle computes (bounded to custkey < 400 so the
+    oracle's quadratic pass stays cheap; the Spark side never goes
+    quadratic at any size)."""
+    from minoan_athenaeum_spark.operators.fuzzy import fuzzy_self_join_dist1
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 400)
+        .select("c_custkey", "c_name")
+    )
+    return fuzzy_self_join_dist1(c, "c_custkey", "c_name")
