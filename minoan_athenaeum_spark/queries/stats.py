@@ -286,3 +286,96 @@ def stat_equidepth_histogram(spark, sf_dir):
         F.min("dv").cast("double").alias("lo"),
         F.max("dv").cast("double").alias("hi"),
     )
+
+
+_MAD_ORACLE = """
+    WITH r AS (
+      SELECT c_mktsegment AS seg, c_acctbal, c_custkey,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM customer
+    ), med AS (
+      SELECT seg,
+             CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN c_acctbal ELSE 0 END)
+                  / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN 1 END) AS DOUBLE) AS median_bal
+      FROM r GROUP BY seg
+    ), dev AS (
+      SELECT r.seg, abs(CAST(r.c_acctbal AS DOUBLE) - m.median_bal) AS ad, r.c_custkey
+      FROM r JOIN med m ON r.seg = m.seg
+    ), r2 AS (
+      SELECT seg, ad,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY ad, c_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM dev
+    )
+    SELECT r2.seg,
+           m.median_bal,
+           CAST(SUM(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN ad ELSE 0 END)
+                / COUNT(CASE WHEN rn IN ((n + 1) // 2, (n + 2) // 2) THEN 1 END) AS DOUBLE) AS mad_bal
+    FROM r2 JOIN med m ON r2.seg = m.seg
+    GROUP BY r2.seg, m.median_bal
+"""
+
+
+@query("stat_median_abs_deviation", oracle=_MAD_ORACLE, tags=("stats", "robust"))
+def stat_median_abs_deviation(spark, sf_dir):
+    """ROBUST dispersion: median absolute deviation (MAD) of account
+    balance per market segment — the outlier-immune alternative to
+    stddev (one corrupted balance moves stddev arbitrarily, MAD not at
+    all). Two passes of the engine-portable rank-selection median
+    (built-in medians differ in interpolation across engines): group
+    median, broadcast back, then the median of |x − median| with the
+    same selection rule. Each pass is one shuffle on the group key;
+    tie-breaks are total (custkey), so both engines select identical
+    elements."""
+    from pyspark.sql import Window as W
+
+    c = t(spark, sf_dir, "customer")
+    w = W.partitionBy("seg").orderBy("c_acctbal", "c_custkey")
+    wn = W.partitionBy("seg")
+    r = c.select(
+        F.col("c_mktsegment").alias("seg"), "c_acctbal", "c_custkey"
+    ).withColumns(
+        {
+            "rn": F.row_number().over(w),
+            "n": F.count("*").over(wn),
+        }
+    )
+    is_mid = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    med = r.groupBy("seg").agg(
+        (
+            F.sum(F.when(is_mid, F.col("c_acctbal")).otherwise(0.0))
+            / F.count(F.when(is_mid, 1))
+        )
+        .cast("double")
+        .alias("median_bal")
+    )
+    dev = (
+        r.join(F.broadcast(med), "seg")
+        .select(
+            "seg",
+            "median_bal",
+            F.abs(F.col("c_acctbal").cast("double") - F.col("median_bal")).alias("ad"),
+            "c_custkey",
+        )
+    )
+    w2 = W.partitionBy("seg").orderBy("ad", "c_custkey")
+    r2 = dev.withColumns(
+        {
+            "rn": F.row_number().over(w2),
+            "n": F.count("*").over(wn),
+        }
+    )
+    is_mid2 = (F.col("rn") == F.floor((F.col("n") + 1) / 2)) | (
+        F.col("rn") == F.floor((F.col("n") + 2) / 2)
+    )
+    return r2.groupBy("seg", "median_bal").agg(
+        (
+            F.sum(F.when(is_mid2, F.col("ad")).otherwise(0.0))
+            / F.count(F.when(is_mid2, 1))
+        )
+        .cast("double")
+        .alias("mad_bal")
+    )
