@@ -87,7 +87,19 @@ def events_ts_unit(sf_dir: str) -> str:
             if not parts:
                 raise FileNotFoundError(f"no parquet part files under {path}")
             path = parts[0]
-        field = pq.ParquetFile(path).schema_arrow.field("ts")
+        pf = pq.ParquetFile(path)
+        # Legacy INT96 timestamps carry no unit annotation — pyarrow
+        # surfaces them as timestamp[ns], which would mis-route them to
+        # the raw-int64 reader. Detect the physical type and let Spark's
+        # native INT96 path read them instead.
+        pschema = pf.schema
+        ts_idx = next(
+            i for i in range(len(pschema)) if pschema.column(i).name == "ts"
+        )
+        if pschema.column(ts_idx).physical_type == "INT96":
+            _EVENTS_TS_UNIT_CACHE[sf_dir] = "int96"
+            return "int96"
+        field = pf.schema_arrow.field("ts")
         if not pa.types.is_timestamp(field.type):
             raise TypeError(
                 f"events.ts is {field.type}, expected a parquet timestamp"
@@ -98,7 +110,12 @@ def events_ts_unit(sf_dir: str) -> str:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    if events_ts_unit(sf_dir) == "ns":
+    unit = events_ts_unit(sf_dir)
+    if unit == "int96":
+        # Spark reads legacy INT96 into a native TimestampType itself;
+        # forcing a schema would fight the vectorized reader.
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+    if unit == "ns":
         raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(
             f"{sf_dir}/events.parquet"
         )

@@ -63,6 +63,12 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_BLOOM_SCAN_MIN", "256MB"),
         )
         .config("spark.sql.session.timeZone", "UTC")
+        # Write timestamps as INT64 micros, never legacy INT96: INT96
+        # loses the unit annotation (footer-based unit detection in
+        # catalog.events_ts_unit can't see it) and is deprecated in the
+        # parquet spec. Derived copies (scale-probe amplification,
+        # compaction, sinks) must stay loadable by the same catalog.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # Arrow for any pandas-UDF path and fast toPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", mem)
