@@ -101,3 +101,56 @@ def weighted_systematic_sample(
         )
         .drop("t")
     )
+
+
+def grouped_two_phase_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group ROW_NUMBER (1-based, ordered by ``order_cols``) without
+    per-group single-reducer sorts.
+
+    ``Window.partitionBy(group).orderBy(...)`` sends EVERY row of a
+    group to one reducer — a hot group (one event type out of five, one
+    tenant out of few) serializes there. The fix is the same two-phase
+    scan shape as :func:`global_cumsum`, keyed by group:
+
+    1. range-partition by (group, order) — a hot group SPANS MANY
+       partitions, each sorting only its slice;
+    2. per-(partition, group) local row numbers;
+    3. per-(partition, group) counts (tiny: partitions × groups rows)
+       get an exclusive per-group running sum over partition ids and
+       broadcast back as offsets.
+
+    Order values must be unique per group (include a tiebreak column)
+    for a deterministic total order."""
+    gcols = [F.col(c) for c in group_cols]
+    ocols = [F.col(c) for c in order_cols]
+    d = (
+        df.repartitionByRange(num_partitions, *gcols, *ocols)
+        if num_partitions
+        else df.repartitionByRange(*gcols, *ocols)
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
+    local = d.withColumn("_lrn", F.row_number().over(w_local))
+    counts = local.groupBy("_pid", *group_cols).agg(
+        F.max("_lrn").alias("_n")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["_pid", *group_cols])
+        .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
+        .drop("_pid", "_lrn", "_off")
+    )

@@ -242,40 +242,54 @@ def evt_funnel_stages(spark, sf_dir):
     conditional-min pattern: earliest qualifying event strictly after
     the previous stage's timestamp.
 
-    Scale shape: events are filtered to each stage's type FIRST
-    (map-side, pushdown-friendly), then shuffled once per stage on
-    user_id; AQE co-partitions the stage joins on the same key, and
-    stage tables only ever shrink. Timestamps never appear in the
-    output (driver-hash discipline) — only stage counts."""
-    e = t(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
+    Scale shape — ONE shuffle total: all three conditional mins are
+    unbounded per-user window aggregates over the SAME partitioning
+    (partitionBy user_id, no ordering), so Catalyst plans a single
+    Exchange with three stacked Window operators; the earlier
+    three-groupBy + two-join form cost 3 shuffles and 109 s at 256×,
+    this form replaces them with one pass over the co-located user
+    partitions. Timestamps never appear in the output (driver-hash
+    discipline) — only stage counts."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    e1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    e2 = e1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        e2.withColumn("t3", t3)
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(
+            F.max(F.col("t1").isNotNull().cast("int")).alias("s1"),
+            F.max(F.col("t2").isNotNull().cast("int")).alias("s2"),
+            F.max(F.col("t3").isNotNull().cast("int")).alias("s3"),
+        )
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    totals = per_user.agg(
+        F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
-    )
-    stage = lambda num, name, df: df.agg(  # noqa: E731
+    stage = lambda num, name, col: totals.select(  # noqa: E731
         F.lit(num).alias("stage"),
         F.lit(name).alias("name"),
-        F.count("*").alias("users"),
+        F.col(col).cast("bigint").alias("users"),
     )
     return (
-        stage(1, "view", v)
-        .unionAll(stage(2, "view>click", c))
-        .unionAll(stage(3, "view>click>purchase", p))
+        stage(1, "view", "n1")
+        .unionAll(stage(2, "view>click", "n2"))
+        .unionAll(stage(3, "view>click>purchase", "n3"))
     )
 
 
@@ -304,24 +318,25 @@ def evt_retention_cohorts(spark, sf_dir):
     rendered as strings (identical in Spark and DuckDB; raw timestamps
     never reach the output).
 
-    Scale shape: one shuffle on user_id for the cohort min, a distinct
-    over (user, week) — partial-agg collapses repeat events map-side —
-    and a cohort⋈activity join co-partitioned on user_id; the final
-    week×week aggregate is tiny."""
+    Scale shape — ONE shuffle on user_id: a single groupBy collects
+    each user's first-seen timestamp AND distinct active weeks
+    (collect_set over week strings is bounded by the calendar — weeks
+    per user can't exceed the horizon), then a map-side explode and a
+    tiny week×week aggregate. The earlier cohort-groupBy + distinct +
+    join form cost three shuffles of the event stream and 68 s at
+    256×."""
     e = t(spark, sf_dir, "events")
-    cohort = e.groupBy("user_id").agg(
+    wk = F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+    per_user = e.groupBy("user_id").agg(
         F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
             "cohort_week"
-        )
-    )
-    activity = e.select(
-        "user_id",
-        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias(
-            "active_week"
         ),
-    ).distinct()
+        F.collect_set(wk).alias("weeks"),
+    )
     return (
-        cohort.join(activity, "user_id")
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("active_week")
+        )
         .groupBy("cohort_week", "active_week")
         .agg(F.count("*").alias("users"))
     )

@@ -247,16 +247,17 @@ def agg_count_if_bool(spark, sf_dir):
 
 _EQUIDEPTH_ORACLE = """
     WITH r AS (
-      SELECT event_type, value, event_id,
-             ntile(8) OVER (PARTITION BY event_type
-                            ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS bucket
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS dv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM events
     )
-    SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+    SELECT event_type, CAST((rn - 1) * 8 // n + 1 AS INTEGER) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS lo,
-           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS hi
-    FROM r GROUP BY event_type, bucket
+           CAST(MIN(dv) AS DOUBLE) AS lo,
+           CAST(MAX(dv) AS DOUBLE) AS hi
+    FROM r GROUP BY event_type, (rn - 1) * 8 // n + 1
 """
 
 
@@ -264,27 +265,37 @@ _EQUIDEPTH_ORACLE = """
 def stat_equidepth_histogram(spark, sf_dir):
     """EQUI-DEPTH HISTOGRAM (8 buckets per event type): the optimizer/
     monitoring structure that answers "where does the mass sit" with
-    equal row counts per bucket and exact value boundaries. ntile over
-    a TOTAL order (decimal value, event_id tiebreak) makes bucket
-    assignment deterministic; boundaries are exact decimals cast once
-    to double.
+    ~equal row counts per bucket and exact value boundaries. Bucket =
+    floor((rank-1)·8 / n) over a TOTAL per-type order (decimal value,
+    event_id tiebreak) — a pure integer formula both engines compute
+    identically.
 
-    Scale note: ntile partitions by event_type, so each type sorts
-    within its own shuffle partition — for a type too hot for one
-    reducer, the two-phase rank pattern (operators/scan.py) is the
-    drop-in; the per-type histogram here is the common case."""
-    from pyspark.sql import Window as W
+    Scale shape: the rank comes from operators/scan.py::
+    grouped_two_phase_rank, NOT a per-type window — a per-type window
+    sorts each type on ONE reducer (79 s at 256× with 5 hot types);
+    the two-phase form range-partitions (type, value) so a hot type
+    spans many partitions, each sorting only its slice, with tiny
+    broadcast offsets stitching global ranks."""
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
 
-    e = t(spark, sf_dir, "events")
-    v = F.col("value").cast("decimal(12,2)")
-    w = W.partitionBy("event_type").orderBy(v.asc(), F.col("event_id").asc())
-    r = e.select(
-        "event_type", v.alias("dv"), F.ntile(8).over(w).alias("bucket")
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("dv"),
+        "event_id",
     )
-    return r.groupBy("event_type", "bucket").agg(
-        F.count("*").alias("cnt"),
-        F.min("dv").cast("double").alias("lo"),
-        F.max("dv").cast("double").alias("hi"),
+    r = grouped_two_phase_rank(
+        e, ["event_type"], ["dv", "event_id"], out_col="rn"
+    )
+    n = r.groupBy("event_type").agg(F.max("rn").alias("n"))
+    return (
+        r.join(F.broadcast(n), "event_type")
+        .withColumn("bucket", F.expr("CAST((rn - 1) * 8 div n + 1 AS INT)"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("dv").cast("double").alias("lo"),
+            F.max("dv").cast("double").alias("hi"),
+        )
     )
 
 
