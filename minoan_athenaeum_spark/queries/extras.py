@@ -593,3 +593,24 @@ def misc_compaction_roundtrip(spark, sf_dir):
         F.min("us").alias("first_us"),
         F.max("us").alias("last_us"),
     )
+
+
+@query("src_orc_events_agg", oracle=_EVENTS_TEXT_ORACLE, tags=("source", "orc"))
+def src_orc_events_agg(spark, sf_dir):
+    """ORC source connector (the third interchange format next to
+    CSV/JSONL — the columnar format the Hive world hands over), proven
+    by the same round trip: export once, explicit-schema read back,
+    aggregate against the original-parquet oracle."""
+    from minoan_athenaeum_spark.sources.textio import (
+        ensure_events_orc,
+        read_events_orc,
+    )
+
+    path = ensure_events_orc(spark, sf_dir)
+    ev = read_events_orc(spark, path)
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )

@@ -599,3 +599,130 @@ def pipeline_weighted_sample(spark, sf_dir):
     return s.where(F.col("sample_hits") > 0).select(
         "doc_id", "n_chars", F.col("cum").cast("long").alias("cum"), "sample_hits"
     )
+
+
+_REMOVE_SPANS_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), aug AS (
+      SELECT b.doc_id,
+             CASE WHEN b.doc_id % 10 = 7 AND d.doc_id IS NOT NULL
+                  THEN list_concat(b.tk, list_slice(d.tk, 6, 45))
+                  ELSE b.tk END AS tk
+      FROM base b
+      LEFT JOIN base d ON d.doc_id = b.doc_id - 5 AND b.doc_id % 10 = 7
+    ), posting0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, greatest(len(tk) - 19, 0) + 1),
+               i -> struct_pack(
+                 pos := CAST(i - 1 AS BIGINT),
+                 gram := array_to_string(list_slice(tk, i, i + 19), ' ')))) AS g
+      FROM aug
+    ), posting AS (
+      SELECT doc_id, g.pos AS pos, g.gram AS gram FROM posting0
+    ), dup AS (
+      SELECT gram FROM posting GROUP BY gram HAVING COUNT(*) >= 2
+    ), offs AS (
+      SELECT UNNEST(range(0, 20)) AS o
+    ), marked AS (
+      SELECT DISTINCT p.doc_id, p.pos + offs.o AS pos
+      FROM posting p
+      JOIN dup USING (gram)
+      CROSS JOIN offs
+    ), toks0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) + 1),
+               i -> struct_pack(pos := CAST(i - 1 AS BIGINT), tok := tk[i]))) AS s
+      FROM aug
+    ), tpos AS (
+      SELECT doc_id, s.pos AS pos, s.tok AS tok FROM toks0
+    ), kept AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+             md5(string_agg(t.tok, ' ' ORDER BY t.pos)) AS clean_md5
+      FROM tpos t
+      ANTI JOIN marked m ON m.doc_id = t.doc_id AND m.pos = t.pos
+      GROUP BY t.doc_id
+    )
+    SELECT a.doc_id,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           COALESCE(k.clean_md5, md5('')) AS clean_md5
+    FROM aug a LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@query(
+    "pipeline_remove_dup_spans",
+    oracle=_REMOVE_SPANS_ORACLE,
+    tags=("pipeline", "substring", "dedup"),
+)
+def pipeline_remove_dup_spans(spark, sf_dir):
+    """SUBSTRING-DEDUP AS A TRANSFORM: rewrite each document with every
+    duplicated >= 20-token run REMOVED (the enforcement step after
+    dedup_substring_spans's detection — Lee et al.'s pipeline cuts the
+    duplicated bytes out of the training set; this variant drops every
+    occurrence, the conservative policy when provenance doesn't rank
+    copies). Same deterministic quotation corpus as the detection
+    query; output is per-doc kept-token count + md5 of the cleaned
+    text, so the gate pins every removed position exactly.
+
+    Scale shape: detection is the operator's narrow-shuffle plan; span
+    intervals come back as a per-doc array via a bounded groupBy, and
+    the rewrite is a map-side array filter — document text is never
+    shuffled, only its spans are."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.substring import duplicated_spans
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(normalized(), " ").alias("tk")
+    )
+    donors = d.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.slice("tk", 6, 40).alias("quote"),
+    )
+    aug = d.join(donors, "doc_id", "left").select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") % 10 == 7) & F.col("quote").isNotNull(),
+            F.concat(F.col("tk"), F.col("quote")),
+        )
+        .otherwise(F.col("tk"))
+        .alias("tk"),
+    )
+    spans = duplicated_spans(aug, id_col="doc_id", tokens_col="tk", length=20)
+    spans_g = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    joined = aug.join(spans_g, "doc_id", "left").withColumn(
+        "spans",
+        F.coalesce(
+            F.col("spans"),
+            F.array().cast("array<struct<span_start:bigint,span_end:bigint>>"),
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk")),
+            lambda i: F.struct(
+                (i - 1).cast("bigint").alias("pos"),
+                F.element_at("tk", i).alias("tok"),
+            ),
+        ),
+        lambda s: ~F.exists(
+            F.col("spans"),
+            lambda sp: (s["pos"] >= sp["span_start"])
+            & (s["pos"] <= sp["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(kept).cast("bigint").alias("kept_tokens"),
+        F.md5(
+            F.array_join(
+                F.transform(kept, lambda s: s["tok"]), " "
+            )
+        ).alias("clean_md5"),
+    )

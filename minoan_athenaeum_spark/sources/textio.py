@@ -76,3 +76,17 @@ def read_events_csv(spark: SparkSession, path: str) -> DataFrame:
 
 def read_events_jsonl(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENTS_TEXT_SCHEMA).json(path)
+
+
+def ensure_events_orc(spark: SparkSession, sf_dir: str) -> str:
+    """Write the events table as ORC once per source fingerprint (same
+    lossless schema as the text exports — epoch-µs BIGINT + integer
+    cents — so the three interchange connectors share one oracle)."""
+    path = _export_path(sf_dir, "orc")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _events_text_df(spark, sf_dir).write.mode("overwrite").orc(path)
+    return path
+
+
+def read_events_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(EVENTS_TEXT_SCHEMA).orc(path)
