@@ -281,15 +281,15 @@ def evt_funnel_stages(spark, sf_dir):
     totals = per_user.agg(
         F.sum("s1").alias("n1"), F.sum("s2").alias("n2"), F.sum("s3").alias("n3")
     )
-    stage = lambda num, name, col: totals.select(  # noqa: E731
-        F.lit(num).alias("stage"),
-        F.lit(name).alias("name"),
-        F.col(col).cast("bigint").alias("users"),
-    )
-    return (
-        stage(1, "view", "n1")
-        .unionAll(stage(2, "view>click", "n2"))
-        .unionAll(stage(3, "view>click>purchase", "n3"))
+    # stack() unpivots the single totals row in one evaluation — a
+    # 3-way union of projections would re-run the whole aggregate per
+    # branch (3 ReusedExchange-stitched copies in the plan).
+    return totals.selectExpr(
+        """stack(3,
+             1, 'view', CAST(n1 AS BIGINT),
+             2, 'view>click', CAST(n2 AS BIGINT),
+             3, 'view>click>purchase', CAST(n3 AS BIGINT)
+           ) AS (stage, name, users)"""
     )
 
 

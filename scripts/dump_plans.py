@@ -48,6 +48,24 @@ EXTRA = [
     "stream_idempotent_sink_exec",
     "win_time_range_moving_sum",
     "pipeline_full_curation",
+    # r4-continuation additions
+    "dedup_substring_spans",
+    "pipeline_remove_dup_spans",
+    "sketch_heavy_hitters",
+    "text_bigram_lm_score",
+    "evt_funnel_stages",
+    "evt_retention_cohorts",
+    "evt_anomaly_zscore",
+    "stat_equidepth_histogram",
+    "stat_median_abs_deviation",
+    "misc_fuzzy_join_dist1",
+    "sketch_hll_mergeable",
+    "win_distribution_funcs",
+    "src_csv_events_agg",
+    "src_orc_events_agg",
+    "misc_compaction_roundtrip",
+    "evt_variant_extract",
+    "fn_python_udtf",
 ]
 
 
