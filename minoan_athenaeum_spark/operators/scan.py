@@ -154,3 +154,41 @@ def grouped_two_phase_rank(
         .withColumn(out_col, (F.col("_lrn") + F.col("_off")).cast("bigint"))
         .drop("_pid", "_lrn", "_off")
     )
+
+
+def grouped_topk_two_phase(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Top-k rows per group without sorting whole groups on single
+    reducers.
+
+    The window form (row_number over partitionBy(group)) ships every
+    row of a group to one reducer and sorts it — the hot-group hazard
+    again. Two-phase instead: (1) per-(input-partition, group) LOCAL
+    top-k via a window on (_pid, group) — a map-side-local sort that
+    discards all but k·P candidate rows; (2) the global window runs on
+    the survivors only (≤ k·P rows per group — bounded regardless of
+    group size). Classic partial-TopK/final-TopK, the same shape
+    Spark's own TakeOrderedAndProject uses globally, applied per
+    group.
+
+    ``order_cols`` must be a total order (include a tiebreak) so both
+    phases select identical rows; entries may be names or Column sort
+    expressions (e.g. ``F.col("x").desc()``). Appends ``rn`` (1..k)."""
+    ocols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    d = df.withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
+    survivors = (
+        d.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_pid", "_lrn")
+    )
+    w_final = Window.partitionBy(*group_cols).orderBy(*ocols)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= k)
+    )

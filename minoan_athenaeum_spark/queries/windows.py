@@ -140,3 +140,41 @@ def win_distribution_funcs(spark, sf_dir):
             F.ntile(4).over(w).alias("quartile"),
         )
     )
+
+
+@query(
+    "win_grouped_topk_two_phase",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk", "two-phase"),
+)
+def win_grouped_topk_two_phase(spark, sf_dir):
+    """Top-3 orders by price per customer via the TWO-PHASE grouped
+    top-k (operators/scan.py::grouped_topk_two_phase): local per-
+    partition top-k discards everything but k candidates per (input
+    partition, group) BEFORE the shuffle, so the final per-group window
+    sees a bounded row count however hot the group — the plan
+    ``row_number over partitionBy(group)`` cannot deliver when one
+    group dominates (whole group on one reducer). Same results as the
+    plain window (the oracle IS the plain window), different physics."""
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    top = grouped_topk_two_phase(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+    )
+    return top.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        "rn",
+    )

@@ -60,3 +60,35 @@ def test_sampler_huge_row_gets_multiple_hits(spark):
     s = weighted_systematic_sample(_df(spark, rows), "k", "w", k=10)
     hits = {r.k: r.sample_hits for r in s.where(F.col("sample_hits") > 0).collect()}
     assert hits[100] >= 9  # the dominating row covers ~all grid points
+
+
+def test_grouped_topk_two_phase_matches_window(spark):
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    rng = random.Random(23)
+    # one hot group (80% of rows) + many cold groups; adversarial
+    # repartition so candidates span many partitions
+    rows = []
+    for i in range(5000):
+        g = "hot" if rng.random() < 0.8 else f"g{rng.randint(0, 50)}"
+        rows.append((g, rng.randint(0, 10**6), i))
+    df = spark.createDataFrame(rows, "g string, v bigint, id bigint").repartition(13)
+    got = {
+        (r.g, r.v, r.id, r.rn)
+        for r in grouped_topk_two_phase(
+            df, ["g"], [F.col("v").desc(), F.col("id")], 4
+        ).collect()
+    }
+    w = W.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        (r.g, r.v, r.id, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .collect()
+    }
+    assert got == want
