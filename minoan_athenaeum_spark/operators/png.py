@@ -32,7 +32,7 @@ import numpy as np
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
-_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> np.ndarray:
@@ -44,6 +44,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"not a PNG: magic {payload[:8]!r}")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         length, ctype = struct.unpack(">I4s", payload[pos : pos + 8])
@@ -57,7 +58,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif ctype == b"IEND":
             break
         elif ctype == b"PLTE":
-            raise NotImplementedError("palette (indexed) PNG")
+            if length % 3 or length > 768:
+                raise ValueError(f"malformed PLTE length {length}")
+            plte = body
         pos += 12 + length  # length + type + data + CRC
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
@@ -68,6 +71,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise NotImplementedError(f"{depth}-bit PNG (only 8-bit samples)")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color}")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG")
     if comp != 0 or filt != 0:
@@ -116,6 +121,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f} on row {y}")
         out[y] = line
     px = out.reshape(h, w, ch)
+    if color == 3:
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError(
+                f"palette index {int(idx.max())} >= palette size {palette.shape[0]}"
+            )
+        return palette[idx]
     return px[:, :, 0] if ch == 1 else px
 
 

@@ -477,10 +477,10 @@ def test_png_error_surface():
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    # 16-bit depth and interlace are explicit boundaries
+    # 16-bit depth and interlace are explicit boundaries (palette PNG
+    # is IMPLEMENTED now — see test_palette_png_decodes_via_plte)
     for depth, color, inter, msg in [
         (16, 0, 0, "16-bit"),
-        (8, 3, 0, "color type|palette"),
         (8, 0, 1, "interlaced"),
     ]:
         p = (
@@ -491,3 +491,62 @@ def test_png_error_surface():
         )
         with pytest.raises(NotImplementedError, match=msg):
             decode_png(p)
+
+
+def test_palette_png_decodes_via_plte():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.png import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    # 4x3 indexed image over a 5-entry palette, filter-0 scanlines
+    palette = np.array(
+        [[250, 0, 0], [0, 200, 0], [0, 0, 150], [9, 9, 9], [255, 255, 255]],
+        dtype=np.uint8,
+    )
+    idx = np.array([[0, 1, 2, 3], [4, 3, 2, 1], [0, 0, 4, 4]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(3))
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.shape == (3, 4, 3)
+    assert (out == palette[idx]).all()
+
+    # out-of-range index and missing PLTE both raise loudly
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 7
+    raw_bad = b"".join(b"\x00" + bad_idx[y].tobytes() for y in range(3))
+    payload_bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw_bad))
+        + chunk(b"IEND", b"")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(payload_bad)
+    payload_noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(payload_noplte)
