@@ -614,3 +614,99 @@ def src_orc_events_agg(spark, sf_dir):
         F.min("us").alias("first_us"),
         F.max("us").alias("last_us"),
     )
+
+
+_DQ_ORACLE = """
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+             AS violations,
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS population
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST((SELECT COUNT(*) FROM (
+                  SELECT o_orderkey FROM orders
+                  GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_name_notnull',
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_name IS NULL OR c_name = '') AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+"""
+
+
+@query("misc_dq_constraint_checks", oracle=_DQ_ORACLE, tags=("dq", "constraints"))
+def misc_dq_constraint_checks(spark, sf_dir):
+    """DATA-QUALITY CONSTRAINT SUITE (the expectations layer every
+    warehouse runs before trusting a load): referential integrity
+    (orders→customer, lineitem→orders via LEFT ANTI joins — never a
+    row-by-row lookup), primary-key uniqueness (groupBy HAVING>1),
+    domain range, and not-null checks, each reported as
+    (check, violations, population).
+
+    Scale shape: every check is a single aggregate or anti-join over
+    the table it audits — FK anti-joins shuffle on the key (AQE
+    broadcasts the dim side when small), uniqueness is a partial-agg
+    groupBy, range/null checks are map-side conditional counts. The
+    whole suite is one pass per table, composable into a scheduled
+    audit."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+
+    fk_orders = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+        F.lit("orders_custkey_fk").alias("check_name"),
+        F.count("*").alias("violations"),
+    )
+    fk_line = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+        F.lit("lineitem_orderkey_fk").alias("check_name"),
+        F.count("*").alias("violations"),
+    )
+    pk = (
+        o.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(
+            F.lit("orders_pk_unique").alias("check_name"),
+            F.count("*").alias("violations"),
+        )
+    )
+    rng = li.agg(
+        F.lit("lineitem_qty_range").alias("check_name"),
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("long")
+        ).alias("violations"),
+    )
+    nn = c.agg(
+        F.lit("customer_name_notnull").alias("check_name"),
+        F.sum(
+            (F.col("c_name").isNull() | (F.col("c_name") == "")).cast("long")
+        ).alias("violations"),
+    )
+    pops = {
+        "orders_custkey_fk": o.count(),
+        "lineitem_orderkey_fk": li.count(),
+        "orders_pk_unique": o.select("o_orderkey").distinct().count(),
+        "lineitem_qty_range": li.count(),
+        "customer_name_notnull": c.count(),
+    }
+    checks = fk_orders.unionAll(fk_line).unionAll(pk).unionAll(rng).unionAll(nn)
+    pop_df = spark.createDataFrame(
+        [(k, v) for k, v in pops.items()], "check_name string, population bigint"
+    )
+    return checks.join(F.broadcast(pop_df), "check_name").select(
+        "check_name", "violations", "population"
+    )
