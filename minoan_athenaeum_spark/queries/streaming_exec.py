@@ -344,3 +344,53 @@ def stream_dedup_exec(spark, sf_dir):
     )
     name = f"q_stream_dedup_{next(_counter)}"
     return run_to_memory(out, name, mode="append")
+
+
+_STREAM_ROLLUP_ORACLE = """
+    SELECT event_type,
+           CAST((epoch_us(ts) // 1000000) // 3600 * 3600 AS BIGINT) AS bucket,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v,
+           CAST(MIN(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS min_v,
+           CAST(MAX(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_v,
+           COUNT(DISTINCT user_id) AS nd_users
+    FROM events
+    GROUP BY event_type, bucket
+"""
+
+
+@query(
+    "stream_rollup_refresh_exec",
+    oracle=_STREAM_ROLLUP_ORACLE,
+    tags=("streaming", "rollup", "exec"),
+)
+def stream_rollup_refresh_exec(spark, sf_dir):
+    """STREAMING CONTINUOUS AGGREGATE executed end-to-end: the event
+    stream drains through a foreachBatch sink that lands raw batches
+    idempotently AND incrementally refreshes the hourly rollup store
+    (dirty-bucket recompute, versioned snapshots —
+    streaming/ops.py::run_with_rollup_refresh); the FINAL snapshot is
+    read back and must equal the oracle's full recompute over all
+    events. maxFilesPerTrigger=1 forces a genuinely multi-batch drain,
+    so a green row proves the incremental maintenance math is
+    batch-split-invariant — including the non-mergeable
+    COUNT(DISTINCT user_id)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.streaming.ops import run_with_rollup_refresh
+
+    base = tempfile.mkdtemp(prefix="mas_stream_rollup_")
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    latest = run_with_rollup_refresh(stream, base, 3600)
+    out = spark.read.parquet(latest)
+    return out.select(
+        "event_type",
+        "bucket",
+        "cnt",
+        F.col("sum_v").cast("double").alias("sum_v"),
+        F.col("min_v").cast("double").alias("min_v"),
+        F.col("max_v").cast("double").alias("max_v"),
+        "nd_users",
+    )

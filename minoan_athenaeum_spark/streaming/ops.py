@@ -188,3 +188,64 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> Da
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_with_rollup_refresh(
+    stream_df: DataFrame,
+    base_dir: str,
+    grain_secs: int = 3600,
+) -> str:
+    """CONTINUOUS AGGREGATE via streaming ingestion: drain a stream
+    (availableNow) through a foreachBatch sink that (1) lands the raw
+    micro-batch idempotently (batch_id-keyed partition overwrite) and
+    (2) refreshes ONLY the dirty (event_type, bucket) rollup buckets
+    against the raw store, writing the rollup as a fresh versioned
+    snapshot per batch (``rollup_v<batch_id>``) — readers keep a
+    consistent snapshot, and a replayed batch rewrites the same
+    version. Returns the final rollup snapshot path.
+
+    This is the streaming half of the hypertable story: ingestion and
+    rollup maintenance in one exactly-once pipeline, with the
+    non-mergeable COUNT(DISTINCT user) handled by the dirty-bucket
+    recompute (the reason continuous aggregates can't just merge
+    partials). Determinism: after each batch the store equals the full
+    recompute over raw-so-far (the refresh invariant, pinned by the
+    batch twin's oracle), so the FINAL store is independent of how the
+    input was split into micro-batches."""
+    import os
+
+    from minoan_athenaeum_spark.operators.rollup_store import (
+        aggregate_at_grain,
+        refresh_dirty_buckets,
+    )
+
+    raw_dir = os.path.join(base_dir, "raw")
+    state = {"latest": None}
+
+    def on_batch(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        df.write.mode("overwrite").parquet(
+            os.path.join(raw_dir, f"batch_id={batch_id}")
+        )
+        raw = spark.read.parquet(raw_dir)
+        if state["latest"] is None:
+            merged = aggregate_at_grain(df, grain_secs)
+        else:
+            existing = spark.read.parquet(state["latest"])
+            merged = refresh_dirty_buckets(existing, raw, df, grain_secs)
+        version = os.path.join(base_dir, f"rollup_v{batch_id}")
+        merged.write.mode("overwrite").parquet(version)
+        state["latest"] = version
+
+    q = (
+        stream_df.writeStream.foreachBatch(on_batch)
+        .option(
+            "checkpointLocation", os.path.join(base_dir, "ckpt")
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert state["latest"] is not None, "stream produced no batches"
+    return state["latest"]
