@@ -67,17 +67,21 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit samples)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"{depth}-bit PNG (8/16-bit samples only)")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color}")
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
     if interlace != 0:
         raise NotImplementedError("Adam7-interlaced PNG")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    ch = _CHANNELS[color]
+    # PNG filters operate on BYTES with the left-neighbor one bytes-per-
+    # pixel back, so 16-bit samples just widen the filter offset.
+    ch = _CHANNELS[color] * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (1 + stride):
@@ -120,6 +124,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"invalid PNG filter type {f} on row {y}")
         out[y] = line
+    if depth == 16:
+        # big-endian sample pairs -> uint16
+        out16 = (
+            out.reshape(h, w, _CHANNELS[color], 2).astype(np.uint16)
+        )
+        px = (out16[..., 0] << 8) | out16[..., 1]
+        return px[:, :, 0] if _CHANNELS[color] == 1 else px
     px = out.reshape(h, w, ch)
     if color == 3:
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)

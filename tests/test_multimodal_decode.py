@@ -477,10 +477,9 @@ def test_png_error_surface():
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    # 16-bit depth and interlace are explicit boundaries (palette PNG
-    # is IMPLEMENTED now — see test_palette_png_decodes_via_plte)
+    # interlace is the remaining explicit boundary (palette and 16-bit
+    # PNG are IMPLEMENTED now — see the dedicated tests)
     for depth, color, inter, msg in [
-        (16, 0, 0, "16-bit"),
         (8, 0, 1, "interlaced"),
     ]:
         p = (
@@ -550,3 +549,66 @@ def test_palette_png_decodes_via_plte():
     )
     with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(payload_noplte)
+
+
+def test_16bit_png_roundtrips_all_filters():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.png import decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(31)
+    for color, ch in [(0, 1), (2, 3), (6, 4)]:
+        img = rng.randint(0, 65536, size=(7, 5, ch)).astype(np.uint16)
+        be = img.astype(">u2").tobytes()
+        stride = 5 * ch * 2
+        rows = np.frombuffer(be, dtype=np.uint8).reshape(7, stride)
+        # encode with the full filter mix: None, Sub, Up, Average, Paeth
+        bpp = ch * 2
+        enc = bytearray()
+        prev = np.zeros(stride, dtype=np.int32)
+        for y, ftype in enumerate([0, 1, 2, 3, 4, 1, 4]):
+            cur = rows[y].astype(np.int32)
+            if ftype == 0:
+                filt = cur
+            elif ftype == 1:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                filt = (cur - left) % 256
+            elif ftype == 2:
+                filt = (cur - prev) % 256
+            elif ftype == 3:
+                left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+                filt = (cur - (left + prev) // 2) % 256
+            else:
+                filt = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    pq = a + b - c
+                    pa, pb, pc = abs(pq - a), abs(pq - b), abs(pq - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    filt[x] = (int(cur[x]) - pred) % 256
+            enc.append(ftype)
+            enc.extend(filt.astype(np.uint8).tobytes())
+            prev = cur
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 7, 16, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(enc)))
+            + chunk(b"IEND", b"")
+        )
+        out = decode_png(payload)
+        want = img[:, :, 0] if ch == 1 else img
+        assert out.dtype == np.uint16
+        assert (out == want).all(), f"16-bit mismatch for color type {color}"
