@@ -35,6 +35,61 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+
+
+_ADAM7 = [  # (x_start, y_start, x_step, y_step) per pass
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct h filtered scanlines of ``stride`` bytes (filter
+    byte + data per row; ``bpp`` = bytes per pixel for the left-
+    neighbor offset). Returns (h, stride) uint8."""
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data length {len(raw)} != expected {h * (1 + stride)}"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = arr[:, 0]
+    data = arr[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero_line = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(filters[y])
+        cur = data[y]
+        prev = out[y - 1] if y else zero_line
+        if f == 0:                                   # None
+            line = cur.copy()
+        elif f == 1:                                 # Sub
+            # serial in x but a per-channel cumsum mod 256 — vectorized
+            line = (
+                cur.reshape(-1, bpp).astype(np.uint64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(-1)
+        elif f == 2:                                 # Up
+            line = (cur.astype(np.int16) + prev).astype(np.uint8)
+        elif f == 3:                                 # Average
+            line = cur.copy()
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                line[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif f == 4:                                 # Paeth
+            line = cur.copy()
+            for x in range(stride):
+                left = int(line[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                a, b, c = left, int(prev[x]), ul
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        out[y] = line
+    return out
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode a PNG to uint8 pixels: (H, W) for greyscale, (H, W, C)
     otherwise. Real chunk walk (CRC-tolerant read of IHDR/IDAT*/IEND,
@@ -75,8 +130,8 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing PLTE chunk")
     if color == 3 and depth == 16:
         raise ValueError("16-bit palette PNG is not a legal combination")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
     # PNG filters operate on BYTES with the left-neighbor one bytes-per-
@@ -84,46 +139,28 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = _CHANNELS[color] * (depth // 8)
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
-    if len(raw) != h * (1 + stride):
-        raise ValueError(
-            f"PNG pixel data length {len(raw)} != expected {h * (1 + stride)}"
-        )
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    filters = arr[:, 0]
-    data = arr[:, 1:]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero_line = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        f = int(filters[y])
-        cur = data[y]
-        prev = out[y - 1] if y else zero_line
-        if f == 0:                                   # None
-            line = cur.copy()
-        elif f == 1:                                 # Sub
-            # serial in x but a per-channel cumsum mod 256 — vectorized
-            line = (
-                cur.reshape(-1, ch).astype(np.uint64).cumsum(axis=0) % 256
-            ).astype(np.uint8).reshape(-1)
-        elif f == 2:                                 # Up
-            line = (cur.astype(np.int16) + prev).astype(np.uint8)
-        elif f == 3:                                 # Average
-            line = cur.copy()
-            for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
-                line[x] = (int(cur[x]) + (left + int(prev[x])) // 2) & 0xFF
-        elif f == 4:                                 # Paeth
-            line = cur.copy()
-            for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
-                ul = int(prev[x - ch]) if x >= ch else 0
-                a, b, c = left, int(prev[x]), ul
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {f} on row {y}")
-        out[y] = line
+    if interlace == 0:
+        out = _unfilter(raw, h, stride, ch)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full grid by each pass's (start, step) lattice.
+        out = np.zeros((h, stride), dtype=np.uint8)
+        full = out.reshape(h, w, ch)
+        pos2 = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * ch
+            take = ph * (1 + pstride)
+            sub = _unfilter(raw[pos2 : pos2 + take], ph, pstride, ch)
+            pos2 += take
+            full[y0::dy, x0::dx, :] = sub.reshape(ph, pw, ch)
+        if pos2 != len(raw):
+            raise ValueError(
+                f"interlaced PNG data length {len(raw)} != consumed {pos2}"
+            )
     if depth == 16:
         # big-endian sample pairs -> uint16
         out16 = (

@@ -477,19 +477,16 @@ def test_png_error_surface():
         crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    # interlace is the remaining explicit boundary (palette and 16-bit
-    # PNG are IMPLEMENTED now — see the dedicated tests)
-    for depth, color, inter, msg in [
-        (8, 0, 1, "interlaced"),
-    ]:
-        p = (
-            _PNG_MAGIC
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, inter))
-            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-            + chunk(b"IEND", b"")
-        )
-        with pytest.raises(NotImplementedError, match=msg):
-            decode_png(p)
+    # palette, 16-bit, and Adam7 interlacing are all IMPLEMENTED now —
+    # see the dedicated tests; an invalid interlace METHOD still raises.
+    p = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 9))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="invalid PNG interlace"):
+        decode_png(p)
 
 
 def test_palette_png_decodes_via_plte():
@@ -612,3 +609,43 @@ def test_16bit_png_roundtrips_all_filters():
         want = img[:, :, 0] if ch == 1 else img
         assert out.dtype == np.uint16
         assert (out == want).all(), f"16-bit mismatch for color type {color}"
+
+
+def test_adam7_interlaced_png_roundtrips():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.png import _ADAM7, decode_png
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(41)
+    # odd dims exercise per-pass ceil arithmetic and empty passes
+    for (h, w, ch, color) in [(9, 13, 3, 2), (7, 5, 1, 0), (1, 1, 3, 2)]:
+        img = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+        enc = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx, :]
+            ph, pw = sub.shape[0], sub.shape[1]
+            if ph == 0 or pw == 0:
+                continue
+            for y in range(ph):
+                enc.append(0)  # filter None
+                enc.extend(sub[y].tobytes())
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(enc)))
+            + chunk(b"IEND", b"")
+        )
+        out = decode_png(payload)
+        want = img[:, :, 0] if ch == 1 else img
+        assert (out == want).all(), f"adam7 mismatch at {(h, w, color)}"
