@@ -164,3 +164,34 @@ def misc_fuzzy_join_dist1(spark, sf_dir):
         .select("c_custkey", "c_name")
     )
     return fuzzy_self_join_dist1(c, "c_custkey", "c_name")
+
+
+@query(
+    "misc_surrogate_keys",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS sk
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("misc", "surrogate-keys"),
+)
+def misc_surrogate_keys(spark, sf_dir):
+    """DENSE SURROGATE-KEY ASSIGNMENT: contiguous 1..n ids in a stable
+    total order — the warehouse-load primitive Spark has no safe
+    primitive for (``monotonically_increasing_id`` leaves gaps and is
+    partitioning-dependent; a global ``row_number()`` window collapses
+    the dataset onto one reducer). Uses the grouped two-phase rank with
+    an empty group list: range-partition on the order key, local row
+    numbers, tiny broadcast offsets — the same id every run, at any
+    parallelism."""
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderdate")
+    )
+    ranked = grouped_two_phase_rank(
+        o, [], ["o_orderdate", "o_orderkey"], out_col="sk"
+    )
+    return ranked.select("o_orderkey", "sk")
