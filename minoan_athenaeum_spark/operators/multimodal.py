@@ -136,7 +136,7 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, np.ndarray]:
 def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a mono/stereo WAV of ANY supported format to
     (sample_rate, int16 array (n_frames, n_channels)): PCM-16 (tag 1),
-    G.711 A-law (6), G.711 μ-law (7), and mono IMA/DVI ADPCM (0x11)
+    G.711 A-law (6), G.711 μ-law (7), and mono/stereo IMA/DVI ADPCM (0x11)
     all decode for real via pure-numpy codecs
     (operators/audio_codecs.py). Anything else raises with the tag."""
     fmt, data = _riff_fmt_data(payload)
@@ -152,10 +152,15 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     elif audio_format == 6:
         flat = ac.decode_alaw(data)
     elif audio_format == 0x11:
-        if n_channels != 1:
-            raise NotImplementedError("IMA ADPCM decode is mono-only")
         block_align = int.from_bytes(fmt[12:14], "little")
-        flat = ac.decode_ima_adpcm(data, block_align)
+        if n_channels == 1:
+            flat = ac.decode_ima_adpcm(data, block_align)
+        elif n_channels == 2:
+            return sample_rate, ac.decode_ima_adpcm_stereo(data, block_align)
+        else:
+            raise NotImplementedError(
+                f"{n_channels}-channel IMA ADPCM (mono/stereo only)"
+            )
     else:
         raise NotImplementedError(f"WAV format tag {audio_format}")
     if n_channels > 1:

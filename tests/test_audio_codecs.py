@@ -117,11 +117,63 @@ def test_wav_dispatch_roundtrip_and_errors():
     bad = encode_wav_raw(raw, 2, 1, 8000, 8, 1)  # MS ADPCM: unsupported
     with pytest.raises(NotImplementedError, match="format tag 2"):
         decode_wav(bad)
-    # Stereo ADPCM is a declared boundary.
-    adp = encode_wav_raw(b"\x00" * 36, 0x11, 2, 8000, 4, 36)
-    with pytest.raises(NotImplementedError, match="mono"):
+    # >2-channel ADPCM is the remaining declared boundary (stereo
+    # decodes for real — see test_stereo_ima_adpcm_matches_reference_loop).
+    adp = encode_wav_raw(b"\x00" * 36, 0x11, 3, 8000, 4, 36)
+    with pytest.raises(NotImplementedError, match="mono/stereo"):
         decode_wav(adp)
     # Truncated block header detected.
     short = encode_wav_raw(b"\x00\x01\x02", 0x11, 1, 8000, 4, 36)
     with pytest.raises(ValueError, match="truncated IMA ADPCM"):
         decode_wav(short)
+
+
+def test_stereo_ima_adpcm_matches_reference_loop():
+    """Stereo blocks (per-channel headers + 4-byte interleaved groups)
+    must decode each channel exactly as the mono state machine run over
+    that channel's nibble subsequence."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.audio_codecs import (
+        decode_ima_adpcm,
+        decode_ima_adpcm_stereo,
+    )
+    from minoan_athenaeum_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+    )
+
+    rng = np.random.RandomState(19)
+    block_align = 8 + 16  # per-channel headers + 2 interleaved groups
+    blocks = []
+    mono_l, mono_r = [], []
+    for _ in range(5):
+        hdrs = b""
+        states = []
+        for _c in range(2):
+            pred = int(rng.randint(-2000, 2000))
+            idx = int(rng.randint(0, 89))
+            states.append((pred, idx))
+            hdrs += pred.to_bytes(2, "little", signed=True) + bytes([idx, 0])
+        body = rng.randint(0, 256, size=16, dtype=np.uint8).tobytes()
+        blocks.append(hdrs + body)
+        groups = np.frombuffer(body, dtype=np.uint8).reshape(-1, 2, 4)
+        for c, acc in ((0, mono_l), (1, mono_r)):
+            chan = groups[:, c, :].reshape(-1).tobytes()
+            mono_block = (
+                states[c][0].to_bytes(2, "little", signed=True)
+                + bytes([states[c][1], 0])
+                + chan
+            )
+            acc.append(decode_ima_adpcm(mono_block, 4 + len(chan)))
+    data = b"".join(blocks)
+    out = decode_ima_adpcm_stereo(data, block_align)
+    want_l = np.concatenate(mono_l)
+    want_r = np.concatenate(mono_r)
+    assert (out[:, 0] == want_l).all()
+    assert (out[:, 1] == want_r).all()
+
+    # and through the WAV container dispatch
+    payload = encode_wav_raw(data, 0x11, 2, 8000, 4, block_align)
+    rate, arr = decode_wav(payload)
+    assert rate == 8000 and arr.shape == out.shape and (arr == out).all()
