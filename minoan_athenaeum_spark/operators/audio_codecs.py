@@ -203,3 +203,62 @@ def decode_ima_adpcm_stereo(data: bytes, block_align: int) -> np.ndarray:
     right = np.concatenate(right_parts) if right_parts else np.empty(0, np.int16)
     n = min(len(left), len(right))
     return np.stack([left[:n], right[:n]], axis=1)
+
+
+MS_ADPCM_COEFFS = [
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+]
+MS_ADPCM_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614,
+     768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int32,
+)
+
+
+def decode_ms_adpcm(data: bytes, block_align: int) -> np.ndarray:
+    """Decode a mono MS-ADPCM (WAV format tag 2) 'data' chunk to int16.
+
+    Per-block layout: uint8 predictor index (0..6 into the fixed
+    coefficient pairs), int16 initial delta, int16 sample1 (newer),
+    int16 sample2 (older), then 4-bit codes HIGH NIBBLE FIRST (the
+    opposite packing of IMA). Each code c (sign-extended from 4 bits):
+
+        pred   = (sample1·coef1 + sample2·coef2) >> 8  + c·delta
+        clamp to int16; history shifts; delta = max(16, (adapt[c]·delta) >> 8)
+
+    Sequential per block by construction; blocks are independent (each
+    carries full decoder state), so at scale blocks parallelize."""
+    if block_align < 7:
+        raise ValueError(f"MS ADPCM block_align {block_align} < 7")
+    pieces = []
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < 7:
+            raise ValueError("truncated MS ADPCM block header")
+        pred_idx = block[0]
+        if pred_idx > 6:
+            raise ValueError(f"MS ADPCM predictor index {pred_idx} > 6")
+        c1, c2 = MS_ADPCM_COEFFS[pred_idx]
+        delta = int.from_bytes(block[1:3], "little", signed=True)
+        s1 = int.from_bytes(block[3:5], "little", signed=True)
+        s2 = int.from_bytes(block[5:7], "little", signed=True)
+        out = [np.int16(s2), np.int16(s1)]
+        body = np.frombuffer(block[7:], dtype=np.uint8)
+        nibbles = np.empty(2 * len(body), dtype=np.uint8)
+        nibbles[0::2] = body >> 4      # HIGH nibble first
+        nibbles[1::2] = body & 0x0F
+        for nib in nibbles:
+            c = int(nib) - 16 if nib >= 8 else int(nib)
+            pred = ((s1 * c1 + s2 * c2) >> 8) + c * delta
+            if pred > 32767:
+                pred = 32767
+            elif pred < -32768:
+                pred = -32768
+            s2, s1 = s1, pred
+            delta = (int(MS_ADPCM_ADAPT[nib]) * delta) >> 8
+            if delta < 16:
+                delta = 16
+            out.append(np.int16(pred))
+        pieces.append(np.array(out, dtype=np.int16))
+    return np.concatenate(pieces) if pieces else np.empty(0, np.int16)

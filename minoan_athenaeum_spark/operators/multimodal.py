@@ -161,6 +161,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
             raise NotImplementedError(
                 f"{n_channels}-channel IMA ADPCM (mono/stereo only)"
             )
+    elif audio_format == 2:
+        if n_channels != 1:
+            raise NotImplementedError("MS ADPCM decode is mono-only")
+        block_align = int.from_bytes(fmt[12:14], "little")
+        flat = ac.decode_ms_adpcm(data, block_align)
     else:
         raise NotImplementedError(f"WAV format tag {audio_format}")
     if n_channels > 1:

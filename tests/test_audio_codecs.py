@@ -113,9 +113,10 @@ def test_wav_dispatch_roundtrip_and_errors():
     al = encode_wav_raw(raw, 6, 1, 8000, 8, 1)
     _, sa = decode_wav(al)
     assert np.array_equal(sa[:, 0], ALAW_TABLE[np.frombuffer(raw, np.uint8)])
-    # Unknown format tag raises with the tag named.
-    bad = encode_wav_raw(raw, 2, 1, 8000, 8, 1)  # MS ADPCM: unsupported
-    with pytest.raises(NotImplementedError, match="format tag 2"):
+    # Unknown format tag raises with the tag named (MS ADPCM, tag 2,
+    # decodes for real now — see test_ms_adpcm_matches_reference_loop).
+    bad = encode_wav_raw(raw, 85, 1, 8000, 8, 1)  # MP3-in-WAV: unsupported
+    with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(bad)
     # >2-channel ADPCM is the remaining declared boundary (stereo
     # decodes for real — see test_stereo_ima_adpcm_matches_reference_loop).
@@ -177,3 +178,65 @@ def test_stereo_ima_adpcm_matches_reference_loop():
     payload = encode_wav_raw(data, 0x11, 2, 8000, 4, block_align)
     rate, arr = decode_wav(payload)
     assert rate == 8000 and arr.shape == out.shape and (arr == out).all()
+
+
+def test_ms_adpcm_matches_reference_loop():
+    """Independent spec-derived reference loop vs the implementation,
+    over random blocks (predictor indices, deltas, histories, codes) +
+    clamp/floor edges + container dispatch."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.audio_codecs import (
+        decode_ms_adpcm,
+    )
+    from minoan_athenaeum_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+    )
+
+    COEF = [(256, 0), (512, -256), (0, 0), (192, 64),
+            (240, 0), (460, -208), (392, -232)]
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+
+    def reference(block):
+        pi = block[0]
+        c1, c2 = COEF[pi]
+        delta = int.from_bytes(block[1:3], "little", signed=True)
+        s1 = int.from_bytes(block[3:5], "little", signed=True)
+        s2 = int.from_bytes(block[5:7], "little", signed=True)
+        out = [s2, s1]
+        for byte in block[7:]:
+            for nib in (byte >> 4, byte & 15):
+                c = nib - 16 if nib >= 8 else nib
+                pred = ((s1 * c1 + s2 * c2) >> 8) + c * delta
+                pred = max(-32768, min(32767, pred))
+                s2, s1 = s1, pred
+                delta = max(16, (ADAPT[nib] * delta) >> 8)
+                out.append(pred)
+        return out
+
+    rng = np.random.RandomState(29)
+    block_align = 7 + 10
+    blocks = []
+    want = []
+    for i in range(6):
+        hdr = bytes([i % 7]) + int(rng.randint(16, 4000)).to_bytes(2, "little") \
+            + int(rng.randint(-30000, 30000)).to_bytes(2, "little", signed=True) \
+            + int(rng.randint(-30000, 30000)).to_bytes(2, "little", signed=True)
+        body = rng.randint(0, 256, size=10, dtype=np.uint8).tobytes()
+        blocks.append(hdr + body)
+        want.extend(reference(hdr + body))
+    data = b"".join(blocks)
+    got = decode_ms_adpcm(data, block_align)
+    assert got.tolist() == want
+
+    rate, arr = decode_wav(encode_wav_raw(data, 2, 1, 8000, 4, block_align))
+    assert rate == 8000 and arr[:, 0].tolist() == want
+
+    import pytest
+
+    with pytest.raises(ValueError, match="predictor index"):
+        decode_ms_adpcm(bytes([9]) + b"\x00" * 16, block_align)
+    with pytest.raises(ValueError, match="truncated MS ADPCM"):
+        decode_ms_adpcm(b"\x00\x01\x02", 17)
