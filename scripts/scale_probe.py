@@ -131,9 +131,23 @@ def main() -> None:
     specs = load_all()
     spark.read.parquet(f"{out_dir}/lineitem.parquet").count()  # warm listing
     timings = {}
+    # Default measurement is .count() (comparable with all prior rounds).
+    # SPARK_GRAFT_PROBE_CHECKSUM=1 instead aggregates a bit_xor checksum
+    # over EVERY column — use it for transform-shaped queries whose
+    # expensive work Catalyst can prune through a cardinality-preserving
+    # join when only the count is consumed (found via
+    # pipeline_remove_dup_spans: 1.8 s counted vs 56.5 s checksummed).
+    checksum = os.environ.get("SPARK_GRAFT_PROBE_CHECKSUM", "") not in ("", "0")
     for name in subset:
         t0 = time.perf_counter()
-        specs[name].fn(spark, out_dir).count()
+        df = specs[name].fn(spark, out_dir)
+        if checksum:
+            cols = ", ".join(f"`{c}`" for c in df.columns)
+            df.selectExpr(f"xxhash64({cols}) AS h").agg(
+                F.expr("bit_xor(h)"), F.count("*")
+            ).collect()
+        else:
+            df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
     n_li = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
     spark.stop()
