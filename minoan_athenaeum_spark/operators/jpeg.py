@@ -2,10 +2,12 @@
 numpy — closes the compressed-image codec boundary flagged in VERDICT
 r2/r3 without any codec library (the container has no libjpeg/PIL).
 
-Decoder scope: baseline sequential (SOF0), 8-bit, 1 or 3 components,
-arbitrary h/v subsampling factors up to 2 (4:4:4, 4:2:2, 4:2:0),
-restart intervals (DRI/RSTn), multiple DQT/DHT segments, 0xFF00 byte
-unstuffing. Progressive (SOF2) and arithmetic coding raise
+Decoder scope: baseline sequential (SOF0) AND progressive (SOF2 —
+full T.81 progressive: spectral selection, successive approximation
+with DC/AC refinement scans and EOBRUN handling), 8-bit, 1 or 3
+components, arbitrary h/v subsampling factors up to 2 (4:4:4, 4:2:2,
+4:2:0), restart intervals (DRI/RSTn), multiple DQT/DHT segments,
+0xFF00 byte unstuffing. Arithmetic coding and hierarchical modes raise
 NotImplementedError with a clear message.
 
 Encoder scope: enough to produce REAL baseline JFIF streams for the
@@ -249,6 +251,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0xD9:                      # EOI: no length field
+            if frame is not None and frame.get("progressive"):
+                return _prog_finish(frame, coefs, qtables)
+            break
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + seg_len]
         if len(body) != seg_len - 2:
@@ -272,7 +278,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + nv])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_map(bits, vals)
                 b += 17 + nv
-        elif marker == 0xC0:                    # SOF0 baseline
+        elif marker in (0xC0, 0xC2):            # SOF0 baseline / SOF2 progressive
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit samples")
@@ -283,29 +289,57 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coefs = _prog_alloc(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) JPEG decodes; "
+                f"only baseline (SOF0) and progressive (SOF2) JPEG decode; "
                 f"got SOF marker 0x{marker:02x}")
         elif marker == 0xDD:                    # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:                    # SOS
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
-            return _decode_scan(
-                payload, pos + 2 + seg_len, frame, scan,
-                qtables, dc_tabs, ac_tabs, restart_interval)
-        elif marker == 0xD9:
-            break
+            if not frame.get("progressive"):
+                return _decode_scan(
+                    payload, pos + 2 + seg_len, frame, scan,
+                    qtables, dc_tabs, ac_tabs, restart_interval)
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            reader = _BitReader(payload, pos + 2 + seg_len)
+            scan_comps = [
+                (comp, frame["comps"].index(comp)) for comp, _, _ in scan
+            ]
+            if ss == 0:                         # DC scan
+                if se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                _prog_dc_scan(
+                    reader, frame, scan_comps, coefs, dc_tabs,
+                    [td for _, td, _ in scan], ah, al, restart_interval)
+            else:                               # AC scan (single component)
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                comp, ci = scan_comps[0]
+                _prog_ac_scan(
+                    reader, frame, comp, ci, coefs,
+                    ac_tabs[scan[0][2]], ss, se, ah, al, restart_interval)
+            pos = _find_next_marker(payload, reader.pos)
+            continue
         pos += 2 + seg_len
+    if frame is not None and frame.get("progressive"):
+        # tolerate a truncated-after-last-scan stream missing EOI
+        return _prog_finish(frame, coefs, qtables)
     raise ValueError("no SOS segment found (truncated or not a JPEG)")
 
 
@@ -534,4 +568,300 @@ def _encode(planes, size, sampling, qtab_luma=None, qtab_chroma=None,
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"                                         # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 spectral selection + successive
+# approximation. Scans accumulate quantized coefficients (zigzag order)
+# into per-component buffers; the IDCT runs once at end of image.
+
+
+def _find_next_marker(buf: bytes, pos: int) -> int:
+    """First position of a non-RST, non-stuffing marker at/after pos."""
+    while pos + 1 < len(buf):
+        if buf[pos] == 0xFF:
+            nxt = buf[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if nxt == 0xFF:  # fill byte
+                pos += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("truncated progressive JPEG: no terminating marker")
+
+
+def _prog_alloc(frame) -> list[np.ndarray]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcus_x"], frame["mcus_y"] = mcus_x, mcus_y
+    return [
+        np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+
+
+def _prog_noninterleaved_dims(frame, comp) -> tuple[int, int]:
+    cw = -(-frame["w"] * comp["h"] // frame["hmax"])
+    chh = -(-frame["h"] * comp["v"] // frame["vmax"])
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _prog_dc_scan(reader, frame, scan_comps, coefs, dc_tabs, tds,
+                  ah, al, restart_interval):
+    preds = [0] * len(scan_comps)
+    rst = 0
+    unit_i = 0
+
+    def one_block(si, ci, by, bx):
+        blk = coefs[ci][by, bx]
+        if ah == 0:
+            t = _huff_symbol(reader, dc_tabs[tds[si]])
+            diff = _extend(reader.receive(t), t)
+            preds[si] += diff
+            blk[0] = preds[si] << al
+        else:
+            if reader.bit():
+                blk[0] |= 1 << al
+
+    def maybe_restart():
+        nonlocal rst, preds
+        if restart_interval and unit_i and unit_i % restart_interval == 0:
+            reader.sync_restart(rst)
+            rst = (rst + 1) % 8
+            preds = [0] * len(scan_comps)
+
+    if len(scan_comps) > 1:  # interleaved MCU order
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                maybe_restart()
+                for si, (comp, ci) in enumerate(scan_comps):
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            one_block(si, ci,
+                                      my * comp["v"] + by,
+                                      mx * comp["h"] + bx)
+                unit_i += 1
+    else:
+        comp, ci = scan_comps[0]
+        nbh, nbw = _prog_noninterleaved_dims(frame, comp)
+        for by in range(nbh):
+            for bx in range(nbw):
+                maybe_restart()
+                one_block(0, ci, by, bx)
+                unit_i += 1
+
+
+def _prog_ac_first(reader, coef_block, ac_tab, ss, se, al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index beyond spectral band")
+        coef_block[k] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine(reader, coef_block, ac_tab, ss, se, al, eobrun):
+    p1 = 1 << al
+    m1 = -(1 << al)
+
+    def correct(k):
+        if reader.bit() and not (int(coef_block[k]) & p1):
+            coef_block[k] += p1 if coef_block[k] > 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "progressive AC refinement magnitude must be 1")
+                val = p1 if reader.bit() else m1
+            # advance r zero-history positions, correcting nonzero ones
+            while k <= se:
+                if coef_block[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "progressive AC refinement index beyond band")
+                coef_block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef_block[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _prog_ac_scan(reader, frame, comp, ci, coefs, ac_tab, ss, se,
+                  ah, al, restart_interval):
+    nbh, nbw = _prog_noninterleaved_dims(frame, comp)
+    eobrun = 0
+    rst = 0
+    unit_i = 0
+    fn = _prog_ac_refine if ah else _prog_ac_first
+    for by in range(nbh):
+        for bx in range(nbw):
+            if restart_interval and unit_i and unit_i % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                eobrun = 0
+            eobrun = fn(reader, coefs[ci][by, bx], ac_tab, ss, se, al, eobrun)
+            unit_i += 1
+
+
+def _prog_finish(frame, coefs, qtables) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    full = []
+    for ci, comp in enumerate(frame["comps"]):
+        arr = coefs[ci]
+        nbh, nbw = arr.shape[0], arr.shape[1]
+        q = qtables[comp["tq"]]
+        deq = np.zeros((nbh, nbw, 64), dtype=np.float64)
+        deq[:, :, ZIGZAG] = arr * q
+        blocks = deq.reshape(nbh, nbw, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _MT, blocks, _M)
+        plane = px.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // comp["v"], axis=0),
+                          hmax // comp["h"], axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"{len(full)}-component JPEG")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_gray_progressive(
+    pixels: np.ndarray,
+    qtab: np.ndarray | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Encode an (H, W) uint8 plane as a PROGRESSIVE (SOF2) JFIF using
+    spectral selection: one DC scan then one AC scan per band (no
+    successive approximation — Ah=Al=0; the decoder's refinement path
+    is pinned separately with hand-built streams). Each AC block ends
+    with a plain EOB (EOBRUN=1), the minimal legal progressive
+    emission."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 2:
+        raise ValueError("encode_jpeg_gray_progressive needs (H, W) uint8")
+    qt = (DEFAULT_QUANT_LUMA if qtab is None else
+          np.asarray(qtab, dtype=np.int64))
+    qzz = qt[ZIGZAG]
+    plane = _pad_to_blocks(pixels, 8, 8)
+    nbh, nbw = plane.shape[0] // 8, plane.shape[1] // 8
+    coef = np.zeros((nbh, nbw, 64), dtype=np.int64)
+    for by in range(nbh):
+        for bx in range(nbw):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = _M @ (blk.astype(np.float64) - 128.0) @ _MT
+            coef[by, bx] = np.round(s.reshape(-1)[ZIGZAG] / qzz).astype(np.int64)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    h, w = pixels.shape
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + (qt[ZIGZAG] & 0xFF).astype(np.uint8).tobytes())
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([1]) + bytes([1, 0x11, 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def sos(ss, se):
+        return _seg(0xDA, bytes([1, 1, 0x00, ss, se, 0x00]))
+
+    # DC scan
+    out += sos(0, 0)
+    wtr = _BitWriter()
+    pred = 0
+    for by in range(nbh):
+        for bx in range(nbw):
+            diff = int(coef[by, bx, 0]) - pred
+            pred = int(coef[by, bx, 0])
+            t, off = _magnitude(diff)
+            code, ln = dc_codes[t]
+            wtr.put(code, ln)
+            if t:
+                wtr.put(off, t)
+    wtr.flush()
+    out += wtr.out
+
+    # AC band scans
+    for ss, se in bands:
+        out += sos(ss, se)
+        wtr = _BitWriter()
+        for by in range(nbh):
+            for bx in range(nbw):
+                zz = coef[by, bx]
+                nz = [k for k in range(ss, se + 1) if zz[k]]
+                last = nz[-1] if nz else ss - 1
+                run = 0
+                for k in range(ss, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    t, off = _magnitude(v)
+                    code, ln = ac_codes[(run << 4) | t]
+                    wtr.put(code, ln)
+                    wtr.put(off, t)
+                    run = 0
+                if last < se:
+                    code, ln = ac_codes[0x00]   # EOB (EOBRUN = 1)
+                    wtr.put(code, ln)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
     return bytes(out)

@@ -8,7 +8,7 @@ the compressed formats G.711 μ-law/A-law and mono IMA/DVI ADPCM
 (operators/audio_codecs.py). Video: back-to-back P6 frame streams.
 `fake_decode_features` remains as the codec-free byte-level plumbing
 path. Exotic variants inside each codec still raise
-NotImplementedError (progressive JPEG, palette/16-bit/interlaced PNG,
+NotImplementedError (arithmetic-coded JPEG, MP3-in-WAV,
 multi-channel ADPCM).
 """
 
@@ -268,7 +268,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     parser), baseline JPEG (pure-numpy T.81 sequential decoder,
     operators/jpeg.py), and PNG (stdlib-zlib inflate + vectorized
     scanline-filter reconstruction, operators/png.py). Within each
-    codec, exotic variants still raise NotImplementedError (progressive
+    codec, exotic variants still raise NotImplementedError (arithmetic-coded
     JPEG, palette/16-bit/interlaced PNG)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)

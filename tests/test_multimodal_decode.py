@@ -366,12 +366,19 @@ def test_jpeg_error_surface():
     good = encode_jpeg_gray(img)
     with pytest.raises(ValueError):
         decode_jpeg(good[: len(good) // 2])  # truncated mid-stream
-    # progressive SOF2 -> explicit boundary
+    # progressive (SOF2) DECODES now; a baseline stream relabeled SOF2
+    # is malformed progressive (its single scan claims Ss=0,Se=63) and
+    # must fail loudly, not decode garbage
     mutated = bytearray(good)
     sof = mutated.find(b"\xff\xc0")
     mutated[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    with pytest.raises(ValueError, match="DC scan with Se"):
         decode_jpeg(bytes(mutated))
+    # arithmetic-coded SOF9 stays an explicit boundary
+    mutated2 = bytearray(good)
+    mutated2[sof + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF marker 0xc9"):
+        decode_jpeg(bytes(mutated2))
 
 
 def test_jpeg_and_png_dispatch():
@@ -649,3 +656,100 @@ def test_adam7_interlaced_png_roundtrips():
         out = decode_png(payload)
         want = img[:, :, 0] if ch == 1 else img
         assert (out == want).all(), f"adam7 mismatch at {(h, w, color)}"
+
+
+def test_progressive_jpeg_equals_baseline():
+    """Spectral-selection progressive (SOF2, multi-scan) must produce
+    EXACTLY the pixels of a baseline stream built from the same
+    quantized coefficients — decoders share nothing past the
+    coefficient buffers."""
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.RandomState(7)
+    for shape in [(24, 33), (8, 8), (17, 9), (40, 16)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg_gray(img))
+        prog = decode_jpeg(encode_jpeg_gray_progressive(img))
+        assert np.array_equal(base, prog), shape
+    # single-band and many-band splits agree too
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    for bands in [((1, 63),), ((1, 1), (2, 9), (10, 62), (63, 63))]:
+        prog = decode_jpeg(encode_jpeg_gray_progressive(img, bands=bands))
+        assert np.array_equal(prog, decode_jpeg(encode_jpeg_gray(img)))
+
+
+def test_progressive_jpeg_successive_approximation_hand_stream():
+    """Hand-built SA stream for one 8x8 block, quant table all-ones:
+    DC first (Al=1) + DC refine, AC first (Al=1) + AC refine with
+    correction bits — final coefficients must be DC=5, c1=3, c5=-2
+    exactly, verified against a direct IDCT."""
+    import struct
+
+    from minoan_athenaeum_spark.operators.jpeg import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _M,
+        _MT,
+        ZIGZAG,
+        _BitWriter,
+        _canonical_codes,
+        _magnitude,
+        decode_jpeg,
+    )
+
+    dc = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # quant all ones
+    out += seg(0xC2, bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+               + bytes([1]) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+
+    def sos(ss, se, ah, al):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 -> send 5>>1 = 2 as the diff
+    out += sos(0, 0, 0, 1)
+    w = _BitWriter()
+    t, off = _magnitude(2)
+    code, ln = dc[t]
+    w.put(code, ln); w.put(off, t)
+    w.flush(); out += w.out
+    # scan 2: DC refine, Ah=1, Al=0 -> low bit of 5 is 1
+    out += sos(0, 0, 1, 0)
+    w = _BitWriter(); w.put(1, 1); w.flush(); out += w.out
+    # scan 3: AC first, band 1..63, Al=1 -> c1: 3>>1=+1, c5: -2>>1=-1
+    out += sos(1, 63, 0, 1)
+    w = _BitWriter()
+    code, ln = ac[(0 << 4) | 1]; w.put(code, ln); w.put(1, 1)   # +1 at k=1
+    code, ln = ac[(3 << 4) | 1]; w.put(code, ln); w.put(0, 1)   # -1 at k=5
+    code, ln = ac[0x00]; w.put(code, ln)                        # EOB
+    w.flush(); out += w.out
+    # scan 4: AC refine, Ah=1, Al=0 -> EOB(run 1), then correction bits
+    # for the two nonzero-history coeffs: k=1 gets 1 (2->3), k=5 gets 0
+    out += sos(1, 63, 1, 0)
+    w = _BitWriter()
+    code, ln = ac[0x00]; w.put(code, ln)
+    w.put(1, 1)  # correction for k=1
+    w.put(0, 1)  # correction for k=5
+    w.flush(); out += w.out
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    coef_zz = np.zeros(64)
+    coef_zz[0], coef_zz[1], coef_zz[5] = 5, 3, -2
+    deq = np.zeros(64)
+    deq[ZIGZAG] = coef_zz  # quant table is all ones
+    want = np.clip(np.round(_MT @ deq.reshape(8, 8) @ _M + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, want)
