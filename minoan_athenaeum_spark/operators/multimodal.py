@@ -587,7 +587,10 @@ def with_jpeg_payload(df: DataFrame, width: int = 24, height: int = 16) -> DataF
     quant step of 8, block-constant planes survive the lossy pipeline
     BIT-EXACTLY (operators/jpeg.py docstring), so the decode oracle is
     closed-form despite the stream being genuinely entropy-coded."""
-    from minoan_athenaeum_spark.operators.jpeg import encode_jpeg_gray
+    from minoan_athenaeum_spark.operators.jpeg import (
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
 
     assert width % 8 == 0 and height % 8 == 0
     bx, by = width // 8, height // 8
@@ -600,7 +603,16 @@ def with_jpeg_payload(df: DataFrame, width: int = 24, height: int = 16) -> DataF
                 img = np.repeat(
                     np.repeat(blocks.reshape(by, bx), 8, axis=0), 8, axis=1
                 ).astype(np.uint8)
-                payloads.append(encode_jpeg_gray(img))
+                # every third document ships a PROGRESSIVE (SOF2)
+                # stream — block-constant planes decode bit-identically
+                # either way, so the oracle is unchanged and the gate
+                # covers BOTH entropy layouts
+                enc = (
+                    encode_jpeg_gray_progressive
+                    if int(d) % 3 == 1
+                    else encode_jpeg_gray
+                )
+                payloads.append(enc(img))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return df.select("doc_id").mapInPandas(
