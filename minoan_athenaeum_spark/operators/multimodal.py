@@ -881,3 +881,45 @@ def adpcm_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in ADPCM_STATS_SCHEMA])
 
     return df.mapInPandas(stats, ADPCM_STATS_SCHEMA)
+
+
+MS_ADPCM_BODY_BYTES = 16
+
+
+def with_ms_adpcm_payload(df: DataFrame) -> DataFrame:
+    """Attach a REAL mono MS-ADPCM WAV per row (format tag 2): one
+    block with closed-form header — predictor index ``doc_id % 7``,
+    initial delta ``doc_id % 500 + 16``, sample1 ``doc_id % 2001 −
+    1000``, sample2 ``(3·doc_id) % 2001 − 1000`` — and 16 body bytes
+    ``(doc_id % 251 + 11·j) mod 256``. Every quantity is a closed-form
+    function of (doc_id, offset), so the oracle can re-run the
+    sequential decode as a recursive-CTE fold."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        joff = 11 * np.arange(MS_ADPCM_BODY_BYTES, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                body = ((d % 251 + joff) % 256).astype(np.uint8).tobytes()
+                block = (
+                    bytes([d % 7])
+                    + (d % 500 + 16).to_bytes(2, "little", signed=True)
+                    + (d % 2001 - 1000).to_bytes(2, "little", signed=True)
+                    + ((3 * d) % 2001 - 1000).to_bytes(2, "little", signed=True)
+                    + body
+                )
+                payloads.append(
+                    encode_wav_raw(block, 2, 1, 8000, 4, 7 + MS_ADPCM_BODY_BYTES)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )

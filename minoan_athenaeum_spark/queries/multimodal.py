@@ -421,3 +421,95 @@ def mm_adpcm_audio_features(spark, sf_dir):
 
     d = with_adpcm_payload(t(spark, sf_dir, "documents"))
     return adpcm_features(d)
+
+
+# MS-ADPCM is sequential like IMA but with a two-sample linear
+# predictor: pred = floor((s1·c1 + s2·c2)/256) + code·delta, then
+# delta = max(16, adapt[nibble]·delta >> 8). DuckDB's // truncates
+# toward zero, so the oracle uses the subtract-positive-modulo trick
+# for the arithmetic-shift (floor) semantics on the predictor term.
+_MS_ADPCM_ORACLE = """
+    WITH RECURSIVE dec AS (
+      SELECT doc_id,
+             CAST(0 AS BIGINT) AS s,
+             CAST(doc_id % 2001 - 1000 AS BIGINT) AS s1,
+             CAST((3 * doc_id) % 2001 - 1000 AS BIGINT) AS s2,
+             CAST(doc_id % 500 + 16 AS BIGINT) AS delta,
+             CAST((3 * doc_id) % 2001 - 1000 AS BIGINT) AS sample
+      FROM documents
+      UNION ALL
+      SELECT doc_id, s, s1_n, s2_n, delta_n, sample_n
+      FROM (
+        SELECT doc_id, s,
+               CASE WHEN s = 1 THEN s1
+                    ELSE GREATEST(-32768, LEAST(32767,
+                      (lin - ((lin % 256 + 256) % 256)) // 256 + c * delta))
+               END AS sample_n,
+               CASE WHEN s = 1 THEN s1
+                    ELSE GREATEST(-32768, LEAST(32767,
+                      (lin - ((lin % 256 + 256) % 256)) // 256 + c * delta))
+               END AS s1_n,
+               CASE WHEN s = 1 THEN s2 ELSE s1 END AS s2_n,
+               CASE WHEN s = 1 THEN delta
+                    ELSE GREATEST(16, (ad[nib + 1] * delta) // 256)
+               END AS delta_n
+        FROM (
+          SELECT doc_id, s, s1, s2, delta,
+                 s1 * c1s[pi + 1] + s2 * c2s[pi + 1] AS lin,
+                 CASE WHEN nib >= 8 THEN nib - 16 ELSE nib END AS c,
+                 nib, ad
+          FROM (
+            SELECT doc_id, s + 1 AS s, s1, s2, delta,
+                   CAST(doc_id % 7 AS BIGINT) AS pi,
+                   CASE WHEN (s + 1) >= 2 THEN
+                     CASE WHEN (s - 1) % 2 = 0
+                          THEN ((doc_id % 251 + 11 * ((s - 1) // 2)) % 256) // 16
+                          ELSE ((doc_id % 251 + 11 * ((s - 1) // 2)) % 256) % 16
+                     END
+                   ELSE 0 END AS nib,
+                   [256, 512, 0, 192, 240, 460, 392] AS c1s,
+                   [0, -256, 0, 64, 0, -208, -232] AS c2s,
+                   [230, 230, 230, 230, 307, 409, 512, 614,
+                    768, 614, 512, 409, 307, 230, 230, 230] AS ad
+            FROM dec WHERE s < 33
+          )
+        )
+      )
+    )
+    SELECT doc_id,
+           CAST(34 AS BIGINT) AS n_frames,
+           CAST(MAX(ABS(sample)) AS BIGINT) AS peak,
+           CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs,
+           CAST(SUM(sample * sample) AS BIGINT) AS energy,
+           CAST(MAX(CASE WHEN s = 33 THEN sample END) AS BIGINT) AS last_sample
+    FROM dec GROUP BY doc_id
+"""
+
+
+@query(
+    "mm_ms_adpcm_audio_features",
+    oracle=_MS_ADPCM_ORACLE,
+    tags=("multimodal", "audio", "decode", "compressed"),
+)
+def mm_ms_adpcm_audio_features(spark, sf_dir):
+    """REAL MS-ADPCM decode (WAV format tag 2) — the OTHER mainstream
+    4-bit WAV codec: a two-sample linear predictor from seven fixed
+    coefficient pairs plus an adaptive delta, against IMA's step-table
+    state machine. Every document carries a one-block mono MS-ADPCM
+    WAV with closed-form header and body; the decoder
+    (operators/audio_codecs.py::decode_ms_adpcm, pinned against an
+    independent spec-derived reference loop) runs in one Arrow
+    mapInPandas pass; the oracle re-executes the fold sample-by-sample
+    as a recursive CTE — including the arithmetic-shift (floor)
+    semantics of the predictor term, which DuckDB's truncating integer
+    division must emulate. `last_sample` pins the final state.
+
+    Scale shape: map-only Arrow decode, no shuffle; blocks carry full
+    decoder state, so long recordings parallelize by block."""
+    from minoan_athenaeum_spark.operators.multimodal import (
+        adpcm_features,
+        with_ms_adpcm_payload,
+    )
+
+    d = with_ms_adpcm_payload(t(spark, sf_dir, "documents"))
+    return adpcm_features(d)
