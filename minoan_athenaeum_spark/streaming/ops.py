@@ -211,7 +211,16 @@ def run_with_rollup_refresh(
     partials). Determinism: after each batch the store equals the full
     recompute over raw-so-far (the refresh invariant, pinned by the
     batch twin's oracle), so the FINAL store is independent of how the
-    input was split into micro-batches."""
+    input was split into micro-batches.
+
+    Cost model (honest caveat): each refresh re-scans raw rows whose
+    bucket is dirty. Real event streams arrive roughly time-ordered,
+    so a micro-batch dirties only the recent buckets and the re-scan
+    is bounded by the time predicate. Replaying files whose rows span
+    the WHOLE time range (e.g. uniformly shuffled archives) dirties
+    every bucket every batch — O(batches × raw) — which is a property
+    of that input order, not of the maintenance math; bulk-load such
+    archives through the batch rollup builder instead."""
     import os
 
     from minoan_athenaeum_spark.operators.rollup_store import (
