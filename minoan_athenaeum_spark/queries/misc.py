@@ -195,3 +195,73 @@ def misc_surrogate_keys(spark, sf_dir):
         o, [], ["o_orderdate", "o_orderkey"], out_col="sk"
     )
     return ranked.select("o_orderkey", "sk")
+
+
+_ENTITY_RES_ORACLE = """
+    WITH RECURSIVE pairs AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b
+      FROM customer a, customer b
+      WHERE a.c_custkey < b.c_custkey
+        AND a.c_custkey < 400 AND b.c_custkey < 400
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ), edges AS (
+      SELECT a AS u, b AS v FROM pairs UNION SELECT b AS u, a AS v FROM pairs
+    ), reach(src, dst) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ), comp AS (
+      SELECT r.src AS node, LEAST(r.src, MIN(r.dst)) AS canonical
+      FROM reach r GROUP BY r.src
+    )
+    SELECT c.c_custkey,
+           CAST(COALESCE(p.canonical, c.c_custkey) AS BIGINT) AS canonical_id
+    FROM customer c LEFT JOIN comp p ON p.node = c.c_custkey
+    WHERE c.c_custkey < 400
+"""
+
+
+@query("misc_entity_resolution", oracle=_ENTITY_RES_ORACLE, tags=("entity", "fuzzy", "components"))
+def misc_entity_resolution(spark, sf_dir):
+    """ENTITY RESOLUTION capstone — the composition every master-data
+    pipeline runs: fuzzy candidate pairs (FastSS deletion-neighborhood
+    join, edit distance <= 1) feed connected components (large-star /
+    small-star contraction — O(log²) rounds, no chain-length
+    dependence), and every record maps to the minimum reachable id as
+    its canonical entity; singletons canonicalize to themselves. The
+    oracle replays the definition: brute-force levenshtein pairs + a
+    recursive-CTE transitive closure.
+
+    Scale shape: both stages are the already-probed operators — the
+    fuzzy join is variant-equi-join + verify (never quadratic), the
+    clustering is the contraction that survives adversarial chains
+    (typo ladders ARE long chains: name₀→name₁→… each within distance
+    1 — exactly the diameter hazard star contraction removes)."""
+    from minoan_athenaeum_spark.operators.components import (
+        connected_components_star,
+    )
+    from minoan_athenaeum_spark.operators.fuzzy import fuzzy_self_join_dist1
+
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 400)
+        .select("c_custkey", "c_name")
+    )
+    pairs = fuzzy_self_join_dist1(c, "c_custkey", "c_name").select("a", "b")
+    comps = connected_components_star(pairs, src="a", dst="b")
+    return (
+        c.join(
+            comps.select(
+                F.col("node").alias("c_custkey"),
+                F.col("comp").alias("canonical"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("canonical"), F.col("c_custkey")).alias(
+                "canonical_id"
+            ),
+        )
+    )

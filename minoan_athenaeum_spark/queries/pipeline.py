@@ -726,3 +726,106 @@ def pipeline_remove_dup_spans(spark, sf_dir):
             )
         ).alias("clean_md5"),
     )
+
+
+_SPLIT_ORACLE = """
+    SELECT source,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 0
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1, 2
+"""
+
+
+@query("pipeline_train_test_split", oracle=_SPLIT_ORACLE, tags=("pipeline", "split"))
+def pipeline_train_test_split(spark, sf_dir):
+    """Deterministic TRAIN/TEST SPLIT (~10% test) by the engine-portable
+    md5-derived hash of doc_id — the assignment every training run must
+    reproduce identically on any cluster, any partitioning, any rerun
+    (random() splits are none of those). Disjoint and exhaustive by
+    construction (a pure function of the key); the oracle recomputes
+    the identical assignment, so a green row proves both engines put
+    every document in the same split.
+
+    Scale shape: the split column is a map-side expression; the
+    composition stats are one partial-agg groupBy."""
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+
+    d = t(spark, sf_dir, "documents")
+    split = F.when(
+        portable_hash60(F.col("doc_id").cast("string")) % 10 == 0, "test"
+    ).otherwise("train")
+    return (
+        d.withColumn("split", split)
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_UNICODE_CLEAN_ORACLE = """
+    WITH dirty AS (
+      SELECT doc_id,
+             chr(8220) || replace(text, ' ', chr(160)) || chr(8221) || chr(7) AS raw
+      FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 replace(replace(replace(raw, chr(8220), '"'), chr(8221), '"'),
+                         chr(160), ' '),
+                 '[\\x00-\\x1F\\x7F]', '', 'g'),
+               '\\s+', ' ', 'g')) AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           CAST(length(clean) AS BIGINT) AS n_chars_clean,
+           md5(clean) AS clean_md5,
+           (clean = '"' || text || '"') AS roundtrip_ok
+    FROM cleaned JOIN documents USING (doc_id)
+"""
+
+
+@query("pipeline_unicode_clean", oracle=_UNICODE_CLEAN_ORACLE, tags=("pipeline", "clean", "unicode"))
+def pipeline_unicode_clean(spark, sf_dir):
+    """UNICODE TEXT CLEANING — the web-scrape sanitation stage: smart
+    quotes normalized to ASCII, non-breaking spaces to plain spaces,
+    control characters stripped, whitespace collapsed. The corpus is
+    clean, so the query first DIRTIES it deterministically (wrap in
+    curly quotes, spaces -> NBSP, append a BEL) and then must recover
+    exactly the original wrapped text — ``roundtrip_ok`` is asserted
+    per row and the cleaned md5 pins every transformation; the oracle
+    replays both steps.
+
+    Scale shape: pure JVM string expressions, map-only, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    lq, rq, nbsp, bel = "\u201c", "\u201d", "\u00a0", "\x07"
+    dirty = F.concat(
+        F.lit(lq),
+        F.regexp_replace(F.col("text"), " ", nbsp),
+        F.lit(rq),
+        F.lit(bel),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(dirty, lq + rq + nbsp, '"' + '"' + " "),
+                "[\\x00-\\x1F\\x7F]",
+                "",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(clean).alias("n_chars_clean"),
+        F.md5(clean).alias("clean_md5"),
+        (clean == F.concat(F.lit('"'), F.col("text"), F.lit('"'))).alias(
+            "roundtrip_ok"
+        ),
+    )
