@@ -710,3 +710,84 @@ def misc_dq_constraint_checks(spark, sf_dir):
     return checks.join(F.broadcast(pop_df), "check_name").select(
         "check_name", "violations", "population"
     )
+
+
+_PIT_JOIN_ORACLE = """
+    WITH dim AS (
+      SELECT c_custkey AS ckey, c_mktsegment AS segment,
+             '1990-01-01' AS valid_from, '1995-06-01' AS valid_to
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'SEGMENT-NEW', '1995-06-01', '9999-12-31'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, '1990-01-01', '9999-12-31'
+      FROM customer WHERE c_custkey % 10 != 0
+    )
+    SELECT d.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN dim d
+      ON d.ckey = o.o_custkey
+     AND CAST(o.o_orderdate AS VARCHAR) >= d.valid_from
+     AND CAST(o.o_orderdate AS VARCHAR) < d.valid_to
+    GROUP BY d.segment
+"""
+
+
+@query("misc_scd2_point_in_time_join", oracle=_PIT_JOIN_ORACLE, tags=("scd2", "temporal", "join"))
+def misc_scd2_point_in_time_join(spark, sf_dir):
+    """POINT-IN-TIME (as-of) JOIN against an SCD Type-2 dimension — the
+    query SCD2 history exists FOR: each order joins to the dimension
+    version that was valid ON ITS ORDER DATE, so 1994 orders of a
+    customer resegmented in mid-1995 report the OLD segment and 1996
+    orders the new one. The versioned dim is built deterministically
+    (every custkey % 10 == 0 resegments on 1995-06-01); revenue per
+    effective segment comes out exact-decimal.
+
+    Scale shape: an equi-join on the business key with a residual
+    validity-range predicate — the hash join carries the band filter,
+    never a cross join; versions-per-key is small and bounded, so the
+    fan-out is ~1. History never moves; only the (tiny) dim shuffles
+    or broadcasts."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    changed = c.filter(F.col("c_custkey") % 10 == 0)
+    dim = (
+        changed.select(
+            F.col("c_custkey").alias("ckey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.lit("1990-01-01").alias("valid_from"),
+            F.lit("1995-06-01").alias("valid_to"),
+        )
+        .unionAll(
+            changed.select(
+                F.col("c_custkey").alias("ckey"),
+                F.lit("SEGMENT-NEW").alias("segment"),
+                F.lit("1995-06-01").alias("valid_from"),
+                F.lit("9999-12-31").alias("valid_to"),
+            )
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 10 != 0).select(
+                F.col("c_custkey").alias("ckey"),
+                F.col("c_mktsegment").alias("segment"),
+                F.lit("1990-01-01").alias("valid_from"),
+                F.lit("9999-12-31").alias("valid_to"),
+            )
+        )
+    )
+    od = F.col("o_orderdate").cast("string")
+    joined = o.join(
+        dim,
+        (F.col("ckey") == F.col("o_custkey"))
+        & (od >= F.col("valid_from"))
+        & (od < F.col("valid_to")),
+    )
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
