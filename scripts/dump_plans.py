@@ -66,6 +66,15 @@ EXTRA = [
     "misc_compaction_roundtrip",
     "evt_variant_extract",
     "fn_python_udtf",
+    "misc_entity_resolution",
+    "misc_scd2_point_in_time_join",
+    "misc_surrogate_keys",
+    "win_grouped_topk_two_phase",
+    "pipeline_train_test_split",
+    "pipeline_unicode_clean",
+    "mm_ms_adpcm_audio_features",
+    "misc_dq_constraint_checks",
+    "stream_rollup_refresh_exec",
 ]
 
 
