@@ -390,3 +390,52 @@ def stat_median_abs_deviation(spark, sf_dir):
         .cast("double")
         .alias("mad_bal")
     )
+
+
+_QUANTILES_2P_ORACLE = """
+    WITH r AS (
+      SELECT event_type, CAST(value AS DECIMAL(12,2)) AS dv,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY CAST(value AS DECIMAL(12,2)), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dv END) AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN dv END) AS DOUBLE) AS p95,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN dv END) AS DOUBLE) AS p99
+    FROM r GROUP BY event_type
+"""
+
+
+@query("stat_exact_quantiles_two_phase", oracle=_QUANTILES_2P_ORACLE, tags=("stats", "quantiles", "two-phase"))
+def stat_exact_quantiles_two_phase(spark, sf_dir):
+    """EXACT per-group quantiles (p50/p95/p99, lower-rank convention
+    rn = ceil(q·n)) computed with the grouped TWO-PHASE rank instead of
+    a per-group window — the plan that still works when one group holds
+    billions of rows (a per-group window sorts the whole group on one
+    reducer; the two-phase form range-partitions (group, value) so hot
+    groups span every core). Selection ranks are exact integer
+    arithmetic, values exact decimals cast once to double — the same
+    engine-portable convention as stat_exact_median, at the scale-safe
+    plan shape."""
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("decimal(12,2)").alias("dv"),
+        "event_id",
+    )
+    r = grouped_two_phase_rank(e, ["event_type"], ["dv", "event_id"], out_col="rn")
+    n = r.groupBy("event_type").agg(F.max("rn").alias("n"))
+    j = r.join(F.broadcast(n), "event_type")
+    pick = lambda expr: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.expr(expr), F.col("dv"))
+    ).cast("double")
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(n * 95 + 99) div 100").alias("p95"),
+        pick("(n * 99 + 99) div 100").alias("p99"),
+    )
