@@ -333,11 +333,11 @@ def text_inverted_index(spark, sf_dir):
     shuffle keyed by term). ``postings_head`` is capped at the 20
     smallest doc_ids so the DEMO output is bounded; at 100 TB the full
     posting lists would not pass through collect_list at all — the
-    sink path is repartitionByRange(term).sortWithinPartitions(term,
-    doc_id) writing term-run segments, which streams postings to disk
-    with O(1) executor state (same layout real engines use: segmented
-    posting files). The tf/df/total_tf aggregates here ARE that scale
-    path's statistics pass, unchanged.
+    sink path is sources/posting_sink.py::write_posting_segments
+    (repartitionByRange(term) + sortWithinPartitions, term-run parquet
+    segments, O(1) executor state, stats-pruned term lookups — layout
+    pinned in tests/test_posting_sink.py). The tf/df/total_tf
+    aggregates here ARE that scale path's statistics pass, unchanged.
     """
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(

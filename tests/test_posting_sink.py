@@ -1,0 +1,85 @@
+"""Pins for sources/posting_sink.py — the segment LAYOUT claims
+(disjoint term ranges across files, sorted runs within, stats-driven
+pruning) and content preservation."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+from minoan_athenaeum_spark.sources.posting_sink import (
+    lookup_term,
+    write_posting_segments,
+)
+
+
+def _postings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+
+
+def test_segment_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "segments")
+    postings = _postings(spark, sf_dir)
+    write_posting_segments(postings, path, num_segments=4)
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    )
+    assert 1 < len(files) <= 4
+
+    # (1) within each file, (term, doc_id) runs are sorted; (2) term
+    # ranges are disjoint across files
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["term", "doc_id"])
+        terms = t.column("term").to_pylist()
+        docs = t.column("doc_id").to_pylist()
+        rows = list(zip(terms, docs))
+        assert rows == sorted(rows), f"unsorted run in {f}"
+        ranges.append((terms[0], terms[-1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping term ranges: {hi1!r} vs {lo2!r}"
+
+    # content preserved exactly
+    back = spark.read.parquet(path)
+    a = postings.groupBy("term").count().collect()
+    b = back.groupBy("term").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_lookup_prunes_to_one_segment(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "segments2")
+    write_posting_segments(_postings(spark, sf_dir), path, num_segments=4)
+
+    got = lookup_term(spark, path, "spark")
+    want = (
+        _postings(spark, sf_dir).filter(F.col("term") == "spark").count()
+    )
+    assert got.count() == want
+    # row-group stats admit the term in at most one segment file
+    admitting = 0
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        if os.path.basename(f).startswith(("_", ".")):
+            continue
+        meta = pq.ParquetFile(f).metadata
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.row_group(rg).num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == "term"
+            )
+            st = col.statistics
+            if st.min <= "spark" <= st.max:
+                admitting += 1
+                break  # count files, not row groups
+    assert admitting <= 1
