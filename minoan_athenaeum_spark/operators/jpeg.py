@@ -263,12 +263,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             b = 0
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                qtables[tid] = np.frombuffer(
-                    body[b + 1 : b + 65], dtype=np.uint8
-                ).astype(np.int64)
-                b += 65
+                if prec == 0:                   # 8-bit entries
+                    qtables[tid] = np.frombuffer(
+                        body[b + 1 : b + 65], dtype=np.uint8
+                    ).astype(np.int64)
+                    b += 65
+                elif prec == 1:                 # 16-bit big-endian entries
+                    qtables[tid] = np.frombuffer(
+                        body[b + 1 : b + 129], dtype=">u2"
+                    ).astype(np.int64)
+                    b += 129
+                else:
+                    raise ValueError(f"invalid DQT precision {prec}")
         elif marker == 0xC4:                    # DHT
             b = 0
             while b < len(body):

@@ -753,3 +753,35 @@ def test_progressive_jpeg_successive_approximation_hand_stream():
     deq[ZIGZAG] = coef_zz  # quant table is all ones
     want = np.clip(np.round(_MT @ deq.reshape(8, 8) @ _M + 128.0), 0, 255).astype(np.uint8)
     assert np.array_equal(got, want)
+
+
+def test_16bit_quant_tables_decode():
+    """DQT precision 1 (16-bit big-endian entries) must parse and
+    dequantize correctly: re-encode a baseline stream's quant table as
+    16-bit values > 255 scaled down in the coefficients — simplest pin:
+    same image, same table VALUES, one stream 8-bit DQT, one 16-bit
+    DQT; decodes must be identical."""
+    import struct
+
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.RandomState(43)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    stream = encode_jpeg_gray(img)
+    base = decode_jpeg(stream)
+
+    # rewrite the DQT segment from 8-bit to 16-bit precision in place
+    i = stream.find(b"\xff\xdb")
+    seg_len = int.from_bytes(stream[i + 2 : i + 4], "big")
+    pq_tid = stream[i + 4]
+    entries = stream[i + 5 : i + 5 + 64]
+    assert pq_tid >> 4 == 0 and seg_len == 67
+    body16 = bytes([0x10 | (pq_tid & 0x0F)]) + b"".join(
+        struct.pack(">H", e) for e in entries
+    )
+    new_seg = b"\xff\xdb" + (len(body16) + 2).to_bytes(2, "big") + body16
+    mutated = stream[:i] + new_seg + stream[i + 2 + seg_len:]
+    assert np.array_equal(decode_jpeg(mutated), base)
