@@ -791,3 +791,45 @@ def misc_scd2_point_in_time_join(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "misc_zorder_roundtrip",
+    oracle=_EVENTS_TEXT_ORACLE,
+    tags=("layout", "zorder"),
+)
+def misc_zorder_roundtrip(spark, sf_dir):
+    """Z-ORDER layout path proven by round trip: events rewritten
+    clustered on the Morton-interleaved (user_id, value-cents) key
+    (sources/parquet_sink.py::write_zordered — the multi-column
+    pruning layout whose row-group-span halving is measured in
+    tests/test_zorder_layout.py), then the clustered copy is
+    aggregated against the original-parquet oracle. A green row
+    certifies the space-filling-curve rewrite moved every row exactly
+    once; the layout's pruning benefit is pinned separately on real
+    row-group statistics."""
+    import os
+
+    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
+    from minoan_athenaeum_spark.sources.parquet_sink import write_zordered
+
+    fp = _source_fingerprint(f"{sf_dir}/events.parquet")[:16]
+    out = f"/tmp/mas_zorder/{fp}/events"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        ev = t(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "event_type",
+            "user_id",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("cents"),
+        )
+        write_zordered(ev, out, ("user_id", "cents"))
+    z = spark.read.parquet(out)
+    return z.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("cents").alias("total_cents"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
