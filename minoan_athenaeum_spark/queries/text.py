@@ -16,6 +16,7 @@ from minoan_athenaeum_spark.operators.text import (
     sql_list,
     stopword_hits,
     token_count,
+    tokens,
 )
 from minoan_athenaeum_spark.queries._util import t
 from minoan_athenaeum_spark.registry import query
@@ -571,3 +572,128 @@ def text_lcp_adjacent(spark, sf_dir):
         )
     finally:
         chars.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Fixed demo query terms with deliberately spread document frequencies
+# (at sf0.001: 'dup' df=25/500, 'hash' df=381, 'stream' df=394) so the
+# idf weighting is genuinely exercised, not a constant factor.
+_BM25_TERMS = ("dup", "hash", "stream")
+_BM25_K1 = "1.2"
+_BM25_B = "0.75"
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    score_cols = ",\n           ".join(
+        f"""coalesce(max(CASE WHEN term = '{t}' THEN
+             idf * ((tf * ({k1} + 1.0)) / (tf + {k1} * ((1.0 - {b}) + {b} * (dl / avgdl))))
+           END), 0.0) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), hit AS (
+      SELECT d.doc_id, u.t AS term
+      FROM d, UNNEST(toks) AS u(t)
+      WHERE u.t IN ({terms})
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hit GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl, stats.avgdl,
+             (stats.n_docs - df.df + 0.5) / (df.df + 0.5) AS idf
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+    ), per_doc AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (s_{_BM25_TERMS[0]} + s_{_BM25_TERMS[1]}) + s_{_BM25_TERMS[2]} AS bm25
+    FROM per_doc
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """
+
+
+@query("text_bm25_search", oracle=_bm25_oracle(), tags=("text", "search", "bm25"))
+def text_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed multi-term query — the scoring
+    half of corpus search on top of the inverted-index statistics
+    (text_inverted_index / sources/posting_sink.py are the index-build
+    half; this query IS the lookup-time plan).
+
+    The idf factor is the log-free rational form
+    (N - df + 0.5)/(df + 0.5): the standard Robertson idf is
+    ln(that + 1), a per-term monotone transform whose libm rounding is
+    not engine-portable; the rational form keeps every arithmetic step
+    an IEEE-exact double op so the DuckDB twin matches bit-for-bit
+    (same discipline as text_bigram_lm_score: no float sums, no
+    transcendentals). Per-term partial scores are summed in one fixed
+    literal order.
+
+    Scale shape: the term IN-filter runs map-side BEFORE the only
+    corpus-sized shuffle (groupBy doc_id,term on matching tokens only —
+    at 100 TB with a real posting index this becomes a pruned segment
+    read, see posting_sink); df (|Q| rows) and the corpus stats (1 row)
+    are broadcast; the final top-20 is TakeOrderedAndProject, never a
+    global sort. Document text never shuffles — only (doc_id, term)
+    pairs for matched terms.
+    """
+    k1 = float(_BM25_K1)
+    b = float(_BM25_B)
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    hit = d.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = hit.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    )
+    per_term = F.col("idf") * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("avgdl"))))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == term, per_term)), F.lit(0.0)
+            ).alias(f"s_{term}")
+            for term in _BM25_TERMS
+        ]
+    )
+    total = (
+        F.col(f"s_{_BM25_TERMS[0]}") + F.col(f"s_{_BM25_TERMS[1]}")
+    ) + F.col(f"s_{_BM25_TERMS[2]}")
+    return (
+        per_doc.select("doc_id", total.alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
