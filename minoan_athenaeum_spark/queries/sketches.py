@@ -283,3 +283,139 @@ def sketch_hll_mergeable(spark, sf_dir):
             "merge_is_lossless"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (portable-hash, exact-verified)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 65536          # filter size in bits
+_BLOOM_WORDS = _BLOOM_M // 32   # packed as 32-bit words in BIGINTs (sign-safe)
+_BLOOM_K = 3              # hash functions
+
+_BLOOM_ORACLE = f"""
+    WITH keys AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+    ), kpos AS (
+      SELECT CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {_BLOOM_M} AS pos
+      FROM keys, UNNEST([0, 1, 2]) AS u(j)
+    ), bloom AS (
+      SELECT pos // 32 AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS word
+      FROM kpos GROUP BY 1
+    ), probe AS (
+      SELECT c.c_custkey,
+             CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {_BLOOM_M} AS pos
+      FROM customer c, UNNEST([0, 1, 2]) AS u(j)
+    ), hit AS (
+      SELECT p.c_custkey,
+             min(CASE WHEN (coalesce(b.word, 0) >> (p.pos % 32)) & 1 = 1 THEN 1 ELSE 0 END) AS bloom_member
+      FROM probe p LEFT JOIN bloom b ON b.word_idx = p.pos // 32
+      GROUP BY 1
+    ), truth AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS exact_member
+      FROM customer
+    ), cls AS (
+      SELECT h.c_custkey, h.bloom_member, t.exact_member
+      FROM hit h JOIN truth t USING (c_custkey)
+    )
+    SELECT (SELECT count(*) FROM keys) AS n_keys,
+           count(*) AS n_probes,
+           sum(CASE WHEN bloom_member = 1 AND exact_member = 1 THEN 1 ELSE 0 END) AS n_true_pos,
+           sum(CASE WHEN bloom_member = 1 AND exact_member = 0 THEN 1 ELSE 0 END) AS n_false_pos,
+           sum(CASE WHEN bloom_member = 0 AND exact_member = 0 THEN 1 ELSE 0 END) AS n_true_neg,
+           sum(CASE WHEN bloom_member = 0 AND exact_member = 1 THEN 1 ELSE 0 END) AS n_false_neg,
+           (SELECT sum(bit_count(word)) FROM bloom) AS n_set_bits
+    FROM cls
+"""
+
+
+@query("sketch_bloom_membership", oracle=_BLOOM_ORACLE, tags=("sketch", "bloom"))
+def sketch_bloom_membership(spark, sf_dir):
+    """Distributed Bloom filter build + probe, exact-verified: the
+    constant-size membership sketch under join pruning, semi-join
+    pushdown, and dedup-against-history at 100 TB (Spark's own runtime
+    bloom joins use the same structure; this surfaces it as a
+    first-class, engine-portable operator).
+
+    Build: every build key sets K=3 bit positions from the portable
+    md5-derived 60-bit hash; positions pack into 2048 sign-safe 32-bit
+    words via a single bit_or groupBy (no distinct needed — bit_or is
+    idempotent, so duplicate keys cost nothing and the build is ONE
+    dict-sized shuffle). Probe: each probe key joins its 3 words
+    against the BROADCAST 2048-row filter — map-only per probe row.
+    The output cross-tabs bloom verdicts against exact membership
+    (semi-join truth): n_false_neg MUST be 0 (structural guarantee —
+    the oracle and the value-hash pin it), n_false_pos is the measured
+    fp count at m/n ≈ 44 bits/key (sf0.001), and n_set_bits pins every
+    single bit of the filter via popcount.
+
+    At scale: the filter is O(m) bytes regardless of corpus size,
+    built in one pass, broadcast once; probes never shuffle.
+    """
+    m, k = _BLOOM_M, _BLOOM_K
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+
+    def h60(key_col, j):
+        s = F.concat(key_col.cast("string"), F.lit(f":{j}"))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % m
+
+    keys = orders.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("k")
+    )
+    kpos = keys.select(
+        F.explode(F.array(*[h60(F.col("k"), j) for j in range(k)])).alias("pos")
+    )
+    bloom = kpos.groupBy((F.col("pos") / 32).cast("bigint").alias("word_idx")).agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")).alias("word")
+    )
+    probe = cust.select("c_custkey").select(
+        "c_custkey",
+        F.explode(F.array(*[h60(F.col("c_custkey"), j) for j in range(k)])).alias("pos"),
+    )
+    hit = (
+        probe.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("bigint") == F.col("word_idx"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            (
+                F.expr(
+                    "shiftright(coalesce(word, CAST(0 AS BIGINT)),"
+                    " CAST(pos % 32 AS INT)) & 1"
+                )
+                == 1
+            ).cast("int").alias("bit_set"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("bit_set").alias("bloom_member"))
+    )
+    truth = cust.select("c_custkey").join(
+        keys.withColumnRenamed("k", "c_custkey"), "c_custkey", "left_semi"
+    ).withColumn("exact_member", F.lit(1))
+    cls = hit.join(F.broadcast(truth), "c_custkey", "left").fillna(
+        {"exact_member": 0}
+    )
+    key_stats = keys.agg(F.countDistinct("k").alias("n_keys"))
+    bit_stats = bloom.agg(F.sum(F.bit_count("word")).alias("n_set_bits"))
+    counted = cls.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(((F.col("bloom_member") == 1) & (F.col("exact_member") == 1)).cast("bigint")).alias("n_true_pos"),
+        F.sum(((F.col("bloom_member") == 1) & (F.col("exact_member") == 0)).cast("bigint")).alias("n_false_pos"),
+        F.sum(((F.col("bloom_member") == 0) & (F.col("exact_member") == 0)).cast("bigint")).alias("n_true_neg"),
+        F.sum(((F.col("bloom_member") == 0) & (F.col("exact_member") == 1)).cast("bigint")).alias("n_false_neg"),
+    )
+    return (
+        counted.crossJoin(F.broadcast(key_stats))
+        .crossJoin(F.broadcast(bit_stats))
+        .select(
+            "n_keys", "n_probes", "n_true_pos", "n_false_pos",
+            "n_true_neg", "n_false_neg", "n_set_bits",
+        )
+    )
