@@ -829,3 +829,86 @@ def pipeline_unicode_clean(spark, sf_dir):
             "roundtrip_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted sampling without replacement)
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 24
+_PRIO_SCALE = str(1 << 60)  # h60 range; (h+1)/2^60 is a uniform in (0,1]
+
+_PRIO_ORACLE = rf"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS weight
+      FROM documents
+    ), pri AS (
+      SELECT doc_id, weight,
+             CAST(weight AS DOUBLE) /
+               (CAST(CAST(('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                / {_PRIO_SCALE}.0) AS priority
+      FROM w
+    ), top AS (
+      SELECT doc_id, weight, priority,
+             row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+      FROM pri
+    ), tau AS (
+      SELECT priority AS tau FROM top WHERE rn = {_PRIO_K} + 1
+    )
+    SELECT t.doc_id, t.weight, t.priority,
+           greatest(CAST(t.weight AS DOUBLE), tau.tau) AS adj_weight
+    FROM top t, tau
+    WHERE t.rn <= {_PRIO_K}
+"""
+
+
+@query("pipeline_priority_sample", oracle=_PRIO_ORACLE, tags=("pipeline", "sampling"))
+def pipeline_priority_sample(spark, sf_dir):
+    """PRIORITY SAMPLING (Duffield-Lund-Thorup, JACM 2007): weighted
+    sampling without replacement with unbiased subset-sum estimation —
+    the principled way to downsample a weighted corpus (weight = token
+    count here) so that any downstream sum over the sample estimates
+    the corpus sum. Per item: uniform u_i in (0,1] derived from the
+    portable md5 hash (deterministic on any cluster, any partitioning,
+    any rerun — same discipline as pipeline_train_test_split), priority
+    q_i = w_i/u_i; keep the top k=24 priorities; the (k+1)-th priority
+    is the threshold tau and each kept item's Horvitz-Thompson adjusted
+    weight is max(w_i, tau) — E[sum(adj_weight over sample)] equals the
+    exact total corpus weight.
+
+    Everything is +-*/ on doubles from exact integers (no
+    transcendentals), so the DuckDB twin matches bit-for-bit.
+
+    Scale shape: weights and priorities are map-only projections; the
+    top-(k+1) is TakeOrderedAndProject (per-partition partial top-k,
+    never a global sort); tau is a broadcast 1-row join. The corpus is
+    read once and never shuffles.
+    """
+    k = _PRIO_K
+    scale = float(1 << 60)
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("prio:"), F.col("doc_id").cast("string"))), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        + 1
+    ).cast("double") / F.lit(scale)
+    pri = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("weight"),
+    ).withColumn("priority", F.col("weight").cast("double") / u)
+    topk1 = pri.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
+    tau = topk1.agg(F.min("priority").alias("tau"))
+    return (
+        topk1.orderBy(F.col("priority").desc(), "doc_id")
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "weight",
+            "priority",
+            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("adj_weight"),
+        )
+    )
