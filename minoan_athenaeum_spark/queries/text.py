@@ -697,3 +697,82 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB twin of the distributed BPE train: the same
+    rounds as chained CTEs, the same left-to-right non-overlap merge
+    fold via list_reduce over list-of-lists (explicit acc[:len-1] —
+    DuckDB's [:-1] slice is inclusive of the last element)."""
+    blocks = [
+        r"""
+    WITH dict0 AS (
+      SELECT regexp_split_to_array(word, '') AS toks, cnt FROM (
+        SELECT u.t AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+        WHERE u.t != '' GROUP BY 1
+      )
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        blocks.append(
+            f""", pairs{r} AS (
+      SELECT toks[i] AS lft, toks[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM dict{p}, UNNEST(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2
+    ), best{r} AS (
+      SELECT lft, rgt, pair_count FROM pairs{r} ORDER BY pair_count DESC, lft, rgt LIMIT 1
+    ), dict{r} AS (
+      SELECT list_reduce(list_transform(toks, t -> [t]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lft AND x[1] = b.rgt
+                                THEN list_append(acc[:len(acc)-1], b.lft || b.rgt)
+                                ELSE list_concat(acc, x) END) AS toks, cnt
+      FROM dict{p}, best{r} b
+    )"""
+        )
+    selects = [
+        f"""SELECT CAST({r} AS INTEGER) AS round, lft AS merge_left, rgt AS merge_right, pair_count,
+           (SELECT CAST(sum(len(toks) * cnt) AS BIGINT) FROM dict{r}) AS corpus_tokens_after,
+           (SELECT CAST(count(DISTINCT tk) AS BIGINT) FROM dict{r}, UNNEST(toks) AS v(tk)) AS vocab_after
+    FROM best{r}"""
+        for r in range(1, n_rounds + 1)
+    ]
+    return "".join(blocks) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+
+
+@query("text_bpe_train", oracle=_bpe_oracle(), tags=("text", "tokenizer", "bpe"))
+def text_bpe_train(spark, sf_dir):
+    """DISTRIBUTED BPE MERGE TRAINING (Sennrich et al. 2016) — learn
+    the first 6 byte-pair merges of a tokenizer from the corpus, with
+    per-round corpus-wide tokenization statistics. The missing piece
+    between the corpus and every token-count/packing operator in this
+    repo: those assume a tokenizer; this builds one.
+
+    The train runs on the word-frequency dictionary (operators/bpe.py):
+    ONE corpus-sized shuffle collapses the corpus to (word, cnt), then
+    every merge round is dictionary-sized — pair counts are one small
+    groupBy, the argmax pair is TakeOrdered(1) with a total-order
+    tie-break, and the merge applies by broadcasting the 1-row winner
+    into a JVM array fold (left-to-right non-overlap, reference BPE
+    semantics). Nothing collects to the driver; the DuckDB twin replays
+    the identical rounds as chained CTEs with list_reduce folds, so
+    every learned merge, its frequency, and the post-round corpus
+    token totals and symbol-vocabulary sizes are value-hash-gated.
+
+    All outputs are exact integers — no floats anywhere.
+    """
+    from minoan_athenaeum_spark.operators.bpe import (
+        bpe_train_stats,
+        word_frequencies,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    return bpe_train_stats(word_frequencies(docs), _BPE_ROUNDS)
