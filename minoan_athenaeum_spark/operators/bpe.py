@@ -44,8 +44,11 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def initial_symbols(words: DataFrame) -> DataFrame:
-    """(word, cnt) -> (toks: array<string> of characters, cnt)."""
-    return words.select(F.split("word", "").alias("toks"), "cnt")
+    """(word, cnt, ...) -> (toks: array<string> of characters, cnt, ...)
+    — every non-toks column passes through (tokenization keeps the
+    word column to produce the word -> tokens lookup)."""
+    rest = [c for c in words.columns if c != "word"]
+    return words.select(F.split("word", "").alias("toks"), "word", *rest)
 
 
 def pair_counts(dict_df: DataFrame) -> DataFrame:
@@ -91,12 +94,14 @@ def _merge_fold(acc: Column, x: Column) -> Column:
 
 def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
     """Broadcast the 1-row best pair and fold it through every word's
-    symbol list (map-only JVM array expressions)."""
+    symbol list (map-only JVM array expressions); non-toks columns
+    pass through."""
+    rest = [c for c in dict_df.columns if c != "toks"]
     return dict_df.crossJoin(F.broadcast(best.select("lft", "rgt"))).select(
         F.aggregate(
             "toks", F.expr("CAST(array() AS array<string>)"), _merge_fold
         ).alias("toks"),
-        "cnt",
+        *rest,
     )
 
 
@@ -144,3 +149,13 @@ def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def bpe_learned_dict(words: DataFrame, n_merges: int) -> DataFrame:
+    """Train ``n_merges`` rounds and return the word -> final symbol
+    list lookup (word, toks) — the broadcastable tokenizer model that
+    turns corpus tokenization into a map-side join."""
+    d = initial_symbols(words)
+    for _ in range(n_merges):
+        d = apply_merge(d, best_pair(pair_counts(d)))
+    return d.select("word", "toks")

@@ -776,3 +776,93 @@ def text_bpe_train(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return bpe_train_stats(word_frequencies(docs), _BPE_ROUNDS)
+
+
+def _bpe_tokenize_oracle(n_rounds: int = _BPE_ROUNDS) -> str:
+    """Chain the train CTEs (word column retained), then tokenize every
+    document through the learned dict: per-doc token total + an md5
+    fingerprint of the space-joined BPE token stream in word order."""
+    blocks = [
+        r"""
+    WITH dict0 AS (
+      SELECT word, regexp_split_to_array(word, '') AS toks, cnt FROM (
+        SELECT u.t AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+        WHERE u.t != '' GROUP BY 1
+      )
+    )"""
+    ]
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        blocks.append(
+            f""", pairs{r} AS (
+      SELECT toks[i] AS lft, toks[i+1] AS rgt, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM dict{p}, UNNEST(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2
+    ), best{r} AS (
+      SELECT lft, rgt FROM pairs{r} ORDER BY pair_count DESC, lft, rgt LIMIT 1
+    ), dict{r} AS (
+      SELECT word, list_reduce(list_transform(toks, t -> [t]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lft AND x[1] = b.rgt
+                                THEN list_append(acc[:len(acc)-1], b.lft || b.rgt)
+                                ELSE list_concat(acc, x) END) AS toks, cnt
+      FROM dict{p}, best{r} b
+    )"""
+        )
+    return "".join(blocks) + f""", docarr AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ), docwords AS (
+      SELECT doc_id, arr[i] AS word, i AS pos
+      FROM docarr, UNNEST(range(1, len(arr) + 1)) AS u(i)
+      WHERE arr[i] != ''
+    )
+    SELECT dw.doc_id,
+           CAST(sum(len(k.toks)) AS BIGINT) AS n_bpe_tokens,
+           md5(string_agg(array_to_string(k.toks, ' '), ' ' ORDER BY dw.pos)) AS stream_md5
+    FROM docwords dw JOIN dict{n_rounds} k USING (word)
+    GROUP BY dw.doc_id"""
+
+
+@query("text_bpe_tokenize", oracle=_bpe_tokenize_oracle(), tags=("text", "tokenizer", "bpe"))
+def text_bpe_tokenize(spark, sf_dir):
+    """END-TO-END BPE TOKENIZATION: train the 6-merge tokenizer
+    (text_bpe_train's chain, word column retained) and run every
+    document through it. Output per doc: the BPE token count and an md5
+    fingerprint of the full space-joined token stream in document
+    order — the hash pins every token boundary of every document, so a
+    single wrong merge application anywhere in the corpus flips the
+    value-hash gate.
+
+    Scale shape: the learned dict is the word-frequency vocabulary —
+    BROADCAST — so tokenizing the corpus is a map-side join (word ->
+    toks) plus a per-doc reassembly groupBy whose state is bounded by
+    document length. The corpus shuffles once, keyed by doc_id, as
+    (pos, toks) pairs; document text itself never enters an exchange.
+    """
+    from minoan_athenaeum_spark.operators.bpe import (
+        bpe_learned_dict,
+        word_frequencies,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    dic = bpe_learned_dict(word_frequencies(docs), _BPE_ROUNDS)
+    docwords = docs.select(
+        "doc_id",
+        F.posexplode(tokens()).alias("pos", "word"),
+    ).where(F.col("word") != "")
+    joined = docwords.join(F.broadcast(dic), "word")
+    return joined.groupBy("doc_id").agg(
+        F.sum(F.size("toks")).cast("bigint").alias("n_bpe_tokens"),
+        F.md5(
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "toks"))),
+                        lambda s: s.toks,
+                    )
+                ),
+                " ",
+            )
+        ).alias("stream_md5"),
+    )
