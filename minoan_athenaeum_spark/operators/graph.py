@@ -116,3 +116,55 @@ def pagerank_fixed_point(
             )
         )
     return rank
+
+
+def sssp_bellman_ford(
+    edges: DataFrame, seed: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Synchronous Bellman-Ford single-source shortest paths over a
+    weighted undirected edge list ``(u, v, w)`` — the distance
+    primitive next to the family's connectivity (components), local
+    structure (triangles), and centrality (pagerank) members.
+
+    Each round is ONE shuffle: current distances union'd with every
+    one-hop relaxation, min-combined per node (partial aggregation
+    makes the map-side combine free). Distances are exact BIGINTs —
+    INF is a large sentinel, never NULL/float — so every round is
+    bit-reproducible and an unrolled SQL twin can replay it.
+
+    Returns ``(dist_final, dist_prev)`` after ``rounds`` and
+    ``rounds-1`` relaxations: callers compare them for a convergence
+    verdict (synchronous BF converges within diameter rounds; the
+    caller picks ``rounds`` > expected diameter and PINS the verdict
+    so data that outgrows the unroll fails loudly instead of silently
+    truncating — same discipline as operators/components.py max_iter).
+    """
+    inf = 1 << 60
+    arcs = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    nodes = arcs.select(F.col("src").alias("node")).distinct()
+    dist = nodes.select(
+        "node",
+        F.when(F.col("node") == seed, F.lit(0))
+        .otherwise(F.lit(inf))
+        .cast("long")
+        .alias("dist"),
+    )
+    prev = dist
+    for r in range(rounds):
+        prev = dist
+        relaxed = dist.join(arcs, F.col("node") == F.col("src")).select(
+            F.col("dst").alias("node"),
+            F.when(F.col("dist") >= inf, F.lit(inf))
+            .otherwise(F.col("dist") + F.col("w"))
+            .cast("long")
+            .alias("dist"),
+        )
+        dist = (
+            dist.select("node", "dist")
+            .unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist, prev

@@ -202,3 +202,86 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "partkey")
         .limit(20)
     )
+
+
+# ------------------------------------------------------- weighted SSSP
+_SSSP_ROUNDS = 5
+_SSSP_INF = 1 << 60
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled synchronous Bellman-Ford twin: dist_r CTE per round,
+    converged verdict compares the last two rounds (pinned 1)."""
+    inf = _SSSP_INF
+    blocks = [
+        f"""
+    WITH edges AS ({_EDGES_SQL}),
+    arcs AS (
+        SELECT u AS src, v AS dst, (u + v) % 7 + 1 AS w FROM edges
+        UNION ALL
+        SELECT v AS src, u AS dst, (u + v) % 7 + 1 AS w FROM edges
+    ),
+    dist0 AS (
+        SELECT src AS node,
+               CAST(CASE WHEN src = 0 THEN 0 ELSE {inf} END AS BIGINT) AS dist
+        FROM (SELECT DISTINCT src FROM arcs)
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        blocks.append(
+            f""", dist{r} AS (
+        SELECT node, min(dist) AS dist FROM (
+            SELECT node, dist FROM dist{p}
+            UNION ALL
+            SELECT a.dst AS node,
+                   CASE WHEN d.dist >= {inf} THEN {inf} ELSE d.dist + a.w END AS dist
+            FROM dist{p} d JOIN arcs a ON a.src = d.node
+        ) GROUP BY node
+    )"""
+        )
+    return "".join(blocks) + f"""
+    SELECT CASE WHEN dist >= {inf} THEN -1 ELSE dist END AS dist,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           (SELECT CASE WHEN count(*) = 0 THEN 1 ELSE 0 END
+            FROM dist{rounds} a JOIN dist{rounds - 1} b USING (node)
+            WHERE a.dist != b.dist) AS converged
+    FROM dist{rounds}
+    GROUP BY 1"""
+
+
+@query("graph_sssp_weighted", oracle=_sssp_oracle(), tags=("graph",))
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (synchronous Bellman-Ford)
+    from part 0 over the co-occurrence graph, edge weight
+    (u+v) % 7 + 1 (deterministic synthetic weights so the shortest
+    paths genuinely differ from hop counts). Output: exact-BIGINT
+    distance histogram plus a converged verdict comparing the last two
+    of the 5 unrolled rounds — the measured diameter here is 2-3
+    rounds, and the PINNED verdict makes a graph that outgrows the
+    unroll fail the value-hash gate loudly.
+
+    Scale shape (operators/graph.py::sssp_bellman_ford): each round is
+    one groupBy(node) shuffle of (node, candidate-dist) pairs with
+    map-side min-combine; the frontier never materializes on the
+    driver. Rounds = graph diameter, the Pregel bound.
+    """
+    edges = part_cooccurrence_edges(spark, sf_dir).withColumn(
+        "w", (F.col("u") + F.col("v")) % 7 + 1
+    )
+    from minoan_athenaeum_spark.operators.graph import sssp_bellman_ford
+
+    dist, prev = sssp_bellman_ford(edges, seed=0, rounds=_SSSP_ROUNDS)
+    inf = _SSSP_INF
+    changed = (
+        dist.alias("a")
+        .join(prev.alias("b"), "node")
+        .where(F.col("a.dist") != F.col("b.dist"))
+        .agg(
+            F.when(F.count("*") == 0, F.lit(1)).otherwise(F.lit(0)).alias("converged")
+        )
+    )
+    hist = dist.groupBy(
+        F.when(F.col("dist") >= inf, F.lit(-1)).otherwise(F.col("dist")).alias("dist")
+    ).agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return hist.crossJoin(F.broadcast(changed)).select("dist", "n_nodes", "converged")

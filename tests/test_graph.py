@@ -101,3 +101,25 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = {r.node: r.rank for r in pagerank_fixed_point(e1, iters=3).collect()}
     r2 = {r.node: r.rank for r in pagerank_fixed_point(e2, iters=3).collect()}
     assert r1 == r2
+
+
+def test_sssp_weighted_path_and_unreachable(spark):
+    from minoan_athenaeum_spark.operators.graph import sssp_bellman_ford
+
+    # 0 -5- 1 -1- 2 -1- 3, plus shortcut 0 -3- 2, and isolated pair 8-9.
+    edges = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 1), (2, 3, 1), (0, 2, 3), (8, 9, 2)],
+        "u long, v long, w long",
+    )
+    dist, prev = sssp_bellman_ford(edges, seed=0, rounds=4)
+    inf = 1 << 60
+    got = {r.node: (r.dist if r.dist < inf else None) for r in dist.collect()}
+    assert got == {0: 0, 1: 4, 2: 3, 3: 4, 8: None, 9: None}
+    # converged: rounds 3 and 4 identical
+    assert (
+        dist.alias("a")
+        .join(prev.alias("b"), "node")
+        .where("a.dist != b.dist")
+        .count()
+        == 0
+    )
