@@ -627,3 +627,123 @@ def sim_ann_pq_adc_topk(spark, sf_dir):
         "adc_dist",
         cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal rank fusion (BM25 ⊕ embedding cosine)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60          # standard RRF dampening constant
+_RRF_LEG = 50        # per-leg candidate list length
+_RRF_OUT = 20
+
+
+def _rrf_oracle() -> str:
+    from minoan_athenaeum_spark.queries.text import bm25_cte
+
+    return f"""
+    WITH {bm25_cte()}, lex AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+      FROM bm25 ORDER BY bm25 DESC, doc_id LIMIT {_RRF_LEG}
+    ), v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    ), cos AS (
+      SELECT n.vec_id AS doc_id,
+             CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                          i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+               / (n.nrm * qv.nrm0) AS cos_sim
+      FROM n, qv
+      WHERE n.vec_id != 0
+    ), sem AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS r
+      FROM cos ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_LEG}
+    ), fused AS (
+      SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(l.r, CAST(-1 AS BIGINT)) AS lex_rank,
+             coalesce(s.r, CAST(-1 AS BIGINT)) AS sem_rank,
+             coalesce(1.0 / ({_RRF_K} + l.r), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + s.r), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, sem_rank, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {_RRF_OUT}
+    """
+
+
+@query("sim_hybrid_rrf", oracle=_rrf_oracle(), tags=("similarity", "search", "hybrid"))
+def sim_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al.
+    2009): fuse the lexical BM25 top-50 (queries/text.py::bm25_per_doc,
+    fixed demo terms) with the semantic embedding-cosine top-50
+    (neighbors of vec_id=0, the quantized-int exact cosine of
+    sim_knn_cosine_brute) by rrf = 1/(60+r_lex) + 1/(60+r_sem) — the
+    standard two-tower search stack (sparse + dense) as one
+    oracle-gated query. Absent-leg ranks surface as -1 and contribute
+    0, so the gate pins exactly which leg proposed each result.
+
+    Every score is a two-term sum of exact double reciprocals in fixed
+    order — engine-portable, no transcendentals.
+
+    Scale shape: each leg ends in TakeOrderedAndProject(50) BEFORE any
+    window — the global row_number runs over 50 rows, not the corpus
+    (a bounded single partition by construction, not a single-reducer
+    corpus sort). The fusion join touches ≤100 rows. Corpus-sized work
+    is exactly the two legs' scans, both shuffle-light (BM25: matched
+    terms only; cosine: broadcast query vector, no shuffle at all).
+    """
+    from pyspark.sql import Window
+
+    from minoan_athenaeum_spark.queries.text import bm25_per_doc
+
+    lex_top = (
+        bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_LEG)
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).cast("bigint").alias("r")
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    cos = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+    )
+    sem_top = cos.orderBy(F.col("cos_sim").desc(), "doc_id").limit(_RRF_LEG)
+    w_sem = Window.orderBy(F.col("cos_sim").desc(), "doc_id")
+    sem = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).cast("bigint").alias("r")
+    )
+
+    # both legs are ≤50 rows post-TakeOrdered: coalesce(1) keeps the
+    # full-outer fusion join from fanning out to shuffle-partition
+    # granularity (full outer can't broadcast)
+    fused = (
+        lex.coalesce(1).withColumnRenamed("r", "lr")
+        .join(sem.coalesce(1).withColumnRenamed("r", "sr"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("lr"), F.lit(-1).cast("bigint")).alias("lex_rank"),
+            F.coalesce(F.col("sr"), F.lit(-1).cast("bigint")).alias("sem_rank"),
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("lr")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("sr")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_OUT)

@@ -586,7 +586,10 @@ _BM25_K1 = "1.2"
 _BM25_B = "0.75"
 
 
-def _bm25_oracle() -> str:
+def bm25_cte() -> str:
+    """SQL CTE chain ending in ``bm25(doc_id, bm25)`` — shared by the
+    text_bm25_search oracle and the hybrid-retrieval (RRF) oracle in
+    queries/similarity.py."""
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     k1, b = _BM25_K1, _BM25_B
     score_cols = ",\n           ".join(
@@ -596,7 +599,7 @@ def _bm25_oracle() -> str:
         for t in _BM25_TERMS
     )
     return rf"""
-    WITH d AS (
+    d AS (
       SELECT doc_id,
              regexp_split_to_array(lower(trim(text)), '\s+') AS toks
       FROM documents
@@ -623,10 +626,18 @@ def _bm25_oracle() -> str:
       SELECT doc_id,
            {score_cols}
       FROM scored GROUP BY doc_id
-    )
-    SELECT doc_id,
-           (s_{_BM25_TERMS[0]} + s_{_BM25_TERMS[1]}) + s_{_BM25_TERMS[2]} AS bm25
-    FROM per_doc
+    ), bm25 AS (
+      SELECT doc_id,
+             (s_{_BM25_TERMS[0]} + s_{_BM25_TERMS[1]}) + s_{_BM25_TERMS[2]} AS bm25
+      FROM per_doc
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {bm25_cte()}
+    SELECT doc_id, bm25
+    FROM bm25
     ORDER BY bm25 DESC, doc_id
     LIMIT 20
     """
@@ -656,6 +667,17 @@ def text_bm25_search(spark, sf_dir):
     global sort. Document text never shuffles — only (doc_id, term)
     pairs for matched terms.
     """
+    return (
+        bm25_per_doc(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+def bm25_per_doc(spark, sf_dir):
+    """Per-document BM25 scores (doc_id, bm25) for the fixed demo
+    query — the shared lexical leg of text_bm25_search and the hybrid
+    RRF fusion in queries/similarity.py."""
     k1 = float(_BM25_K1)
     b = float(_BM25_B)
     d = t(spark, sf_dir, "documents").select(
@@ -692,11 +714,7 @@ def text_bm25_search(spark, sf_dir):
     total = (
         F.col(f"s_{_BM25_TERMS[0]}") + F.col(f"s_{_BM25_TERMS[1]}")
     ) + F.col(f"s_{_BM25_TERMS[2]}")
-    return (
-        per_doc.select("doc_id", total.alias("bm25"))
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
+    return per_doc.select("doc_id", total.alias("bm25"))
 
 
 # ---------------------------------------------------------------------------
