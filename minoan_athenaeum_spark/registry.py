@@ -90,6 +90,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family gains its representative). All four verified green at sf0.01
 # before rotation; rotated-out members stay pytest-oracled.
 #
+# Round-5 session rotated five like-for-like slots for the round's new
+# operators (each verified green vs its DuckDB oracle at sf0.001 AND
+# sf0.01 before rotation): text_bm25_search for text_inverted_index
+# (index lookup subsumes the index-stats pass; inverted index was
+# driver-green r4), sketch_bloom_membership for sketch_hll_distinct
+# (sketch family; HLL green r1-r4), graph_sssp_weighted for
+# graph_triangle_count (graph family; triangles green r4),
+# sim_hybrid_rrf for sim_knn_cosine_brute (the RRF fusion contains the
+# brute-cosine leg wholesale plus the BM25 leg; brute kNN green r1-r4),
+# and text_bpe_train for pipeline_pack_sequences (tokenizer-pipeline
+# family; packing green r2-r4 — and the BPE train is the operator that
+# produces the tokens packing assumes). Rotated-out members stay
+# pytest-oracled every round.
+#
 # Later in the round-4 continuation, three more like-for-like swaps
 # for the session's flagship additions (each verified green vs its
 # DuckDB oracle at sf0.001 AND sf0.01 before rotation):
@@ -125,11 +139,11 @@ CURATED_PREFIX = [
     "sketch_heavy_hitters",
     # scalar functions + both Python-UDF paths
     "fn_string_basics",
-    "graph_triangle_count",
+    "graph_sssp_weighted",
     "fn_pandas_udf_vectorized",
     "misc_scd2_dimension",
     "evt_sessionize",
-    "sketch_hll_distinct",
+    "sketch_bloom_membership",
     "cdc_apply_changelog",
     "skew_salted_agg",
     "mm_adpcm_audio_features",
@@ -140,12 +154,12 @@ CURATED_PREFIX = [
     "dedup_substring_spans",
     "dedup_embedding_cosine_lsh",
     "dedup_components_star",
-    "sim_knn_cosine_brute",
+    "sim_hybrid_rrf",
     "sim_ann_pq_adc_topk",
     "sim_ann_ivf_kmeans_topk",
     "sim_semdedup",
     "pipeline_pii_redact",
-    "text_inverted_index",
+    "text_bm25_search",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "text_suffix_array",
@@ -158,7 +172,7 @@ CURATED_PREFIX = [
     # pipeline capstones
     "pipeline_clean_corpus",
     "pipeline_decontaminate",
-    "pipeline_pack_sequences",
+    "text_bpe_train",
 ]
 
 

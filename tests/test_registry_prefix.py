@@ -25,19 +25,19 @@ FAMILY_REPRESENTATIVES = {
     "dedup_substring_spans": "substring",
     "text_suffix_array": "suffix-array",
     "fn_string_basics": "functions",
-    "graph_triangle_count": "graph",
+    "graph_sssp_weighted": "graph",
     "fn_pandas_udf_vectorized": "pandas-udf",
     "misc_scd2_dimension": "scd2",
     "evt_sessionize": "events",
-    "sketch_hll_distinct": "sketch",
+    "sketch_bloom_membership": "sketch",
     "cdc_apply_changelog": "merge",
     "skew_salted_agg": "skew",
     "mm_adpcm_audio_features": "compressed",
     "dedup_exact": "dedup",
-    "sim_knn_cosine_brute": "similarity",
+    "sim_hybrid_rrf": "similarity",
     "sim_ann_pq_adc_topk": "pq",
     "pipeline_pii_redact": "pii",
-    "text_inverted_index": "text",
+    "text_bm25_search": "text",
     "ts_asof_join": "timeseries",
     "mm_jpeg_decode_stats": "multimodal",
     "stream_dedup_exec": "streaming",
