@@ -419,3 +419,110 @@ def sketch_bloom_membership(spark, sf_dir):
             "n_true_neg", "n_false_neg", "n_set_bits",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable-hash, exact-verified point queries)
+# ---------------------------------------------------------------------------
+
+_CM_W = 1024   # counters per hash row
+_CM_D = 3      # hash rows
+
+_CM_ORACLE = f"""
+    WITH item AS (
+      SELECT l_suppkey AS k FROM lineitem
+    ), cells AS (
+      SELECT j,
+             CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {_CM_W} AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM item, UNNEST([0, 1, 2]) AS u(j)
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS exact_count FROM item GROUP BY 1
+    ), probe AS (
+      SELECT e.k, e.exact_count, u.j,
+             CAST(('0x' || substr(md5(CAST(e.k AS VARCHAR) || ':' || CAST(u.j AS VARCHAR)), 1, 15)) AS BIGINT)
+             % {_CM_W} AS idx
+      FROM exact e, UNNEST([0, 1, 2]) AS u(j)
+    ), est AS (
+      SELECT p.k, p.exact_count, min(c.c) AS cm_estimate
+      FROM probe p JOIN cells c ON c.j = p.j AND c.idx = p.idx
+      GROUP BY 1, 2
+    )
+    SELECT k AS suppkey, exact_count, cm_estimate,
+           CASE WHEN cm_estimate >= exact_count THEN 1 ELSE 0 END AS overestimate_ok
+    FROM est
+"""
+
+
+@query("sketch_count_min", oracle=_CM_ORACLE, tags=("sketch", "count-min"))
+def sketch_count_min(spark, sf_dir):
+    """COUNT-MIN SKETCH (Cormode-Muthukrishnan 2005) build + point
+    queries, exact-verified: the fixed-memory frequency sketch under
+    streaming heavy-hitter screens and join-cardinality hints — the
+    mergeable counterpart of sketch_heavy_hitters' Misra-Gries pass
+    (MG bounds UNDERestimates; CM bounds OVERestimates — together they
+    bracket the true frequency).
+
+    Build: each item increments d=3 counters (portable md5-derived
+    rows) — ONE groupBy over (row, idx) pairs whose map-side combine
+    collapses the corpus to ≤ d·w = 3072 cells regardless of input
+    size. Point queries: every distinct key joins its 3 cells against
+    the BROADCAST sketch; the estimate is the min. The structural
+    guarantee — CM never underestimates — is pinned per key
+    (overestimate_ok = 1 for every row via the value-hash gate);
+    the estimates themselves are deterministic integers the oracle
+    recomputes cell-for-cell.
+
+    At scale the sketch is O(d·w) counters however large the stream,
+    built in one pass, mergeable by cell-wise addition.
+    """
+    w, d = _CM_W, _CM_D
+    li = t(spark, sf_dir, "lineitem").select(F.col("l_suppkey").alias("k"))
+
+    def h60(key_col, j):
+        s = F.concat(key_col.cast("string"), F.lit(f":{j}"))
+        return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint") % w
+
+    cells = (
+        li.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("j"), h60(F.col("k"), j).alias("idx"))
+                        for j in range(d)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .select("cell.j", "cell.idx")
+        .groupBy("j", "idx")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    exact = li.groupBy("k").agg(F.count("*").cast("bigint").alias("exact_count"))
+    probe = exact.select(
+        "k",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), h60(F.col("k"), j).alias("idx"))
+                    for j in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("k", "exact_count", "cell.j", "cell.idx")
+    est = (
+        probe.join(F.broadcast(cells), ["j", "idx"])
+        .groupBy("k", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("k").alias("suppkey"),
+        "exact_count",
+        "cm_estimate",
+        F.when(F.col("cm_estimate") >= F.col("exact_count"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("overestimate_ok"),
+    )
