@@ -526,3 +526,117 @@ def sketch_count_min(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("overestimate_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — estimate itself oracle-exact
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SCALE = str(1 << 60)
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS rflag,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM lineitem
+    ), ranked AS (
+      SELECT rflag, hv, row_number() OVER (PARTITION BY rflag ORDER BY hv) AS rn
+      FROM h
+    ), partial AS (
+      -- per-group KMV summaries (k smallest hashes per return flag)
+      SELECT rflag, hv FROM ranked WHERE rn <= {_KMV_K}
+    ), merged AS (
+      -- merge = union of partials, re-take the k smallest
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM partial)
+    ), direct AS (
+      -- direct global KMV over all distinct hashes
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn
+      FROM (SELECT DISTINCT hv FROM h)
+    ), exact AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem
+    )
+    SELECT exact.n_exact,
+           (SELECT CAST(CAST({_KMV_K} - 1 AS HUGEINT) * {_KMV_SCALE} // hv AS BIGINT) FROM direct WHERE rn = {_KMV_K}) AS kmv_estimate,
+           CASE WHEN (SELECT hv FROM merged WHERE rn = {_KMV_K})
+                   = (SELECT hv FROM direct WHERE rn = {_KMV_K})
+                THEN 1 ELSE 0 END AS merged_equals_direct,
+           CASE WHEN abs((SELECT CAST(CAST({_KMV_K} - 1 AS HUGEINT) * {_KMV_SCALE} // hv AS BIGINT) FROM direct WHERE rn = {_KMV_K})
+                         - exact.n_exact) * 10 <= exact.n_exact
+                THEN 1 ELSE 0 END AS within_10pct
+    FROM exact
+"""
+
+
+@query("sketch_kmv_distinct", oracle=_KMV_ORACLE, tags=("sketch", "kmv"))
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) DISTINCT-COUNT SKETCH
+    (Bar-Yossef et al. 2002): keep the k=256 smallest portable-hash
+    values; estimate distinct = (k-1)·2^60 / h_(k) — INTEGER floor
+    division over the md5-derived hashes, so unlike HLL (whose
+    register math is implementation-specific and only verdict-gated in
+    sketch_hll_distinct) the KMV ESTIMATE ITSELF is bit-exact against
+    the DuckDB twin.
+
+    Mergeability is pinned EXACTLY, not approximately: per-returnflag
+    partial KMVs are merged (union → re-take k smallest) and the
+    merged k-th minimum must equal the direct global k-th minimum —
+    guaranteed because each partial retains a superset of its group's
+    contribution to the global bottom-k. That equality is the algebra
+    that lets 1000 executors sketch independently and combine.
+
+    Scale shape: hashing is map-only; the bottom-k per group runs
+    through grouped_topk_two_phase (local per-partition top-k first, so
+    a hot group never sorts on one reducer); the global bottom-k is
+    TakeOrdered. Sketch size is O(k) regardless of corpus size.
+    """
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    k = _KMV_K
+    scale = 1 << 60
+    li = t(spark, sf_dir, "lineitem")
+    h = li.select(
+        F.col("l_returnflag").alias("rflag"),
+        F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv"),
+    ).distinct()
+    partial = grouped_topk_two_phase(h, ["rflag"], ["hv"], k).select("hv")
+    merged_kth = (
+        partial.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("m_kth"))
+    )
+    direct_kth = (
+        h.select("hv").distinct().orderBy("hv").limit(k).agg(F.max("hv").alias("d_kth"))
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"))
+    return (
+        exact.crossJoin(F.broadcast(direct_kth))
+        .crossJoin(F.broadcast(merged_kth))
+        .select(
+            "n_exact",
+            F.expr(
+                f"CAST((CAST({k} - 1 AS DECIMAL(38,0)) * {scale}) div d_kth AS BIGINT)"
+            ).alias("kmv_estimate"),
+            F.when(F.col("m_kth") == F.col("d_kth"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("merged_equals_direct"),
+            F.when(
+                F.abs(
+                    F.expr(
+                        f"CAST((CAST({k} - 1 AS DECIMAL(38,0)) * {scale}) div d_kth AS BIGINT)"
+                    )
+                    - F.col("n_exact")
+                )
+                * 10
+                <= F.col("n_exact"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("within_10pct"),
+        )
+    )
