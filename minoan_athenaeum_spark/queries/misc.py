@@ -265,3 +265,90 @@ def misc_entity_resolution(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining (market-basket) over order line items
+# ---------------------------------------------------------------------------
+
+_RULES_ORACLE = """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem
+    ), n AS (
+      SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM basket
+    ), sup1 AS (
+      SELECT item, CAST(count(*) AS BIGINT) AS sup FROM basket GROUP BY 1
+    ), sup2 AS (
+      SELECT a.item AS ante, b.item AS cons, CAST(count(*) AS BIGINT) AS sup_ab
+      FROM basket a JOIN basket b ON a.okey = b.okey AND a.item != b.item
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT s.ante, s.cons, s.sup_ab,
+           sa.sup AS sup_ante, sc.sup AS sup_cons,
+           CAST(s.sup_ab AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS confidence,
+           (CAST(s.sup_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE))
+             / (CAST(sa.sup AS DOUBLE) * CAST(sc.sup AS DOUBLE)) AS lift
+    FROM sup2 s
+    JOIN sup1 sa ON sa.item = s.ante
+    JOIN sup1 sc ON sc.item = s.cons, n
+    ORDER BY lift DESC, s.ante, s.cons
+    LIMIT 20
+"""
+
+
+@query("misc_association_rules", oracle=_RULES_ORACLE, tags=("mining", "rules"))
+def misc_association_rules(spark, sf_dir):
+    """ASSOCIATION-RULE MINING (Agrawal-Srikant market-basket): for
+    part pairs co-occurring in >= 3 order baskets, rule a -> b with
+    support, confidence = sup(ab)/sup(a), lift =
+    sup(ab)·N / (sup(a)·sup(b)); top 20 by (lift, ante, cons).
+
+    Confidence and lift are single IEEE double divisions /
+    multiplications of exact integer counts in fixed literal order —
+    bit-portable, no float sums.
+
+    Scale shape: the pair expansion is the bounded per-basket
+    self-join (join key = orderkey, so a basket's items meet only each
+    other — O(items²) per ORDER, never per table; same argument as
+    queries/graph.py's edge derivation). Item supports are a
+    vocabulary-sized table, BROADCAST into the pair supports. The
+    min-support HAVING prunes before the broadcast joins. Top-20 is
+    TakeOrderedAndProject.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = basket.agg(F.countDistinct("okey").cast("bigint").alias("n_orders"))
+    sup1 = basket.groupBy("item").agg(F.count("*").cast("bigint").alias("sup"))
+    a, b = basket.alias("a"), basket.alias("b")
+    sup2 = (
+        a.join(b, "okey")
+        .where(F.col("a.item") != F.col("b.item"))
+        .groupBy(F.col("a.item").alias("ante"), F.col("b.item").alias("cons"))
+        .agg(F.count("*").cast("bigint").alias("sup_ab"))
+        .where(F.col("sup_ab") >= 3)
+    )
+    sa = sup1.select(F.col("item").alias("ante"), F.col("sup").alias("sup_ante"))
+    sc = sup1.select(F.col("item").alias("cons"), F.col("sup").alias("sup_cons"))
+    out = (
+        sup2.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            "sup_ab",
+            "sup_ante",
+            "sup_cons",
+            (
+                F.col("sup_ab").cast("double") / F.col("sup_ante").cast("double")
+            ).alias("confidence"),
+            (
+                (F.col("sup_ab").cast("double") * F.col("n_orders").cast("double"))
+                / (F.col("sup_ante").cast("double") * F.col("sup_cons").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    return out.orderBy(F.col("lift").desc(), "ante", "cons").limit(20)
