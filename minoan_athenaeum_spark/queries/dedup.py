@@ -513,3 +513,97 @@ def dedup_substring_spans(spark, sf_dir):
         )
     )
     return duplicated_spans(aug, id_col="doc_id", tokens_col="tk", length=20)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup blocking (Hernandez-Stolfo 1995)
+# ---------------------------------------------------------------------------
+
+_SN_W = 3          # neighborhood window: compare ranks within distance 3
+_SN_KEYLEN = 24    # blocking key: first 24 chars of the normalized text
+
+_SN_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, md5(norm) AS fp,
+             substr(norm, 1, {_SN_KEYLEN}) AS sortkey,
+             CAST(row_number() OVER (ORDER BY substr(norm, 1, {_SN_KEYLEN}), doc_id)
+                  AS BIGINT) AS rn
+      FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           b.rn - a.rn AS rank_gap,
+           CASE WHEN a.fp = b.fp THEN 1 ELSE 0 END AS is_exact_dup
+    FROM ranked a JOIN ranked b
+      ON b.rn BETWEEN a.rn + 1 AND a.rn + {_SN_W}
+"""
+
+
+@query("dedup_sorted_neighborhood", oracle=_SN_ORACLE, tags=("dedup", "blocking"))
+def dedup_sorted_neighborhood(spark, sf_dir):
+    """SORTED-NEIGHBORHOOD dedup blocking (Hernandez-Stolfo, SIGMOD
+    1995): sort the corpus by a blocking key (first 24 chars of the
+    normalized text), then generate candidate pairs only between
+    records within rank distance w=3 — O(w·n) candidates however large
+    the corpus, the third classic blocking family in this repo next to
+    hash blocking (LSH band buckets) and deletion neighborhoods
+    (FastSS). Each pair carries an exact-dup verdict (normalized-text
+    md5 equality), so the gate pins both the candidate set AND the
+    verification.
+
+    Scale shape: the global rank uses the two-phase range-partitioned
+    rank (operators/scan.py::grouped_two_phase_rank with a constant
+    group) — NO single-reducer global window. The neighborhood join is
+    an equi-join on rank blocks: side A exposes its block and its
+    successor block, side B joins on block id, and the band filter
+    keeps rank gaps 1..w — every pair is found exactly once (gap <= w <
+    block span), no range-join fallback to BNLJ. Only (doc_id, rank,
+    fingerprint, 24-char key) rows shuffle — never document text.
+    """
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    w = _SN_W
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", normalized().alias("norm")
+    )
+    keyed = d.select(
+        "doc_id",
+        F.md5("norm").alias("fp"),
+        F.substring("norm", 1, _SN_KEYLEN).alias("sortkey"),
+        F.lit(0).alias("_g"),
+    )
+    ranked = grouped_two_phase_rank(
+        keyed, ["_g"], ["sortkey", "doc_id"], out_col="rn"
+    ).drop("_g", "sortkey")
+    # block span w+1 > w guarantees a gap-<=w pair spans at most two
+    # consecutive blocks, so A probes its own and its successor block
+    blk = (F.col("rn") / (w + 1)).cast("bigint")
+    a = (
+        ranked.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("fp").alias("fp_a"),
+            F.col("rn").alias("rn_a"),
+            F.explode(F.array(blk, blk + 1)).alias("jblk"),
+        )
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("rn").alias("rn_b"),
+        blk.alias("jblk"),
+    )
+    pairs = a.join(b, "jblk").where(
+        (F.col("rn_b") > F.col("rn_a")) & (F.col("rn_b") <= F.col("rn_a") + w)
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        (F.col("rn_b") - F.col("rn_a")).alias("rank_gap"),
+        F.when(F.col("fp_a") == F.col("fp_b"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_exact_dup"),
+    )
