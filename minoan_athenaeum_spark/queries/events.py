@@ -392,3 +392,101 @@ def evt_anomaly_zscore(spark, sf_dir):
         )
         .filter(F.abs(F.col("zscore")) > 2.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection (closed form: windows only, exact integers)
+# ---------------------------------------------------------------------------
+
+_CUSUM_H_MULT = 20  # alarm threshold: 20 above-mean events (scaled by n buckets)
+
+_CUSUM_ORACLE = """
+    WITH daily AS (
+      SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM daily GROUP BY 1
+    ), y AS (
+      SELECT d.event_type, d.day, d.cnt,
+             s.n_buckets * d.cnt - s.total AS yv, s.n_buckets
+      FROM daily d JOIN stats s USING (event_type)
+    ), c AS (
+      SELECT event_type, day, cnt, n_buckets,
+             sum(yv) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM y
+    ), s AS (
+      SELECT event_type, day, cnt, n_buckets, cum,
+             cum - least(CAST(0 AS BIGINT),
+                         min(cum) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_scaled
+      FROM c
+    )
+    SELECT event_type, day, cnt, cusum_scaled,
+           CASE WHEN cusum_scaled > {h} * n_buckets THEN 1 ELSE 0 END AS alarm
+    FROM s
+""".format(h=_CUSUM_H_MULT)
+
+
+@query("evt_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("events", "anomaly"))
+def evt_cusum_changepoint(spark, sf_dir):
+    """CUSUM CHANGEPOINT DETECTION (Page 1954) over daily event counts
+    per type — the sequential drift detector next to the pointwise
+    z-score screen (evt_anomaly_zscore): a run of slightly-elevated
+    days accumulates and alarms even though no single day is a z-score
+    outlier.
+
+    The recurrence s_t = max(0, s_{t-1} + y_t) is NOT computed as a
+    sequential fold: it collapses to the closed form
+    s_t = cum_t - min(0, min_{j<=t} cum_j), i.e. a running sum minus a
+    running minimum — two stock window frames, fully parallel within
+    each partition's sort. Everything stays integer: deviations are
+    scaled by the bucket count (y_d = n·cnt_d - total, which sums to
+    zero) so no mean division ever happens; the alarm threshold
+    scales identically.
+
+    Scale shape: one groupBy to daily counts, broadcast per-type
+    stats, then per-type windows over BOUNDED partitions (buckets per
+    type = days in range, not events — a hot type costs nothing).
+    Observed buckets only; compose with ts_resample_gapfill first for
+    a dense grid.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count("*").cast("bigint").alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("total"),
+    )
+    y = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "yv", F.col("n_buckets") * F.col("cnt") - F.col("total")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = y.withColumn("cum", F.sum("yv").over(w))
+    s = c.withColumn(
+        "cusum_scaled",
+        F.col("cum")
+        - F.least(F.lit(0).cast("bigint"), F.min("cum").over(w)),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        "cnt",
+        "cusum_scaled",
+        F.when(
+            F.col("cusum_scaled") > _CUSUM_H_MULT * F.col("n_buckets"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("alarm"),
+    )
