@@ -352,3 +352,98 @@ def misc_association_rules(spark, sf_dir):
         )
     )
     return out.orderBy(F.col("lift").desc(), "ante", "cons").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (dataset-version comparison)
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = r"""
+    WITH a AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), b AS (
+      -- snapshot B derived deterministically from A: every doc_id%23==0
+      -- dropped, every doc_id%17==0 edited (suffix appended), rest kept
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0
+                  THEN md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || ' v2-edit')
+                  ELSE md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) END AS fp
+      FROM documents WHERE doc_id % 23 != 0
+      UNION ALL
+      -- and brand-new docs minted for B (ids offset past A's range)
+      SELECT doc_id + 10000000, md5('new-doc-' || CAST(doc_id AS VARCHAR)) AS fp
+      FROM documents WHERE doc_id % 31 = 0
+    ), j AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN a.fp != b.fp THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM j GROUP BY status
+"""
+
+
+@query("misc_snapshot_diff", oracle=_SNAPDIFF_ORACLE, tags=("maintenance", "diff"))
+def misc_snapshot_diff(spark, sf_dir):
+    """DATASET SNAPSHOT DIFF — the version-comparison primitive under
+    corpus curation audits ("what changed between crawl N and N+1?"):
+    full-outer join two snapshots on the stable key, classify each row
+    added / removed / changed / unchanged by content fingerprint, and
+    aggregate per class. Snapshot B is derived deterministically
+    in-query (docs dropped at doc_id%23, edited at doc_id%17 — same
+    synthetic-derivation discipline as pipeline_pii_redact's injected
+    PII), so the classification logic is exercised on all four paths
+    and the gate pins every class count and id range.
+
+    Scale shape: fingerprints are map-only md5 projections; ONE
+    doc_id-keyed full-outer shuffle joins the snapshots (with both
+    sides bucketed on the key it would be shuffle-free — see
+    sources/bucketed.py); text never shuffles, only (id, fp) pairs.
+    """
+    from minoan_athenaeum_spark.operators.dedup import normalized
+
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.md5(normalized()).alias("fp"))
+    b = (
+        docs.where(F.col("doc_id") % 23 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.md5(F.concat(normalized(), F.lit(" v2-edit"))),
+            )
+            .otherwise(F.md5(normalized()))
+            .alias("fp"),
+        )
+        .unionAll(
+            docs.where(F.col("doc_id") % 31 == 0).select(
+                (F.col("doc_id") + 10000000).alias("doc_id"),
+                F.md5(
+                    F.concat(F.lit("new-doc-"), F.col("doc_id").cast("string"))
+                ).alias("fp"),
+            )
+        )
+    )
+    j = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            F.when(F.col("b.doc_id").isNull(), F.lit("removed"))
+            .when(F.col("a.doc_id").isNull(), F.lit("added"))
+            .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
+    return j.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )
