@@ -884,3 +884,86 @@ def text_bpe_tokenize(spark, sf_dir):
             )
         ).alias("stream_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term drift between corpus halves (distribution-shift monitor)
+# ---------------------------------------------------------------------------
+
+_DRIFT_ORACLE = r"""
+    WITH tok AS (
+      SELECT CASE WHEN doc_id * 2 < (SELECT max(doc_id) + 1 FROM documents)
+                  THEN 0 ELSE 1 END AS half,
+             u.t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+      WHERE u.t != ''
+    ), cnt AS (
+      SELECT term,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM tok GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS t1, CAST(sum(c2) AS BIGINT) AS t2,
+             CAST(count(*) AS BIGINT) AS v
+      FROM cnt
+    )
+    SELECT term, c1, c2,
+           CAST((c1 + 1) * (t2 + v) AS DOUBLE) / CAST((c2 + 1) * (t1 + v) AS DOUBLE) AS drift_ratio
+    FROM cnt, tot
+    WHERE c1 + c2 >= 5
+    ORDER BY drift_ratio DESC, term
+    LIMIT 25
+"""
+
+
+@query("text_term_drift", oracle=_DRIFT_ORACLE, tags=("text", "drift"))
+def text_term_drift(spark, sf_dir):
+    """CORPUS DRIFT MONITOR: Laplace-smoothed relative term frequency
+    ratio between the first and second half of the corpus (by doc_id) —
+    the distribution-shift screen run between crawl snapshots before
+    retraining ("which terms exploded or vanished?"). drift_ratio =
+    ((c1+1)(t2+V)) / ((c2+1)(t1+V)): exact integer products, ONE double
+    division — engine-portable, no logs (the log of this is exactly the
+    smoothed log-odds score, and log is monotone, so the RANKING is the
+    textbook one).
+
+    Scale shape: tokenize-explode with the half label computed map-side
+    (one broadcast scalar for the doc_id split point), one term-keyed
+    groupBy with conditional partial aggregates, broadcast 1-row
+    totals; top-25 via TakeOrderedAndProject.
+    """
+    docs = t(spark, sf_dir, "documents")
+    split_pt = docs.agg((F.max("doc_id") + 1).alias("n_span"))
+    tok = (
+        docs.crossJoin(F.broadcast(split_pt))
+        .select(
+            F.when(F.col("doc_id") * 2 < F.col("n_span"), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("half"),
+            F.explode(tokens()).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+    cnt = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    tot = cnt.agg(
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    out = (
+        cnt.where(F.col("c1") + F.col("c2") >= 5)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "c1",
+            "c2",
+            (
+                ((F.col("c1") + 1) * (F.col("t2") + F.col("v"))).cast("double")
+                / ((F.col("c2") + 1) * (F.col("t1") + F.col("v"))).cast("double")
+            ).alias("drift_ratio"),
+        )
+    )
+    return out.orderBy(F.col("drift_ratio").desc(), "term").limit(25)
