@@ -342,3 +342,48 @@ def test_reattach_bucketed_build_is_metadata_only(spark, sf_dir, tmp_path):
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {new_table}")
+
+
+def test_bm25_pruned_shuffle_and_topk(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "text_bm25_search")
+    # top-20 must be TakeOrdered, never a global sort
+    assert "TakeOrderedAndProject" in p
+    # df stats and corpus stats broadcast; no sort-merge join anywhere
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    # the term IN-filter runs before the tf shuffle (on the generated side)
+    assert "term IN" in p or "term#" in p
+
+
+def test_priority_sample_takeordered(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "pipeline_priority_sample")
+    assert "TakeOrderedAndProject" in p, "top-(k+1) must be TakeOrdered"
+    assert "SortMergeJoin" not in p
+    assert "Exchange rangepartitioning" not in p, "no global sort"
+
+
+def test_bloom_broadcast_probe(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sketch_bloom_membership")
+    assert "BroadcastHashJoin" in p, "2048-word filter must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_count_min_broadcast_cells(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sketch_count_min")
+    assert "BroadcastHashJoin" in p, "3072-cell sketch must broadcast"
+    assert "partial_count" in plan_of(spark, sf_dir, "sketch_count_min", "simple")
+
+
+def test_bpe_train_broadcast_merge(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "text_bpe_train")
+    # every round's 1-row best pair enters via broadcast, never SMJ
+    assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_sorted_neighborhood_no_single_reducer_sort(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "dedup_sorted_neighborhood")
+    # the neighborhood join is an equi-join on block id (hash-joinable),
+    # not a BNLJ range join
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
