@@ -912,3 +912,122 @@ def pipeline_priority_sample(spark, sf_dir):
             F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("adj_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-mixing allocation (largest-remainder quotas + deterministic pick)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 400  # global sample budget (docs)
+
+_MIX_ORACLE = f"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM src
+    ), quota0 AS (
+      SELECT source, n_docs,
+             ({_MIX_BUDGET} * n_docs) // tot.c AS floor_q,
+             ({_MIX_BUDGET} * n_docs) % tot.c AS rem
+      FROM src, tot
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT {_MIX_BUDGET} - sum(floor_q) FROM quota0) AS leftover
+      FROM quota0
+    ), quota AS (
+      SELECT source, n_docs,
+             floor_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked
+    ), hashed AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS hr
+      FROM documents
+    ), picked AS (
+      SELECT h.source, h.doc_id
+      FROM hashed h JOIN quota q ON q.source = h.source AND h.hr <= q.quota
+    )
+    SELECT q.source, q.n_docs, q.quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_selected,
+           CAST(coalesce(bit_xor(p.doc_id), 0) AS BIGINT) AS sel_xor
+    FROM quota q LEFT JOIN picked p ON p.source = q.source
+    GROUP BY q.source, q.n_docs, q.quota
+"""
+
+
+@query("pipeline_mixing_allocation", oracle=_MIX_ORACLE, tags=("pipeline", "mixing"))
+def pipeline_mixing_allocation(spark, sf_dir):
+    """DATASET-MIXING ALLOCATION: split a global sample budget of
+    {budget} docs across sources proportionally to size using
+    LARGEST-REMAINDER rounding (Hamilton's method — floor quotas, then
+    the sources with the largest remainders get the leftover units;
+    exact integer arithmetic, tie-break on source name), then pick each
+    source's quota DETERMINISTICALLY by portable-md5 hash order — the
+    "mix N tokens of web with M tokens of code" step every training
+    run starts with, reproducible on any cluster/partitioning/rerun.
+    Sum of quotas == budget exactly, pinned by the gate; the bit_xor of
+    selected doc_ids pins the exact selected SET, not just its size.
+
+    Scale shape: source sizes are one tiny groupBy; the quota table is
+    source-cardinality (broadcast); the per-source hash-order pick runs
+    through grouped_topk_two_phase (local per-partition top-k first),
+    so a giant source never sorts on one reducer. Document text never
+    shuffles — only (source, doc_id, hash) triples.
+    """.format(budget=_MIX_BUDGET)
+    from pyspark.sql import Window as W
+
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    b = _MIX_BUDGET
+    docs = t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").cast("bigint").alias("c"))
+    quota0 = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({b} * n_docs) div c").alias("floor_q"),
+        (F.lit(b) * F.col("n_docs") % F.col("c")).alias("rem"),
+    )
+    leftover = quota0.agg((F.lit(b) - F.sum("floor_q")).alias("leftover"))
+    # the quota table is source-cardinality: a driver-tiny unpartitioned
+    # window is the honest plan here
+    ranked = quota0.crossJoin(F.broadcast(leftover)).withColumn(
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    )
+    quota = ranked.select(
+        "source",
+        "n_docs",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    hashed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    ranked_docs = grouped_topk_two_phase(
+        hashed, ["source"], ["h", "doc_id"], k=b, num_partitions=None
+    ).withColumnRenamed("rn", "hr")
+    picked = ranked_docs.join(F.broadcast(quota), "source").where(
+        F.col("hr") <= F.col("quota")
+    )
+    counts = picked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("sel_xor"),
+    )
+    return (
+        quota.join(counts, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0).cast("bigint")).alias(
+                "n_selected"
+            ),
+            F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
+        )
+    )
