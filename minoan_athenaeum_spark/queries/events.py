@@ -425,7 +425,7 @@ _CUSUM_ORACLE = """
                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum_scaled
       FROM c
     )
-    SELECT event_type, day, cnt, cusum_scaled,
+    SELECT event_type, day, cnt, CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
            CASE WHEN cusum_scaled > {h} * n_buckets THEN 1 ELSE 0 END AS alarm
     FROM s
 """.format(h=_CUSUM_H_MULT)

@@ -324,11 +324,11 @@ _BLOOM_ORACLE = f"""
     )
     SELECT (SELECT count(*) FROM keys) AS n_keys,
            count(*) AS n_probes,
-           sum(CASE WHEN bloom_member = 1 AND exact_member = 1 THEN 1 ELSE 0 END) AS n_true_pos,
-           sum(CASE WHEN bloom_member = 1 AND exact_member = 0 THEN 1 ELSE 0 END) AS n_false_pos,
-           sum(CASE WHEN bloom_member = 0 AND exact_member = 0 THEN 1 ELSE 0 END) AS n_true_neg,
-           sum(CASE WHEN bloom_member = 0 AND exact_member = 1 THEN 1 ELSE 0 END) AS n_false_neg,
-           (SELECT sum(bit_count(word)) FROM bloom) AS n_set_bits
+           CAST(sum(CASE WHEN bloom_member = 1 AND exact_member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+           CAST(sum(CASE WHEN bloom_member = 1 AND exact_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(sum(CASE WHEN bloom_member = 0 AND exact_member = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_neg,
+           CAST(sum(CASE WHEN bloom_member = 0 AND exact_member = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+           (SELECT CAST(sum(bit_count(word)) AS BIGINT) FROM bloom) AS n_set_bits
     FROM cls
 """
 
