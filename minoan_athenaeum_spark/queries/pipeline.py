@@ -1031,3 +1031,75 @@ def pipeline_mixing_allocation(spark, sf_dir):
             F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster capping (bounded repetition instead of full dedup)
+# ---------------------------------------------------------------------------
+
+_CAP_K = 2  # keep at most 2 copies per exact-duplicate cluster
+
+_CAP_ORACLE = rf"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY fp) AS csize
+      FROM fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn > {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+           CAST(sum(CASE WHEN csize > 1 AND rn <= {_CAP_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_from_dup_clusters,
+           CAST(coalesce(bit_xor(CASE WHEN rn <= {_CAP_K} THEN doc_id END), 0) AS BIGINT) AS kept_xor
+    FROM ranked
+    GROUP BY source
+"""
+
+
+@query("pipeline_dup_capping", oracle=_CAP_ORACLE, tags=("pipeline", "dedup"))
+def pipeline_dup_capping(spark, sf_dir):
+    """DUPLICATE-CLUSTER CAPPING: keep at most K=2 copies of each
+    exact-duplicate cluster instead of collapsing to one — the
+    data-constrained-scaling recipe (Muennighoff et al. 2023: a few
+    repeats of good data beat full dedup when tokens are scarce).
+    Survivors are the K smallest doc_ids per normalized-text
+    fingerprint, so the kept SET is deterministic and the per-source
+    bit_xor pins it exactly.
+
+    Scale shape: fingerprints are map-only md5; the per-cluster rank
+    is ONE shuffle keyed by fingerprint — cluster sizes are the
+    natural bound on window state (a pathological mega-cluster is
+    exactly the hot-group case grouped_topk_two_phase solves; with
+    K=2 the local phase would discard all but 2 rows per partition
+    per cluster). Document text never shuffles — only (id, source,
+    fp) triples.
+    """
+    from pyspark.sql import Window as W
+
+    from minoan_athenaeum_spark.operators.dedup import normalized
+
+    k = _CAP_K
+    fp = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(normalized()).alias("fp")
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    ranked = fp.withColumn("rn", F.row_number().over(w)).withColumn(
+        "csize", F.count("*").over(W.partitionBy("fp"))
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum((F.col("rn") <= k).cast("bigint")).cast("bigint").alias("n_kept"),
+        F.sum((F.col("rn") > k).cast("bigint")).cast("bigint").alias("n_capped"),
+        F.sum(((F.col("csize") > 1) & (F.col("rn") <= k)).cast("bigint"))
+        .cast("bigint")
+        .alias("n_kept_from_dup_clusters"),
+        F.coalesce(
+            F.expr(f"CAST(bit_xor(CASE WHEN rn <= {k} THEN doc_id END) AS BIGINT)"),
+            F.lit(0).cast("bigint"),
+        ).alias("kept_xor"),
+    )
