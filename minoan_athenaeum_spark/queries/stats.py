@@ -439,3 +439,87 @@ def stat_exact_quantiles_two_phase(spark, sf_dir):
         pick("(n * 95 + 99) div 100").alias("p95"),
         pick("(n * 99 + 99) div 100").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization (exact-percentile clipping, feature preprocessing)
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+    WITH r AS (
+      SELECT l_returnflag AS rflag, l_extendedprice AS price,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), bounds AS (
+      SELECT rflag,
+             MAX(CASE WHEN rn = (n - 1) // 20 + 1 THEN price END) AS lo,
+             MAX(CASE WHEN rn = (n - 1) * 19 // 20 + 1 THEN price END) AS hi
+      FROM r GROUP BY rflag
+    )
+    SELECT r.rflag,
+           CAST(max(r.n) AS BIGINT) AS n_rows,
+           b.lo AS p05, b.hi AS p95,
+           CAST(sum(CASE WHEN r.price < b.lo OR r.price > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(r.price AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+           CAST(sum(CAST(least(greatest(r.price, b.lo), b.hi) AS DECIMAL(18,2))) AS DOUBLE) AS sum_winsorized
+    FROM r JOIN bounds b USING (rflag)
+    GROUP BY r.rflag, b.lo, b.hi
+"""
+
+
+@query("stat_winsorize", oracle=_WINSOR_ORACLE, tags=("stats", "preprocessing"))
+def stat_winsorize(spark, sf_dir):
+    """WINSORIZATION — clip a feature to its exact per-group p05/p95
+    (rank-selected data values, same convention as stat_exact_median):
+    the outlier-robust feature-preprocessing step before scaling or
+    regression. Output per group: the exact clip bounds, how many rows
+    clipped, and DECIMAL-exact sums before/after (the value-hash gate
+    therefore pins every single clipped value).
+
+    Scale shape: bounds come from the per-group rank (at scale the
+    two-phase grouped rank — operators/scan.py — replaces the window,
+    exactly as stat_equidepth_histogram does; the window form here
+    keeps the demo plan readable at test SFs). The clip itself is a
+    map-only broadcast-join projection: bounds are |groups| rows.
+    """
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_extendedprice").alias("price"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("rflag").orderBy("price", "l_orderkey", "l_linenumber")
+    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(W.partitionBy("rflag"))
+    )
+    bounds = r.groupBy("rflag").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") - 1) / 20) + 1, F.col("price"))
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor((F.col("n") - 1) * 19 / 20) + 1, F.col("price")
+            )
+        ).alias("hi"),
+    )
+    clipped = r.join(F.broadcast(bounds), "rflag").withColumn(
+        "wp", F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("rflag", "lo", "hi").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.sum(
+            ((F.col("price") < F.col("lo")) | (F.col("price") > F.col("hi"))).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("sum_raw"),
+        F.sum(F.col("wp").cast("decimal(18,2)")).cast("double").alias("sum_winsorized"),
+    ).select(
+        "rflag", "n_rows", F.col("lo").alias("p05"), F.col("hi").alias("p95"),
+        "n_clipped", "sum_raw", "sum_winsorized",
+    )
