@@ -75,6 +75,24 @@ EXTRA = [
     "mm_ms_adpcm_audio_features",
     "misc_dq_constraint_checks",
     "stream_rollup_refresh_exec",
+    # r5 additions
+    "text_bm25_search",
+    "text_bpe_train",
+    "text_bpe_tokenize",
+    "sim_hybrid_rrf",
+    "sketch_bloom_membership",
+    "sketch_count_min",
+    "sketch_kmv_distinct",
+    "pipeline_priority_sample",
+    "pipeline_mixing_allocation",
+    "pipeline_dup_capping",
+    "dedup_sorted_neighborhood",
+    "misc_association_rules",
+    "misc_snapshot_diff",
+    "text_term_drift",
+    "evt_cusum_changepoint",
+    "graph_sssp_weighted",
+    "stat_winsorize",
 ]
 
 
