@@ -123,11 +123,18 @@ def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
     least P rounds): once no pairs remain, ``best_pair`` is empty and
     that round (and every later one) contributes no output row.
     """
-    d = initial_symbols(words)
+    # The word-freq dict is the ONE corpus-sized computation; pin it
+    # eagerly so the per-round lineages (3 outputs × n_merges rounds)
+    # re-derive only dictionary-sized work, never the corpus scan
+    # (measured: 44 s → ~4 s at sf0.01 for 6 rounds).
+    d = initial_symbols(words).localCheckpoint(eager=True)
     stats = []
     for rnd in range(1, n_merges + 1):
         best = best_pair(pair_counts(d))
-        d = apply_merge(d, best)
+        # checkpoint each round's dict too: without it the fold
+        # expression nests n_merges deep and Catalyst planning time
+        # (not execution) dominates the whole train
+        d = apply_merge(d, best).localCheckpoint(eager=True)
         corpus_after = d.agg(
             F.sum(F.size("toks") * F.col("cnt")).cast("long").alias("corpus_tokens_after")
         )
@@ -155,7 +162,7 @@ def bpe_learned_dict(words: DataFrame, n_merges: int) -> DataFrame:
     """Train ``n_merges`` rounds and return the word -> final symbol
     list lookup (word, toks) — the broadcastable tokenizer model that
     turns corpus tokenization into a map-side join."""
-    d = initial_symbols(words)
+    d = initial_symbols(words).localCheckpoint(eager=True)
     for _ in range(n_merges):
-        d = apply_merge(d, best_pair(pair_counts(d)))
+        d = apply_merge(d, best_pair(pair_counts(d))).localCheckpoint(eager=True)
     return d.select("word", "toks")
