@@ -563,3 +563,51 @@ def misc_incremental_join_view(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("checksums_equal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = r"""
+    WITH pts AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS x,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT p.doc_id, p.x, p.y
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y)
+    )
+"""
+
+
+@query("misc_skyline_pareto", oracle=_SKYLINE_ORACLE, tags=("mining", "skyline"))
+def misc_skyline_pareto(spark, sf_dir):
+    """2-D SKYLINE / PARETO FRONTIER (Börzsönyi et al., ICDE 2001):
+    documents not strictly dominated on (token count, punctuation
+    count) — the multi-criteria shortlist operator ("longest AND most
+    punctuated" stands in for any quality/length/freshness trade-off).
+    The oracle is the literal quadratic NOT EXISTS dominance test; the
+    Spark plan is NOT: in 2-D, dominance collapses to a strict-suffix
+    running max over x plus a same-x group max
+    (operators/skyline.py::skyline_2d) — one range partition, bounded
+    windows, a broadcast partition summary, ZERO pairwise joins.
+
+    Scale shape: two-phase suffix max (the global_cumsum shape) —
+    range-partition by x so each partition computes a local suffix max,
+    then a |partitions|-row summary broadcasts back. O(n) total work
+    vs the oracle's O(n²).
+    """
+    from minoan_athenaeum_spark.operators.skyline import skyline_2d
+    from minoan_athenaeum_spark.operators.text import punct_count, token_count
+
+    pts = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count().cast("bigint").alias("x"),
+        punct_count().cast("bigint").alias("y"),
+    )
+    return skyline_2d(pts, "x", "y")

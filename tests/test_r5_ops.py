@@ -172,3 +172,32 @@ def test_mixing_quota_exactness_synthetic(spark):
     for q, n, c in got.values():
         share = budget * n / c
         assert share - 1 < q < share + 1
+
+
+def test_skyline_2d_edge_cases(spark):
+    from minoan_athenaeum_spark.operators.skyline import skyline_2d
+
+    # anti-chain: x up, y down -> every point on the frontier
+    anti = spark.createDataFrame(
+        [(i, i, 10 - i) for i in range(10)], "id long, x long, y long"
+    )
+    assert skyline_2d(anti, "x", "y").count() == 10
+    # chain: x up, y up -> only the top point survives
+    chain = spark.createDataFrame(
+        [(i, i, i) for i in range(10)], "id long, x long, y long"
+    )
+    got = skyline_2d(chain, "x", "y").collect()
+    assert [(r.x, r.y) for r in got] == [(9, 9)]
+    # all-identical points: none strictly dominates -> all survive
+    flat = spark.createDataFrame(
+        [(i, 5, 5) for i in range(6)], "id long, x long, y long"
+    )
+    assert skyline_2d(flat, "x", "y").count() == 6
+    # duplicate frontier corners + interior dominated points
+    mix = spark.createDataFrame(
+        [(0, 1, 9), (1, 1, 9), (2, 9, 1), (3, 5, 5), (4, 4, 4)],
+        "id long, x long, y long",
+    )
+    got = {(r.x, r.y) for r in skyline_2d(mix, "x", "y").collect()}
+    assert got == {(1, 9), (9, 1), (5, 5)}
+    assert skyline_2d(mix, "x", "y").count() == 4  # both (1,9) copies
