@@ -967,3 +967,62 @@ def text_term_drift(spark, sf_dir):
         )
     )
     return out.orderBy(F.col("drift_ratio").desc(), "term").limit(25)
+
+
+_DIVERSITY_ORACLE = r"""
+    WITH tok AS (
+      SELECT source, u.t AS term
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS u(t)
+      WHERE u.t != ''
+    ), cnt AS (
+      SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c * (c - 1)) AS BIGINT) AS pairs_same
+      FROM cnt GROUP BY 1
+    )
+    SELECT source, n AS n_tokens, vocab,
+           CAST(pairs_same AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS simpson_index,
+           CAST(vocab AS DOUBLE) / CAST(n AS DOUBLE) AS type_token_ratio
+    FROM tot
+"""
+
+
+@query("text_simpson_diversity", oracle=_DIVERSITY_ORACLE, tags=("text", "diversity"))
+def text_simpson_diversity(spark, sf_dir):
+    """LEXICAL DIVERSITY per source: Simpson's index
+    D = Σ c_i(c_i-1) / (N(N-1)) — the probability two tokens drawn
+    without replacement are the same type — plus the type-token ratio.
+    The corpus-composition screen next to text_source_stats (a
+    source whose diversity collapses is boilerplate or template spam).
+    Exact integer numerator and denominator, ONE double division each —
+    engine-portable, no entropy logs (Simpson is the log-free diversity
+    index, which is why it's the one chosen here).
+
+    Scale shape: tokenize-explode, one (source, term) groupBy with
+    map-side combine, then a source-cardinality rollup. Nothing else.
+    """
+    tok = (
+        t(spark, sf_dir, "documents")
+        .select("source", F.explode(tokens()).alias("term"))
+        .where(F.col("term") != "")
+    )
+    cnt = tok.groupBy("source", "term").agg(F.count("*").cast("bigint").alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint").alias("pairs_same"),
+    )
+    return tot.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        (
+            F.col("pairs_same").cast("double")
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        ).alias("simpson_index"),
+        (F.col("vocab").cast("double") / F.col("n").cast("double")).alias(
+            "type_token_ratio"
+        ),
+    )
