@@ -596,12 +596,16 @@ def sketch_kmv_distinct(spark, sf_dir):
     k = _KMV_K
     scale = 1 << 60
     li = t(spark, sf_dir, "lineitem")
+    # ONE distinct pass over the corpus produces the hash set every
+    # branch (per-group partials, direct bottom-k) reuses — without the
+    # pin, the partial/direct/exact branches re-ran the corpus-wide
+    # distinct three times (82 s at 256×)
     h = li.select(
         F.col("l_returnflag").alias("rflag"),
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("hv"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     partial = grouped_topk_two_phase(h, ["rflag"], ["hv"], k).select("hv")
     merged_kth = (
         partial.select("hv")

@@ -477,13 +477,15 @@ def stat_winsorize(spark, sf_dir):
     clipped, and DECIMAL-exact sums before/after (the value-hash gate
     therefore pins every single clipped value).
 
-    Scale shape: bounds come from the per-group rank (at scale the
-    two-phase grouped rank — operators/scan.py — replaces the window,
-    exactly as stat_equidepth_histogram does; the window form here
-    keeps the demo plan readable at test SFs). The clip itself is a
+    Scale shape: the per-group rank is the TWO-PHASE range-partitioned
+    rank (operators/scan.py::grouped_two_phase_rank) — three return
+    flags over 153.6M rows through the plain window form meant three
+    ~50M-row single-reducer sorts (measured 316 s at 256×; the
+    two-phase rewrite is the same fix stat_equidepth_histogram uses).
+    Group sizes are a tiny broadcast join; the clip itself is a
     map-only broadcast-join projection: bounds are |groups| rows.
     """
-    from pyspark.sql import Window as W
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
 
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("rflag"),
@@ -491,21 +493,32 @@ def stat_winsorize(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
     )
-    w = W.partitionBy("rflag").orderBy("price", "l_orderkey", "l_linenumber")
-    r = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(W.partitionBy("rflag"))
+    ranked = grouped_two_phase_rank(
+        li, ["rflag"], ["price", "l_orderkey", "l_linenumber"], out_col="rn"
     )
-    bounds = r.groupBy("rflag").agg(
-        F.max(
-            F.when(F.col("rn") == F.floor((F.col("n") - 1) / 20) + 1, F.col("price"))
-        ).alias("lo"),
-        F.max(
-            F.when(
-                F.col("rn") == F.floor((F.col("n") - 1) * 19 / 20) + 1, F.col("price")
-            )
-        ).alias("hi"),
+    sizes = li.groupBy("rflag").agg(F.count("*").alias("n"))
+    # only the BOUNDS need the rank; the clip re-reads the raw scan and
+    # joins the |groups|-row bounds table — the ranked (range-shuffled)
+    # lineage is computed exactly once
+    bounds = (
+        ranked.join(F.broadcast(sizes), "rflag")
+        .groupBy("rflag")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") - 1) / 20) + 1, F.col("price")
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") - 1) * 19 / 20) + 1,
+                    F.col("price"),
+                )
+            ).alias("hi"),
+            F.max("n").alias("n"),
+        )
     )
-    clipped = r.join(F.broadcast(bounds), "rflag").withColumn(
+    clipped = li.join(F.broadcast(bounds), "rflag").withColumn(
         "wp", F.least(F.greatest(F.col("price"), F.col("lo")), F.col("hi"))
     )
     return clipped.groupBy("rflag", "lo", "hi").agg(
