@@ -1103,3 +1103,53 @@ def pipeline_dup_capping(spark, sf_dir):
             F.lit(0).cast("bigint"),
         ).alias("kept_xor"),
     )
+
+
+_QNORM_ORACLE = r"""
+    WITH f AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS feat
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, feat,
+             row_number() OVER (PARTITION BY source ORDER BY feat, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM f
+    )
+    SELECT doc_id, source, feat,
+           CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct_rank
+    FROM r
+"""
+
+
+@query("pipeline_quantile_normalize", oracle=_QNORM_ORACLE, tags=("pipeline", "features"))
+def pipeline_quantile_normalize(spark, sf_dir):
+    """QUANTILE (RANK) NORMALIZATION of a feature within each source:
+    map every document's token count to its within-source percentile
+    rank (rn-1)/(n-1) — the cross-source score-comparability transform
+    run before mixing heterogeneous corpora ("is this doc long FOR ITS
+    SOURCE?"). One integer rank, one exact double division.
+
+    Scale shape: the rank is grouped_two_phase_rank (range-partitioned
+    — a giant source spans many partitions, no single-reducer sort);
+    group sizes broadcast. Same discipline as stat_winsorize's bounds.
+    """
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .cast("bigint")
+        .alias("feat"),
+    )
+    ranked = grouped_two_phase_rank(f, ["source"], ["feat", "doc_id"], out_col="rn")
+    sizes = f.groupBy("source").agg(F.count("*").alias("n"))
+    return ranked.join(F.broadcast(sizes), "source").select(
+        "doc_id",
+        "source",
+        "feat",
+        (
+            (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double")
+        ).alias("pct_rank"),
+    )
