@@ -394,3 +394,84 @@ def stream_rollup_refresh_exec(spark, sf_dir):
         F.col("max_v").cast("double").alias("max_v"),
         "nd_users",
     )
+
+
+_STREAM_LEFT_ORACLE = """
+    SELECT p.event_id AS purchase_id,
+           coalesce(c.event_id, CAST(-1 AS BIGINT)) AS click_id
+    FROM events p LEFT JOIN events c
+      ON c.event_type = 'click' AND p.user_id = c.user_id
+      AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 3600000000 AND epoch_us(p.ts)
+    WHERE p.event_type = 'purchase'
+      AND p.ts < TIMESTAMP '2024-01-28 00:00:00'
+"""
+
+
+@query(
+    "stream_stream_left_join_exec",
+    oracle=_STREAM_LEFT_ORACLE,
+    tags=("streaming", "join", "exec"),
+)
+def stream_stream_left_join_exec(spark, sf_dir):
+    """Watermarked STREAM-STREAM LEFT OUTER interval join executed
+    live: every purchase pairs with the same user's clicks from the
+    preceding hour, and purchases with NO qualifying click still emit
+    (click_id = -1) — the "did marketing touch this conversion?"
+    shape, which needs the outer side. Outer results can only emit
+    once the watermark proves no match can arrive, so rows are
+    restricted to purchases before a fixed cutoff 3 days before the
+    stream's end — far past the 2 h watermark delay + 1 h join window,
+    making the availableNow drain provably complete for every emitted
+    row (a trailing-edge purchase would otherwise stay in state with
+    its outer verdict undecided at shutdown, and the gate would
+    rightly go red).
+
+    Scale shape: join state is bounded by watermark + interval exactly
+    as the inner variant (stream_stream_join_exec); null padding adds
+    no state. The cutoff filter is a pushed-down event-time predicate.
+    """
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.streaming.ops import (
+        read_events_stream,
+        run_to_memory,
+    )
+
+    # The cutoff filter sits AFTER the watermark node: filtering first
+    # would cap the purchase-side watermark at cutoff - 2 h, and the
+    # global watermark (min of both inputs) would strand the last
+    # pre-cutoff unmatched purchase in state (observed: exactly one
+    # missing outer row per SF before this ordering was fixed).
+    p = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+        .filter(F.col("p_ts") < F.lit("2024-01-28 00:00:00").cast("timestamp"))
+    )
+    c = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce(F.col("click_id"), F.lit(-1).cast("long")).alias("click_id"),
+    )
+    name = f"q_stream_left_{next(_counter)}"
+    return run_to_memory(joined, name, mode="append")
