@@ -387,3 +387,24 @@ def test_sorted_neighborhood_no_single_reducer_sort(spark, sf_dir):
     # not a BNLJ range join
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_skyline_no_pairwise_join(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "misc_skyline_pareto")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p, "skyline must not join the set with itself"
+
+
+def test_kmv_intersection_broadcast_sketch(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sketch_kmv_intersection")
+    assert "TakeOrderedAndProject" in p, "bottom-k must be TakeOrdered"
+    assert "CartesianProduct" not in p
+
+
+def test_quantile_normalize_no_single_reducer_window(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "pipeline_quantile_normalize")
+    # two-phase rank: range partitioning present, no partition-less
+    # corpus window (the only unpartitioned window is the tiny
+    # per-partition-count offsets table)
+    assert "rangepartitioning" in p.lower()
