@@ -1153,3 +1153,171 @@ def pipeline_quantile_normalize(spark, sf_dir):
             (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double")
         ).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation capstone v2: the round-5 operators composed end-to-end
+# ---------------------------------------------------------------------------
+
+_V2_BUDGET = 300
+_V2_CAP = 2
+_V2_BIN = 2048
+
+_V2_ORACLE = rf"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                  x -> list_contains({_EN}, x))) AS BIGINT) AS n_stop
+      FROM documents
+    ), quality AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 20 AND CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rn
+        FROM quality
+      ) WHERE dup_rn <= {_V2_CAP}
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM capped GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM src
+    ), quota0 AS (
+      SELECT source, n_docs,
+             ({_V2_BUDGET} * n_docs) // tot.c AS floor_q,
+             ({_V2_BUDGET} * n_docs) % tot.c AS rem
+      FROM src, tot
+    ), ranked_q AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT {_V2_BUDGET} - sum(floor_q) FROM quota0) AS leftover
+      FROM quota0
+    ), quota AS (
+      SELECT source, n_docs,
+             floor_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked_q
+    ), hashed AS (
+      SELECT c.source, c.doc_id, c.n_tokens,
+             row_number() OVER (
+               PARTITION BY c.source
+               ORDER BY md5('mix:' || CAST(c.doc_id AS VARCHAR)), c.doc_id
+             ) AS hr
+      FROM capped c
+    ), picked AS (
+      SELECT h.source, h.doc_id, h.n_tokens, h.hr
+      FROM hashed h JOIN quota q ON q.source = h.source AND h.hr <= q.quota
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY hr
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // {_V2_BIN} AS bin
+      FROM picked
+    )
+    SELECT q.source, q.n_docs AS n_after_capping, q.quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(count(DISTINCT p.bin), 0) AS BIGINT) AS n_bins,
+           CAST(coalesce(bit_xor(p.doc_id), 0) AS BIGINT) AS sel_xor
+    FROM quota q LEFT JOIN packed p ON p.source = q.source
+    GROUP BY q.source, q.n_docs, q.quota
+"""
+
+
+@query("pipeline_curation_v2", oracle=_V2_ORACLE, tags=("pipeline", "capstone"))
+def pipeline_curation_v2(spark, sf_dir):
+    """CURATION CAPSTONE v2 — the round-5 operators composed into one
+    recipe: quality gate → DUPLICATE-CLUSTER CAPPING (keep ≤2 copies,
+    the data-constrained-scaling trade) → LARGEST-REMAINDER MIXING
+    ALLOCATION (budget 300 docs split proportionally across sources)
+    → deterministic hash-order pick → SEQUENCE PACKING of the picks
+    into 2048-token bins in pick order. Every stage reuses its
+    standalone query's semantics (pipeline_dup_capping,
+    pipeline_mixing_allocation, pipeline_pack_sequences), so a
+    regression in any one flips this gate too. Per source: survivor
+    count, quota, selection (xor-pinned), token total, bin count.
+
+    Scale shape: each stage keeps its standalone scale shape — md5
+    fingerprints map-only, the cap window keyed by fingerprint, quota
+    math on a source-cardinality table, the pick through bounded
+    per-source ranks, packing as a per-source running sum. Document
+    text never shuffles anywhere.
+    """
+    from pyspark.sql import Window as W
+
+    b, cap, binsz = _V2_BUDGET, _V2_CAP, _V2_BIN
+    d = t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("n_tokens"),
+        stopword_hits("text", "en").cast("bigint").alias("n_stop"),
+    )
+    quality = scored.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_tokens").cast("double") >= 0.05)
+    )
+    capped = (
+        quality.withColumn(
+            "dup_rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("dup_rn") <= cap)
+    )
+    src = capped.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").cast("bigint").alias("c"))
+    quota0 = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({b} * n_docs) div c").alias("floor_q"),
+        (F.lit(b) * F.col("n_docs") % F.col("c")).alias("rem"),
+    )
+    leftover = quota0.agg((F.lit(b) - F.sum("floor_q")).alias("leftover"))
+    quota = (
+        quota0.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source")))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("floor_q") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    hashed = capped.withColumn(
+        "hr",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), "doc_id"
+            )
+        ),
+    )
+    picked = hashed.join(F.broadcast(quota), "source").where(
+        F.col("hr") <= F.col("quota")
+    )
+    w_pack = (
+        W.partitionBy("source").orderBy("hr").rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = picked.withColumn(
+        "bin",
+        F.expr(f"CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY hr "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div {binsz} AS BIGINT)"),
+    )
+    agg = packed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("bin").cast("bigint").alias("n_bins"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("sel_xor"),
+    )
+    return (
+        quota.withColumnRenamed("n_docs", "n_after_capping")
+        .join(agg, "source", "left")
+        .select(
+            "source",
+            "n_after_capping",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0).cast("bigint")).alias("n_selected"),
+            F.coalesce(F.col("total_tokens"), F.lit(0).cast("bigint")).alias("total_tokens"),
+            F.coalesce(F.col("n_bins"), F.lit(0).cast("bigint")).alias("n_bins"),
+            F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
+        )
+    )
