@@ -93,6 +93,11 @@ EXTRA = [
     "evt_cusum_changepoint",
     "graph_sssp_weighted",
     "stat_winsorize",
+    "sketch_kmv_intersection",
+    "text_simpson_diversity",
+    "pipeline_quantile_normalize",
+    "pipeline_curation_v2",
+    "stream_stream_left_join_exec",
 ]
 
 
