@@ -396,12 +396,13 @@ def sketch_bloom_membership(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(F.min("bit_set").alias("bloom_member"))
     )
+    # truth is the verification side only (the bloom IS the scale
+    # path): an unbounded member set must not carry a broadcast hint —
+    # it joins on the probe key and AQE picks the strategy
     truth = cust.select("c_custkey").join(
         keys.withColumnRenamed("k", "c_custkey"), "c_custkey", "left_semi"
     ).withColumn("exact_member", F.lit(1))
-    cls = hit.join(F.broadcast(truth), "c_custkey", "left").fillna(
-        {"exact_member": 0}
-    )
+    cls = hit.join(truth, "c_custkey", "left").fillna({"exact_member": 0})
     key_stats = keys.agg(F.countDistinct("k").alias("n_keys"))
     bit_stats = bloom.agg(F.sum(F.bit_count("word")).alias("n_set_bits"))
     counted = cls.agg(
