@@ -1283,14 +1283,19 @@ def pipeline_curation_v2(spark, sf_dir):
             ).alias("quota"),
         )
     )
-    hashed = capped.withColumn(
-        "hr",
-        F.row_number().over(
-            W.partitionBy("source").orderBy(
-                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), "doc_id"
-            )
+    # the pick only needs ranks up to the budget: grouped_topk_two_phase
+    # bounds per-reducer work however hot a source is (same shape as the
+    # standalone pipeline_mixing_allocation)
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    hashed = grouped_topk_two_phase(
+        capped.withColumn(
+            "h", F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
         ),
-    )
+        ["source"],
+        ["h", "doc_id"],
+        k=b,
+    ).withColumnRenamed("rn", "hr")
     picked = hashed.join(F.broadcast(quota), "source").where(
         F.col("hr") <= F.col("quota")
     )
