@@ -98,6 +98,8 @@ EXTRA = [
     "pipeline_quantile_normalize",
     "pipeline_curation_v2",
     "stream_stream_left_join_exec",
+    "misc_incremental_join_view",
+    "misc_skyline_pareto",
 ]
 
 
