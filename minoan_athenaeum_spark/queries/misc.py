@@ -611,3 +611,70 @@ def misc_skyline_pareto(spark, sf_dir):
         punct_count().cast("bigint").alias("y"),
     )
     return skyline_2d(pts, "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics
+# ---------------------------------------------------------------------------
+
+_SKEWDIAG_ORACLE = """
+    WITH freq AS (
+      SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM freq
+    ), top AS (
+      SELECT key, cnt, row_number() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM freq
+    )
+    SELECT t.key, t.cnt, t.rk,
+           CAST(t.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS share,
+           CAST(t.cnt * tot.n_keys AS DOUBLE) / CAST(tot.n AS DOUBLE) AS x_mean,
+           tot.n_keys, tot.n AS n_rows
+    FROM top t, tot
+    WHERE t.rk <= 10
+"""
+
+
+@query("misc_skew_diagnostics", oracle=_SKEWDIAG_ORACLE, tags=("maintenance", "skew"))
+def misc_skew_diagnostics(spark, sf_dir):
+    """JOIN-KEY SKEW DIAGNOSTICS: the pre-flight report run before
+    choosing a join strategy — top-10 hottest values of a prospective
+    join key (l_suppkey) with each key's share of all rows and its
+    multiple of the mean key frequency (x_mean > ~5 is the usual
+    "salt or AQE-skew-split this" signal; the mitigations themselves
+    are operators/skew.py and the AQE skew-join A/B in BASELINE.md).
+    Exact integer counts, single IEEE divisions.
+
+    Scale shape: one partial-agg groupBy on the key, then
+    TakeOrdered(10) over the (already small) per-key frequency table;
+    the 1-row totals broadcast.
+    """
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    top = (
+        freq.orderBy(F.col("cnt").desc(), "key")
+        .limit(10)
+        .withColumn("rk", F.row_number().over(W.orderBy(F.col("cnt").desc(), "key")))
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        "key",
+        "cnt",
+        "rk",
+        (F.col("cnt").cast("double") / F.col("n").cast("double")).alias("share"),
+        (
+            (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("n").cast("double")
+        ).alias("x_mean"),
+        "n_keys",
+        F.col("n").alias("n_rows"),
+    )
