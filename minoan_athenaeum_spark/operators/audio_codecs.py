@@ -262,3 +262,116 @@ def decode_ms_adpcm(data: bytes, block_align: int) -> np.ndarray:
             out.append(np.int16(pred))
         pieces.append(np.array(out, dtype=np.int16))
     return np.concatenate(pieces) if pieces else np.empty(0, np.int16)
+
+
+def decode_ima_adpcm_multi(
+    data: bytes, block_align: int, n_channels: int
+) -> np.ndarray:
+    """Decode N-CHANNEL IMA ADPCM to (n_frames, n_channels) int16 — the
+    generalization of :func:`decode_ima_adpcm_stereo`: one 4-byte state
+    header per channel, then the nibble payload interleaved in 4-byte
+    groups round-robin across channels (8 samples per channel per
+    group). Each channel's predictor/step machine runs independently
+    over its own subsequence, so channels decode in parallel at scale.
+    """
+    if n_channels < 1:
+        raise ValueError(f"n_channels {n_channels} < 1")
+    hdr = 4 * n_channels
+    if block_align < hdr:
+        raise ValueError(
+            f"IMA ADPCM block_align {block_align} < header {hdr}"
+        )
+    parts: list[list[np.ndarray]] = [[] for _ in range(n_channels)]
+    group = 4 * n_channels
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < hdr:
+            raise ValueError("truncated IMA ADPCM block header")
+        states = []
+        for c in range(n_channels):
+            pred = int.from_bytes(block[4 * c : 4 * c + 2], "little", signed=True)
+            index = block[4 * c + 2]
+            if index > 88:
+                raise ValueError(f"IMA ADPCM step index {index} > 88")
+            states.append((pred, index))
+        body = np.frombuffer(block[hdr:], dtype=np.uint8)
+        usable = len(body) - len(body) % group
+        groups = body[:usable].reshape(-1, n_channels, 4)
+        for c in range(n_channels):
+            chan_bytes = groups[:, c, :].reshape(-1).tobytes()
+            nibbles = unpack_nibbles(chan_bytes)
+            parts[c].append(np.array([states[c][0]], dtype=np.int16))
+            parts[c].append(
+                decode_ima_adpcm_block(nibbles, states[c][0], states[c][1])
+            )
+    chans = [
+        np.concatenate(p) if p else np.empty(0, np.int16) for p in parts
+    ]
+    n = min(len(ch) for ch in chans)
+    return np.stack([ch[:n] for ch in chans], axis=1)
+
+
+def decode_ms_adpcm_multi(
+    data: bytes, block_align: int, n_channels: int
+) -> np.ndarray:
+    """Decode N-CHANNEL MS-ADPCM (WAV tag 2) to (n_frames, n_channels)
+    int16. Block layout generalizes the mono case channel-wise: N
+    predictor-index bytes, N int16 initial deltas, N int16 sample1s, N
+    int16 sample2s, then 4-bit codes HIGH NIBBLE FIRST assigned
+    round-robin to channels (sample t -> channel t mod N). Per-channel
+    state machines are independent; blocks self-contain state."""
+    if n_channels < 1:
+        raise ValueError(f"n_channels {n_channels} < 1")
+    hdr = 7 * n_channels
+    if block_align < hdr:
+        raise ValueError(f"MS ADPCM block_align {block_align} < header {hdr}")
+    chan_parts: list[list[int]] = [[] for _ in range(n_channels)]
+    for start in range(0, len(data), block_align):
+        block = data[start : start + block_align]
+        if len(block) < hdr:
+            raise ValueError("truncated MS ADPCM block header")
+        coeffs, deltas, s1s, s2s = [], [], [], []
+        for c in range(n_channels):
+            pred_idx = block[c]
+            if pred_idx > 6:
+                raise ValueError(f"MS ADPCM predictor index {pred_idx} > 6")
+            coeffs.append(MS_ADPCM_COEFFS[pred_idx])
+        off = n_channels
+        for c in range(n_channels):
+            deltas.append(
+                int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            )
+        off += 2 * n_channels
+        for c in range(n_channels):
+            s1s.append(
+                int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            )
+        off += 2 * n_channels
+        for c in range(n_channels):
+            s2s.append(
+                int.from_bytes(block[off + 2 * c : off + 2 * c + 2], "little", signed=True)
+            )
+        for c in range(n_channels):
+            chan_parts[c].append(int(np.int16(s2s[c])))
+            chan_parts[c].append(int(np.int16(s1s[c])))
+        body = np.frombuffer(block[hdr:], dtype=np.uint8)
+        nibbles = np.empty(2 * len(body), dtype=np.uint8)
+        nibbles[0::2] = body >> 4
+        nibbles[1::2] = body & 0x0F
+        for t, nib in enumerate(nibbles):
+            c = t % n_channels
+            cc1, cc2 = coeffs[c]
+            code = int(nib) - 16 if nib >= 8 else int(nib)
+            pred = ((s1s[c] * cc1 + s2s[c] * cc2) >> 8) + code * deltas[c]
+            if pred > 32767:
+                pred = 32767
+            elif pred < -32768:
+                pred = -32768
+            s2s[c], s1s[c] = s1s[c], pred
+            deltas[c] = (int(MS_ADPCM_ADAPT[nib]) * deltas[c]) >> 8
+            if deltas[c] < 16:
+                deltas[c] = 16
+            chan_parts[c].append(pred)
+    chans = [np.array(p, dtype=np.int16) for p in chan_parts]
+    n = min(len(ch) for ch in chans)
+    return np.stack([ch[:n] for ch in chans], axis=1)

@@ -7,9 +7,10 @@ library. Images: PPM (pure-numpy parser), baseline JPEG
 the compressed formats G.711 μ-law/A-law and mono IMA/DVI ADPCM
 (operators/audio_codecs.py). Video: back-to-back P6 frame streams.
 `fake_decode_features` remains as the codec-free byte-level plumbing
-path. Exotic variants inside each codec still raise
-NotImplementedError (arithmetic-coded JPEG, MP3-in-WAV,
-multi-channel ADPCM).
+path. IMA and MS ADPCM decode at ANY channel count (per-channel
+state machines, round-robin payload). Exotic variants inside each
+codec still raise NotImplementedError (arithmetic-coded JPEG,
+MP3-in-WAV).
 """
 
 from __future__ import annotations
@@ -158,14 +159,17 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         elif n_channels == 2:
             return sample_rate, ac.decode_ima_adpcm_stereo(data, block_align)
         else:
-            raise NotImplementedError(
-                f"{n_channels}-channel IMA ADPCM (mono/stereo only)"
+            return sample_rate, ac.decode_ima_adpcm_multi(
+                data, block_align, n_channels
             )
     elif audio_format == 2:
-        if n_channels != 1:
-            raise NotImplementedError("MS ADPCM decode is mono-only")
         block_align = int.from_bytes(fmt[12:14], "little")
-        flat = ac.decode_ms_adpcm(data, block_align)
+        if n_channels == 1:
+            flat = ac.decode_ms_adpcm(data, block_align)
+        else:
+            return sample_rate, ac.decode_ms_adpcm_multi(
+                data, block_align, n_channels
+            )
     else:
         raise NotImplementedError(f"WAV format tag {audio_format}")
     if n_channels > 1:

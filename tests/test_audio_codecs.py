@@ -118,11 +118,12 @@ def test_wav_dispatch_roundtrip_and_errors():
     bad = encode_wav_raw(raw, 85, 1, 8000, 8, 1)  # MP3-in-WAV: unsupported
     with pytest.raises(NotImplementedError, match="format tag 85"):
         decode_wav(bad)
-    # >2-channel ADPCM is the remaining declared boundary (stereo
-    # decodes for real — see test_stereo_ima_adpcm_matches_reference_loop).
+    # >2-channel ADPCM decodes for real now (see
+    # test_multichannel_adpcm_matches_reference): a 3-channel stream
+    # with zeroed headers/payload decodes to silence, shape (_, 3).
     adp = encode_wav_raw(b"\x00" * 36, 0x11, 3, 8000, 4, 36)
-    with pytest.raises(NotImplementedError, match="mono/stereo"):
-        decode_wav(adp)
+    _, s3 = decode_wav(adp)
+    assert s3.shape[1] == 3 and np.all(s3 == 0)
     # Truncated block header detected.
     short = encode_wav_raw(b"\x00\x01\x02", 0x11, 1, 8000, 4, 36)
     with pytest.raises(ValueError, match="truncated IMA ADPCM"):
@@ -240,3 +241,97 @@ def test_ms_adpcm_matches_reference_loop():
         decode_ms_adpcm(bytes([9]) + b"\x00" * 16, block_align)
     with pytest.raises(ValueError, match="truncated MS ADPCM"):
         decode_ms_adpcm(b"\x00\x01\x02", 17)
+
+
+def test_multichannel_adpcm_matches_reference():
+    """3-channel IMA and 3-channel MS ADPCM decode each channel exactly
+    as an independent per-channel reference run — the generalization
+    that closed the >2-channel boundary."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.audio_codecs import (
+        MS_ADPCM_ADAPT,
+        MS_ADPCM_COEFFS,
+        decode_ima_adpcm,
+        decode_ima_adpcm_multi,
+        decode_ms_adpcm_multi,
+    )
+    from minoan_athenaeum_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_raw,
+    )
+
+    rng = np.random.RandomState(23)
+    nch = 3
+
+    # ---- IMA: per-channel headers + nch×4-byte interleaved groups
+    block_align = 4 * nch + 4 * nch * 2  # headers + 2 groups
+    blocks, refs = [], [[] for _ in range(nch)]
+    for _ in range(4):
+        hdrs, states = b"", []
+        for _c in range(nch):
+            pred = int(rng.randint(-3000, 3000))
+            idx = int(rng.randint(0, 89))
+            states.append((pred, idx))
+            hdrs += pred.to_bytes(2, "little", signed=True) + bytes([idx, 0])
+        body = rng.randint(0, 256, size=4 * nch * 2, dtype=np.uint8).tobytes()
+        blocks.append(hdrs + body)
+        groups = np.frombuffer(body, dtype=np.uint8).reshape(-1, nch, 4)
+        for c in range(nch):
+            chan = groups[:, c, :].reshape(-1).tobytes()
+            mono_block = (
+                states[c][0].to_bytes(2, "little", signed=True)
+                + bytes([states[c][1], 0])
+                + chan
+            )
+            refs[c].append(decode_ima_adpcm(mono_block, 4 + len(chan)))
+    data = b"".join(blocks)
+    out = decode_ima_adpcm_multi(data, block_align, nch)
+    for c in range(nch):
+        assert (out[:, c] == np.concatenate(refs[c])).all()
+    rate, arr = decode_wav(encode_wav_raw(data, 0x11, nch, 8000, 4, block_align))
+    assert rate == 8000 and (arr == out).all()
+
+    # ---- MS: channel-wise headers, round-robin nibbles
+    def ms_reference(preds, deltas, s1s, s2s, nibbles):
+        outs = [[int(np.int16(s2s[c])), int(np.int16(s1s[c]))] for c in range(nch)]
+        d, a, b = list(deltas), list(s1s), list(s2s)
+        for t, nib in enumerate(nibbles):
+            c = t % nch
+            c1, c2 = MS_ADPCM_COEFFS[preds[c]]
+            code = nib - 16 if nib >= 8 else nib
+            pred = ((a[c] * c1 + b[c] * c2) >> 8) + code * d[c]
+            pred = max(-32768, min(32767, pred))
+            b[c], a[c] = a[c], pred
+            d[c] = max(16, (int(MS_ADPCM_ADAPT[nib]) * d[c]) >> 8)
+            outs[c].append(pred)
+        return outs
+
+    n_body = 9  # 18 nibbles = 6 samples/channel
+    block_align = 7 * nch + n_body
+    blocks, want = [], [[] for _ in range(nch)]
+    for _ in range(4):
+        preds = [int(rng.randint(0, 7)) for _ in range(nch)]
+        deltas = [int(rng.randint(16, 4000)) for _ in range(nch)]
+        s1s = [int(rng.randint(-20000, 20000)) for _ in range(nch)]
+        s2s = [int(rng.randint(-20000, 20000)) for _ in range(nch)]
+        body = rng.randint(0, 256, size=n_body, dtype=np.uint8)
+        blk = bytes(preds)
+        for vals in (deltas, s1s, s2s):
+            blk += b"".join(v.to_bytes(2, "little", signed=True) for v in vals)
+        blk += body.tobytes()
+        blocks.append(blk)
+        nibbles = []
+        for byte in body:
+            nibbles += [int(byte) >> 4, int(byte) & 15]
+        outs = ms_reference(preds, deltas, s1s, s2s, nibbles)
+        for c in range(nch):
+            want[c].append(np.array(outs[c], dtype=np.int16))
+    data = b"".join(blocks)
+    out = decode_ms_adpcm_multi(data, block_align, nch)
+    for c in range(nch):
+        w = np.concatenate(want[c])
+        n = out.shape[0]
+        assert (out[:, c] == w[:n]).all()
+    rate, arr = decode_wav(encode_wav_raw(data, 2, nch, 8000, 4, block_align))
+    assert rate == 8000 and (arr == out).all()
