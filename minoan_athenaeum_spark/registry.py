@@ -116,6 +116,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family — variance/stddev was driver-green r1-r3 and stays
 # pytest-oracled; the Misra-Gries sketch-then-verify plan is the
 # scale-relevant member).
+# Round-6 rotation candidates (all oracle-verified green at sf0.001 AND
+# sf0.01 this session, awaiting their one external verification):
+# text_bpe_tokenize (for text_bpe_train once it's been driver-green),
+# sketch_kmv_intersection or sketch_count_min (for sketch_bloom_membership),
+# misc_skyline_pareto (mining family rep), pipeline_curation_v2 (for
+# pipeline_clean_corpus — strictly more stages), stream_stream_left_join_exec
+# (for stream_stream_join_exec — outer ⊃ inner), misc_incremental_join_view
+# (maintenance family next to cdc_apply_changelog).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
