@@ -1026,3 +1026,63 @@ def text_simpson_diversity(spark, sf_dir):
             "type_token_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("hash", "join")
+
+_PHRASE_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS a
+      FROM documents
+    ), p1 AS (
+      SELECT doc_id, i AS pos FROM d, UNNEST(range(1, len(a) + 1)) AS u(i)
+      WHERE a[i] = '{_PHRASE[0]}'
+    ), p2 AS (
+      SELECT doc_id, i AS pos FROM d, UNNEST(range(1, len(a) + 1)) AS u(i)
+      WHERE a[i] = '{_PHRASE[1]}'
+    )
+    SELECT p1.doc_id,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(p1.pos) AS BIGINT) AS first_pos
+    FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+    GROUP BY p1.doc_id
+"""
+
+
+@query("text_phrase_search", oracle=_PHRASE_ORACLE, tags=("text", "search", "phrase"))
+def text_phrase_search(spark, sf_dir):
+    """POSITIONAL PHRASE SEARCH for "{p0} {p1}": exact adjacent-term
+    matching via positional postings — the search-engine feature
+    bag-of-words BM25 (text_bm25_search) cannot express. Each phrase
+    term's postings are (doc_id, position) pairs extracted map-side
+    with the term filter BEFORE any shuffle; the phrase match is one
+    equi-join on (doc_id, pos+1 = pos) — adjacency as a JOIN KEY, so
+    Catalyst hash-joins it (no positional BNLJ). Longer phrases chain
+    one join per extra term. Output per matching doc: occurrence count
+    and first position.
+
+    At 100 TB the postings come from the positional segment store
+    (sources/posting_sink.py) with term-range pruning, replacing the
+    tokenize-scan here; the join-side plan is identical.
+    """.format(p0=_PHRASE[0], p1=_PHRASE[1])
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(tokens()).alias("pos0", "term")
+    )
+    p1 = d.where(F.col("term") == _PHRASE[0]).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos")
+    )
+    p2 = d.where(F.col("term") == _PHRASE[1]).select(
+        F.col("doc_id").alias("doc_id2"), (F.col("pos0") + 1).alias("pos2")
+    )
+    matched = p1.join(
+        p2,
+        (F.col("doc_id2") == F.col("doc_id")) & (F.col("pos2") == F.col("pos") + 1),
+    )
+    return matched.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )
