@@ -490,3 +490,72 @@ def evt_cusum_changepoint(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event path analysis: Markov transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT from_type, CAST(sum(cnt) AS BIGINT) AS from_total FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type, t.cnt, tot.from_total,
+           CAST(t.cnt AS DOUBLE) / CAST(tot.from_total AS DOUBLE) AS p
+    FROM trans t JOIN totals tot USING (from_type)
+"""
+
+
+@query("evt_markov_transitions", oracle=_MARKOV_ORACLE, tags=("events", "paths"))
+def evt_markov_transitions(spark, sf_dir):
+    """EVENT PATH ANALYSIS: the first-order Markov transition matrix of
+    user journeys — for every (from, to) event-type pair, how often a
+    user's next action follows the current one, with the conditional
+    probability P(to | from) — the model under "what do users do after
+    an error?" and journey-simulation questions (funnels fix the path;
+    this measures ALL paths). Exact counts, one IEEE division.
+
+    Scale shape: the lead() window is partitioned BY USER and ordered
+    by (ts, event_id) — per-user state only, the same bounded shape as
+    evt_sessionize; transitions aggregate to |types|² rows with
+    map-side combine; the from-state totals re-aggregate that tiny
+    matrix and broadcast back.
+    """
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    totals = trans.groupBy("from_type").agg(
+        F.sum("cnt").cast("bigint").alias("from_total")
+    )
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "cnt",
+        "from_total",
+        (F.col("cnt").cast("double") / F.col("from_total").cast("double")).alias("p"),
+    )
