@@ -559,3 +559,61 @@ def evt_markov_transitions(spark, sf_dir):
         "from_total",
         (F.col("cnt").cast("double") / F.col("from_total").cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed aggregate with exactly-representable dyadic decay
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS BIGINT) AS cents,
+             date_diff('day', CAST(ts AS DATE),
+                       (SELECT max(CAST(ts AS DATE)) FROM events)) AS age_days
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(age_days) AS BIGINT) AS max_age,
+           CAST(sum(CAST(cents * (CAST(1 AS BIGINT) << (40 - age_days)) AS DECIMAL(38,0))) AS DOUBLE)
+             / CAST(CAST(1 AS BIGINT) << 40 AS DOUBLE) AS decayed_cents
+    FROM base
+    GROUP BY event_type
+"""
+
+
+@query("evt_time_decayed_value", oracle=_DECAY_ORACLE, tags=("events", "decay"))
+def evt_time_decayed_value(spark, sf_dir):
+    """TIME-DECAYED VALUE per event type with half-life 1 day — the
+    recency-weighted score under trending/decay rankings — computed
+    with EXACTLY-REPRESENTABLE arithmetic: weight 2^-age is dyadic, so
+    the decayed sum is an exact BIGINT of cents·2^(40-age) (ages span
+    ≤31 days) accumulated in DECIMAL(38,0), and the final
+    value is ONE double division by 2^40. No pow(), no float
+    summation-order drift — the sum is integer associativity-exact on
+    any partitioning, unlike the textbook exp(-λ·age) form. The same
+    trick generalizes to any power-of-two half-life.
+
+    Scale shape: the max date is a broadcast 1-row aggregate; weights
+    are map-side bit shifts; one partial-agg groupBy.
+    """
+    e = t(spark, sf_dir, "events")
+    max_day = e.agg(F.max(F.col("ts").cast("date")).alias("maxd"))
+    base = e.crossJoin(F.broadcast(max_day)).select(
+        "event_type",
+        (F.col("value").cast("decimal(12,2)") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.col("maxd"), F.col("ts").cast("date")).alias("age_days"),
+    )
+    # per-row products fit int64 (cents·2^40 ≤ ~1e17) but corpus-scale
+    # SUMS do not — the accumulator is DECIMAL(38,0), exact in both
+    # engines, cast to double only at the end (the repo's decimal-sum
+    # discipline)
+    scaled = F.expr(
+        "CAST(cents * shiftleft(CAST(1 AS BIGINT), 40 - age_days) AS DECIMAL(38,0))"
+    )
+    return base.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max("age_days").cast("bigint").alias("max_age"),
+        (F.sum(scaled).cast("double") / F.lit(float(1 << 40))).alias("decayed_cents"),
+    )
