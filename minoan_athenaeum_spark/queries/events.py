@@ -617,3 +617,60 @@ def evt_time_decayed_value(spark, sf_dir):
         F.max("age_days").cast("bigint").alias("max_age"),
         (F.sum(scaled).cast("double") / F.lit(float(1 << 40))).alias("decayed_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling 7-day distinct users
+# ---------------------------------------------------------------------------
+
+_ROLLING_DAU_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), win AS (
+      SELECT DISTINCT user_id, day + to_days(CAST(u.off AS INTEGER)) AS wday
+      FROM ud, UNNEST(range(0, 7)) AS u(off)
+    ), bounds AS (
+      SELECT min(day) AS d0, max(day) AS d1 FROM ud
+    )
+    SELECT strftime(w.wday, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS distinct_users_7d
+    FROM win w, bounds b
+    WHERE w.wday BETWEEN b.d0 AND b.d1
+    GROUP BY w.wday
+"""
+
+
+@query("evt_rolling_distinct_users", oracle=_ROLLING_DAU_ORACLE, tags=("events", "distinct"))
+def evt_rolling_distinct_users(spark, sf_dir):
+    """EXACT ROLLING 7-DAY DISTINCT USERS (the WAU curve): for every
+    day, how many distinct users were active in the trailing week.
+    Sliding DISTINCT does not decompose into window sums — the classic
+    "can't window this" aggregate — so the plan inverts membership:
+    each (user, active-day) pair CONTRIBUTES itself to the 7 window
+    days it falls in (a bounded ×7 map-side explode of the already
+    tiny distinct pairs), and the per-day count is then an ordinary
+    distinct count. Exact, no sketch, no quadratic self-join.
+
+    Scale shape: the corpus collapses to distinct (user, day) in one
+    partial-agg pass; everything after is |users|·|days|-sized. The
+    HLL-mergeable variant (sketch_hll_mergeable) is the O(1)-space
+    sibling when exactness can be traded.
+    """
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    bounds = ud.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    win = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.array(*[F.date_add(F.col("day"), off) for off in range(7)])
+            ).alias("wday"),
+        )
+        .distinct()
+    )
+    return (
+        win.crossJoin(F.broadcast(bounds))
+        .where((F.col("wday") >= F.col("d0")) & (F.col("wday") <= F.col("d1")))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").cast("bigint").alias("distinct_users_7d"))
+    )
