@@ -747,3 +747,76 @@ def sim_hybrid_rrf(spark, sf_dir):
         )
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_OUT)
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid alignment (embedding-space cluster cohesion)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, label, {_QUANT} AS q FROM embeddings
+    ), ex AS (
+      SELECT label, i AS pos, q[i] AS x, vec_id
+      FROM v, UNNEST(range(1, len(q) + 1)) AS u(i)
+    ), sums AS (
+      SELECT label, pos, CAST(sum(x) AS BIGINT) AS s FROM ex GROUP BY 1, 2
+    ), counts AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1
+    ), cent AS (
+      SELECT s.label, list(CAST(floor(CAST(s.s AS DOUBLE) / c.n) AS BIGINT) ORDER BY s.pos) AS c
+      FROM sums s JOIN counts c USING (label)
+      GROUP BY s.label
+    )
+    SELECT v.vec_id, v.label,
+           CAST(list_sum(list_transform(range(1, len(v.q) + 1),
+                                        i -> v.q[i] * cent.c[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(v.q, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(cent.c, x -> x * x)) AS DOUBLE)))
+             AS cos_to_centroid
+    FROM v JOIN cent USING (label)
+"""
+
+
+@query("sim_centroid_alignment", oracle=_CENTROID_ORACLE, tags=("similarity", "centroid"))
+def sim_centroid_alignment(spark, sf_dir):
+    """EMBEDDING CLUSTER COHESION: every vector's cosine to its label's
+    centroid — the per-example alignment score under cluster-quality
+    audits and SemDedup-style pruning decisions ("how typical is this
+    example of its class?"). The centroid is the elementwise
+    FLOOR-AVERAGE of the quantized int vectors: exact integer floor
+    division keeps centroid components in the same bounded range as
+    the vectors themselves (so every dot/norm stays comfortably in
+    int64 at ANY corpus size — a raw SUM centroid would overflow the
+    norm at ~1000× scale) and is bit-portable. Cosines are the
+    quantized-int exact form of sim_knn_cosine_brute.
+
+    Scale shape: the centroid build is a (label, dim)-keyed partial
+    agg — |labels|·|dims| rows — and broadcasts back; scoring is
+    map-only. The corpus never shuffles.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", "label", quantize(F.col("embedding")).alias("q"))
+    ex = v.select("label", F.posexplode("q").alias("pos", "x"))
+    sums = ex.groupBy("label", "pos").agg(F.sum("x").cast("bigint").alias("s"))
+    counts = v.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    cent = (
+        sums.join(F.broadcast(counts), "label")
+        .select(
+            "label",
+            "pos",
+            F.floor(F.col("s").cast("double") / F.col("n")).cast("bigint").alias("cx"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda st: st.cx,
+            ).alias("c")
+        )
+    )
+    return v.join(F.broadcast(cent), "label").select(
+        "vec_id",
+        "label",
+        cosine_q(F.col("q"), F.col("c")).alias("cos_to_centroid"),
+    )
