@@ -100,6 +100,15 @@ EXTRA = [
     "stream_stream_left_join_exec",
     "misc_incremental_join_view",
     "misc_skyline_pareto",
+    "misc_skew_diagnostics",
+    "text_phrase_search",
+    "evt_markov_transitions",
+    "evt_time_decayed_value",
+    "evt_rolling_distinct_users",
+    "sim_centroid_alignment",
+    "pipeline_dup_capping",
+    "pipeline_mixing_allocation",
+    "pipeline_priority_sample",
 ]
 
 
