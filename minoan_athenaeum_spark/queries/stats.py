@@ -536,3 +536,79 @@ def stat_winsorize(spark, sf_dir):
         "rflag", "n_rows", F.col("lo").alias("p05"), F.col("hi").alias("p95"),
         "n_clipped", "sum_raw", "sum_winsorized",
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS regression from exact power sums
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH c AS (
+      SELECT l_returnflag AS rflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
+      FROM lineitem
+    ), s AS (
+      SELECT rflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM c GROUP BY 1
+    )
+    SELECT rflag, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept_cents,
+           (((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n * sxy - sx * sy))
+             / (n * syy - sy * sy) AS r_squared
+    FROM s
+"""
+
+
+@query("stat_group_ols", oracle=_OLS_ORACLE, tags=("stats", "regression"))
+def stat_group_ols(spark, sf_dir):
+    """GROUPED OLS REGRESSION of extended price on quantity per return
+    flag — slope, intercept (in cents), R² — entirely from five exact
+    power sums (n, Σx, Σy, Σx², Σy², Σxy), ONE partial-agg pass with a
+    fixed closed-form expression. The sums run in the INTEGER-CENTS
+    domain with DECIMAL(38,0) accumulators — not scale-4 decimals —
+    because a DECIMAL(·,4) → DOUBLE conversion is DOUBLE-ROUNDED in
+    DuckDB (hugeint→double, then /10⁴) but single-rounded on the JVM
+    (BigDecimal.doubleValue), and Σy² here landed exactly on such a
+    boundary (1-ulp mismatch, caught by the gate). Integer-valued
+    decimals convert with one rounding in both engines; the 100×
+    scale cancels out of slope and R² entirely.
+
+    Scale shape: one map-side-combined groupBy; the closed form runs on
+    |groups| rows. No solver, no iteration, no second pass.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    d = F.col
+    c = li.select(
+        F.col("l_returnflag").alias("rflag"),
+        (d("l_quantity").cast("decimal(12,2)") * 100).cast("bigint").alias("xc"),
+        (d("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint").alias("yc"),
+    )
+    s = c.groupBy("rflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(d("xc").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(d("yc").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((d("xc") * d("xc")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((d("yc") * d("yc")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((d("xc") * d("yc")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    slope = (d("n") * d("sxy") - d("sx") * d("sy")) / (
+        d("n") * d("sxx") - d("sx") * d("sx")
+    )
+    return s.select(
+        "rflag",
+        "n",
+        slope.alias("slope"),
+        ((d("sy") - slope * d("sx")) / d("n")).alias("intercept_cents"),
+        (
+            (slope * (d("n") * d("sxy") - d("sx") * d("sy")))
+            / (d("n") * d("syy") - d("sy") * d("sy"))
+        ).alias("r_squared"),
+    )
