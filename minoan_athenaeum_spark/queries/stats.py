@@ -1,10 +1,14 @@
 """Statistical aggregates, grouping sets, and remaining join types.
 
-Variance/stddev/correlation are computed from exact decimal power sums
-(Σx, Σx², Σxy) cast to double at the end — the engines' built-in
-moment aggregations use different summation orders (not reproducible),
-but power sums of decimals are exact, and the final double formula is
-deterministic IEEE arithmetic. This is also how the partial/merge
+Variance/stddev/correlation are computed from exact INTEGER-CENTS
+power sums (Σx, Σx², Σxy in DECIMAL(38,0)) cast to double at the end —
+the engines' built-in moment aggregations use different summation
+orders (not reproducible), power sums are exact, and the final double
+formula is deterministic IEEE arithmetic. Integer-valued (scale-0)
+decimals are load-bearing: a DECIMAL(·,k>0) → DOUBLE conversion is
+double-rounded in DuckDB (hugeint→double, then /10^k) but
+single-rounded on the JVM — stat_group_ols caught a real 1-ulp
+divergence on exactly that path. This is also how the partial/merge
 phases work at scale: power sums are associative, so the map-side
 partial aggregation Spark plans for them is exact too.
 """
@@ -21,16 +25,20 @@ from minoan_athenaeum_spark.registry import query
 @query(
     "stat_variance_stddev",
     oracle="""
-    WITH s AS (
+    WITH c AS (
       SELECT l_returnflag AS rflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc
+      FROM lineitem
+    ), s AS (
+      SELECT rflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx
-      FROM lineitem GROUP BY l_returnflag
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM c GROUP BY rflag
     )
     SELECT rflag, n,
-           (sxx - sx * sx / n) / (n - 1) AS var_qty,
-           sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty
+           ((sxx - sx * sx / n) / (n - 1)) / 10000.0 AS var_qty,
+           sqrt(((sxx - sx * sx / n) / (n - 1)) / 10000.0) AS std_qty
     FROM s
     """,
     tags=("stats", "agg"),
@@ -39,27 +47,34 @@ def stat_variance_stddev(spark, sf_dir):
     """Sample variance/stddev of quantity per return flag via exact
     power sums (see module docstring)."""
     li = t(spark, sf_dir, "lineitem")
-    q = dec(F.col("l_quantity"), 12, 2)
-    s = li.groupBy(F.col("l_returnflag").alias("rflag")).agg(
+    xc = (dec(F.col("l_quantity"), 12, 2) * 100).cast("bigint")
+    c = li.select(F.col("l_returnflag").alias("rflag"), xc.alias("xc"))
+    s = c.groupBy("rflag").agg(
         F.count("*").alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double").alias("sxx"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var = (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    ) / 10000.0
     return s.select("rflag", "n", var.alias("var_qty"), F.sqrt(var).alias("std_qty"))
 
 
 @query(
     "stat_correlation",
     oracle="""
-    WITH s AS (
-      SELECT COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+    WITH c AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS xc,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS yc
       FROM lineitem
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM c
     )
     SELECT n,
            (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price
@@ -71,15 +86,17 @@ def stat_correlation(spark, sf_dir):
     """Pearson correlation of quantity vs extended price from exact
     power sums (single-pass, associative — one shuffle of 6 numbers)."""
     li = t(spark, sf_dir, "lineitem")
-    x = dec(F.col("l_quantity"), 12, 2)
-    y = dec(F.col("l_extendedprice"), 12, 2)
-    s = li.agg(
+    c = li.select(
+        (dec(F.col("l_quantity"), 12, 2) * 100).cast("bigint").alias("xc"),
+        (dec(F.col("l_extendedprice"), 12, 2) * 100).cast("bigint").alias("yc"),
+    )
+    s = c.agg(
         F.count("*").alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(F.col("xc").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("yc").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("xc") * F.col("xc")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((F.col("xc") * F.col("yc")).cast("decimal(38,0)")).cast("double").alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     corr = (n * F.col("sxy") - sx * sy) / (
