@@ -95,7 +95,19 @@ def _merge_fold(acc: Column, x: Column) -> Column:
 def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
     """Broadcast the 1-row best pair and fold it through every word's
     symbol list (map-only JVM array expressions); non-toks columns
-    pass through."""
+    pass through.
+
+    Fails fast when ``best`` is empty (the corpus supports fewer merge
+    rounds than requested): the crossJoin would otherwise silently
+    empty the whole dictionary — silent data loss, not a no-op. The
+    check is one dictionary-sized job on an already-checkpointed input,
+    noise next to the round's own pair-count pass."""
+    if best.isEmpty():
+        raise ValueError(
+            "BPE merge round found no adjacent pair left to merge: "
+            "n_merges exceeds the merges this corpus supports; "
+            "reduce n_merges"
+        )
     rest = [c for c in dict_df.columns if c != "toks"]
     return dict_df.crossJoin(F.broadcast(best.select("lft", "rgt"))).select(
         F.aggregate(
@@ -120,8 +132,8 @@ def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
 
     ``n_merges`` must not exceed the number of merges the corpus
     supports (a corpus with P distinct adjacent pairs supports at
-    least P rounds): once no pairs remain, ``best_pair`` is empty and
-    that round (and every later one) contributes no output row.
+    least P rounds): once no pairs remain, ``apply_merge`` raises a
+    ValueError rather than silently emptying the dictionary.
     """
     # The word-freq dict is the ONE corpus-sized computation; pin it
     # eagerly so the per-round lineages (3 outputs × n_merges rounds)

@@ -900,7 +900,16 @@ def pipeline_priority_sample(spark, sf_dir):
         F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("weight"),
     ).withColumn("priority", F.col("weight").cast("double") / u)
     topk1 = pri.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
-    tau = topk1.agg(F.min("priority").alias("tau"))
+    # tau is defined ONLY when a (k+1)-th priority exists; with <= k
+    # items the estimator is the trivial exact sample and the oracle's
+    # tau CTE is empty, so mirror it exactly: an empty tau empties the
+    # cross join and the query returns no rows (engine/oracle parity at
+    # tiny inputs pinned by test_priority_sample_tiny_corpus).
+    tau = (
+        topk1.agg(F.min("priority").alias("tau"), F.count("*").alias("n"))
+        .where(F.col("n") == k + 1)
+        .select("tau")
+    )
     return (
         topk1.orderBy(F.col("priority").desc(), "doc_id")
         .limit(k)
@@ -960,7 +969,7 @@ _MIX_ORACLE = f"""
 @query("pipeline_mixing_allocation", oracle=_MIX_ORACLE, tags=("pipeline", "mixing"))
 def pipeline_mixing_allocation(spark, sf_dir):
     """DATASET-MIXING ALLOCATION: split a global sample budget of
-    {budget} docs across sources proportionally to size using
+    ``_MIX_BUDGET`` (400) docs across sources proportionally to size using
     LARGEST-REMAINDER rounding (Hamilton's method — floor quotas, then
     the sources with the largest remainders get the leftover units;
     exact integer arithmetic, tie-break on source name), then pick each
@@ -975,7 +984,7 @@ def pipeline_mixing_allocation(spark, sf_dir):
     through grouped_topk_two_phase (local per-partition top-k first),
     so a giant source never sorts on one reducer. Document text never
     shuffles — only (source, doc_id, hash) triples.
-    """.format(budget=_MIX_BUDGET)
+    """
     from pyspark.sql import Window as W
 
     from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase

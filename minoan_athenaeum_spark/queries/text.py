@@ -1055,7 +1055,8 @@ _PHRASE_ORACLE = rf"""
 
 @query("text_phrase_search", oracle=_PHRASE_ORACLE, tags=("text", "search", "phrase"))
 def text_phrase_search(spark, sf_dir):
-    """POSITIONAL PHRASE SEARCH for "{p0} {p1}": exact adjacent-term
+    """POSITIONAL PHRASE SEARCH for the ``_PHRASE`` constant
+    ("hash join"): exact adjacent-term
     matching via positional postings — the search-engine feature
     bag-of-words BM25 (text_bm25_search) cannot express. Each phrase
     term's postings are (doc_id, position) pairs extracted map-side
@@ -1068,7 +1069,7 @@ def text_phrase_search(spark, sf_dir):
     At 100 TB the postings come from the positional segment store
     (sources/posting_sink.py) with term-range pruning, replacing the
     tokenize-scan here; the join-side plan is identical.
-    """.format(p0=_PHRASE[0], p1=_PHRASE[1])
+    """
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(tokens()).alias("pos0", "term")
     )

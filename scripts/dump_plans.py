@@ -106,9 +106,6 @@ EXTRA = [
     "evt_time_decayed_value",
     "evt_rolling_distinct_users",
     "sim_centroid_alignment",
-    "pipeline_dup_capping",
-    "pipeline_mixing_allocation",
-    "pipeline_priority_sample",
 ]
 
 

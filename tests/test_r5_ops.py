@@ -141,6 +141,25 @@ def test_priority_sample_ht_weights_bounded(spark):
     assert 0.5 * total < ht < 2.0 * total
 
 
+def test_priority_sample_tiny_corpus(spark, tmp_path):
+    """Engine/oracle parity at <= k items: no (k+1)-th priority exists,
+    so tau is undefined and the query returns NO rows — exactly the
+    oracle's empty-tau-CTE semantics (was a silent divergence: a biased
+    tau from fewer than k+1 rows)."""
+    from minoan_athenaeum_spark.queries.pipeline import (
+        _PRIO_K,
+        pipeline_priority_sample,
+    )
+
+    sf_dir = str(tmp_path)
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i + 1), "web") for i in range(_PRIO_K)],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    assert pipeline_priority_sample(spark, sf_dir).count() == 0
+
+
 def test_mixing_quota_exactness_synthetic(spark):
     # largest-remainder quotas: sum == budget exactly, each quota within
     # 1 of the real-valued proportional share (Hamilton's method bound)
@@ -201,3 +220,26 @@ def test_skyline_2d_edge_cases(spark):
     got = {(r.x, r.y) for r in skyline_2d(mix, "x", "y").collect()}
     assert got == {(1, 9), (9, 1), (5, 5)}
     assert skyline_2d(mix, "x", "y").count() == 4  # both (1,9) copies
+
+
+def test_skyline_2d_fractional_x(spark):
+    """Regression: distinct fractional x values sharing an integer part
+    must still dominate each other (the old long-cast RANGE frame
+    treated 1.2 and 1.8 as equal-x and let dominated points survive)."""
+    from minoan_athenaeum_spark.operators.skyline import skyline_2d
+
+    pts = spark.createDataFrame(
+        [(0, 1.2, 3.0), (1, 1.8, 5.0), (2, 0.4, 9.0), (3, 2.6, 1.0)],
+        "id long, x double, y double",
+    )
+    # (1.2, 3) is strictly dominated by (1.8, 5); the rest are frontier
+    got = {(r.x, r.y) for r in skyline_2d(pts, "x", "y").collect()}
+    assert got == {(1.8, 5.0), (0.4, 9.0), (2.6, 1.0)}
+    # dense fractional chain inside one integer bucket: only the top survives
+    chain = spark.createDataFrame(
+        [(i, 1.0 + i / 10.0, float(i)) for i in range(8)],
+        "id long, x double, y double",
+    )
+    assert [(r.x, r.y) for r in skyline_2d(chain, "x", "y").collect()] == [
+        (1.7, 7.0)
+    ]
