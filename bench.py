@@ -6,11 +6,22 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...}
 
 Each query is executed by a full count() (runs the whole pipeline,
-skips driver-side result transfer). The headline set covers the scan/
-agg/join/window/dedup/similarity/text/events surfaces; quadratic-output
-near-dup queries (minhash on the pathologically self-similar synthetic
-corpus) are exercised by tests, not the bench, so bench time measures
-engine speed rather than output materialization.
+skips driver-side result transfer; every headline query ends in an
+aggregate/top-k whose inputs count() must fully evaluate, so nothing
+is pruned away). The headline set covers the scan/agg/join/window/
+dedup/similarity/text/events surfaces; quadratic-output near-dup
+queries (minhash on the pathologically self-similar synthetic corpus)
+are exercised by tests, not the bench, so bench time measures engine
+speed rather than output materialization.
+
+Round 6 expanded the r1-era 21-query set with ten round-3..5
+representatives (BM25, BPE train, suffix array, substring-span dedup,
+real JPEG decode replacing the fake feature stub, curation v2,
+Misra-Gries heavy hitters, streaming dedup drain, PQ-ADC ANN, exact
+winsorize) so the 2x regression gate guards the newer surface; the
+corresponding fresh dual baseline (plain + SPARK_GRAFT_BUCKETED_FACTS)
+is recorded in BASELINE.md. Totals are NOT comparable to BENCH_r1-r5
+(different set) — per-query values are.
 """
 
 from __future__ import annotations
@@ -39,8 +50,18 @@ HEADLINE = [
     "evt_sessionize",
     "ts_asof_join",
     "evt_tumbling_window",
-    "mm_fake_decode_features",
+    "mm_jpeg_decode_stats",
     "pipeline_clean_corpus",
+    # round-3..5 representatives under the gate since r6
+    "text_bm25_search",
+    "text_bpe_train",
+    "text_suffix_array",
+    "dedup_substring_spans",
+    "pipeline_curation_v2",
+    "sketch_heavy_hitters",
+    "stream_dedup_exec",
+    "sim_ann_pq_adc_topk",
+    "stat_winsorize",
 ]
 
 

@@ -144,19 +144,34 @@ def parity_j2_neq_join(spark, sf_dir):
 @query(
     "parity_j4_range_join_ge",
     oracle="""
-    SELECT n.n_nationkey AS nkey, r.r_regionkey AS rkey
+    SELECT 'ge' AS op, n.n_nationkey AS nkey, r.r_regionkey AS rkey
     FROM nation n JOIN region r ON n.n_regionkey >= r.r_regionkey
+    WHERE n.n_nationkey <= 12
+    UNION ALL
+    SELECT 'le' AS op, n.n_nationkey AS nkey, r.r_regionkey AS rkey
+    FROM nation n JOIN region r ON n.n_regionkey <= r.r_regionkey
     WHERE n.n_nationkey <= 12
     """,
     tags=("J4", "J6"),
 )
 def parity_j4_range_join_ge(spark, sf_dir):
-    """Theta join on `>=` with a pushed filter (reference
-    ``Join.__greater_than_equals`` /root/reference/database.py:571-585)."""
+    """Theta joins on `>=` AND `<=` with a pushed filter, row-tagged by
+    op so both directions are value-hash verified in ONE driver slot
+    (reference ``Join.__greater_than_equals``
+    /root/reference/database.py:571-585 and ``Join.__less_than_equals``
+    /root/reference/database.py:603-617 — §2 operators J4 and J6)."""
     n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") <= 12)
     r = t(spark, sf_dir, "region")
-    return n.join(r, n.n_regionkey >= r.r_regionkey).select(
-        F.col("n_nationkey").alias("nkey"), F.col("r_regionkey").alias("rkey")
+
+    def side(op_name, cond):
+        return n.join(r, cond).select(
+            F.lit(op_name).alias("op"),
+            F.col("n_nationkey").alias("nkey"),
+            F.col("r_regionkey").alias("rkey"),
+        )
+
+    return side("ge", n.n_regionkey >= r.r_regionkey).unionByName(
+        side("le", n.n_regionkey <= r.r_regionkey)
     )
 
 

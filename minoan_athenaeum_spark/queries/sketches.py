@@ -555,30 +555,24 @@ _KMV_ORACLE = f"""
       -- direct global KMV over all distinct hashes
       SELECT hv, row_number() OVER (ORDER BY hv) AS rn
       FROM (SELECT DISTINCT hv FROM h)
-    ), exact AS (
-      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact FROM lineitem
     )
-    SELECT exact.n_exact,
+    SELECT (SELECT hv FROM direct WHERE rn = {_KMV_K}) AS kmv_kth_hash,
            (SELECT CAST(CAST({_KMV_K} - 1 AS HUGEINT) * {_KMV_SCALE} // hv AS BIGINT) FROM direct WHERE rn = {_KMV_K}) AS kmv_estimate,
            CASE WHEN (SELECT hv FROM merged WHERE rn = {_KMV_K})
                    = (SELECT hv FROM direct WHERE rn = {_KMV_K})
-                THEN 1 ELSE 0 END AS merged_equals_direct,
-           CASE WHEN abs((SELECT CAST(CAST({_KMV_K} - 1 AS HUGEINT) * {_KMV_SCALE} // hv AS BIGINT) FROM direct WHERE rn = {_KMV_K})
-                         - exact.n_exact) * 10 <= exact.n_exact
-                THEN 1 ELSE 0 END AS within_10pct
-    FROM exact
+                THEN 1 ELSE 0 END AS merged_equals_direct
 """
 
 
 @query("sketch_kmv_distinct", oracle=_KMV_ORACLE, tags=("sketch", "kmv"))
 def sketch_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values / bottom-k) DISTINCT-COUNT SKETCH
-    (Bar-Yossef et al. 2002): keep the k=256 smallest portable-hash
-    values; estimate distinct = (k-1)·2^60 / h_(k) — INTEGER floor
-    division over the md5-derived hashes, so unlike HLL (whose
-    register math is implementation-specific and only verdict-gated in
-    sketch_hll_distinct) the KMV ESTIMATE ITSELF is bit-exact against
-    the DuckDB twin.
+    (Bar-Yossef et al. 2002): keep the k=256 smallest DISTINCT
+    portable-hash values; estimate distinct = (k-1)·2^60 / h_(k) —
+    INTEGER floor division over the md5-derived hashes, so unlike HLL
+    (whose register math is implementation-specific and only
+    verdict-gated in sketch_hll_distinct) the KMV ESTIMATE ITSELF is
+    bit-exact against the DuckDB twin.
 
     Mergeability is pinned EXACTLY, not approximately: per-returnflag
     partial KMVs are merged (union → re-take k smallest) and the
@@ -587,62 +581,64 @@ def sketch_kmv_distinct(spark, sf_dir):
     contribution to the global bottom-k. That equality is the algebra
     that lets 1000 executors sketch independently and combine.
 
-    Scale shape: hashing is map-only; the bottom-k per group runs
-    through grouped_topk_two_phase (local per-partition top-k first, so
-    a hot group never sorts on one reducer); the global bottom-k is
-    TakeOrdered. Sketch size is O(k) regardless of corpus size.
+    Scale shape: NO corpus-wide distinct anywhere — the earlier form's
+    `.distinct()` over the hash projection scaled with global distinct
+    cardinality (262 s at 1024× / 340M keys), which defeats a
+    constant-size sketch. The one corpus pass is a map-only Arrow scan
+    keeping per-partition per-group bottom-k distinct sets
+    (operators/kmv.py::kmv_partition_partials, constant memory);
+    everything downstream (per-group bottom-k, merge, global k-th,
+    estimate) is candidate-sized (≤ k·P·|groups| rows). The DuckDB
+    twin computes the same k-th hash from the FULL distinct set, so
+    the value-hash match proves the candidate reduction lossless.
+    The ±10% accuracy-vs-exact check lives in
+    tests/test_sketches.py::test_kmv_estimate_within_10pct_of_exact
+    (bounded slice), keeping exactness proofs out of the gated plan.
     """
+    from minoan_athenaeum_spark.operators.kmv import kmv_partition_partials
     from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
 
     k = _KMV_K
     scale = 1 << 60
     li = t(spark, sf_dir, "lineitem")
-    # ONE distinct pass over the corpus produces the hash set every
-    # branch (per-group partials, direct bottom-k) reuses — without the
-    # pin, the partial/direct/exact branches re-ran the corpus-wide
-    # distinct three times (82 s at 256×)
-    h = li.select(
+    hashed = li.select(
         F.col("l_returnflag").alias("rflag"),
         F.conv(F.substring(F.md5(F.col("l_orderkey").cast("string")), 1, 15), 16, 10)
         .cast("bigint")
         .alias("hv"),
-    ).distinct().localCheckpoint(eager=True)
-    partial = grouped_topk_two_phase(h, ["rflag"], ["hv"], k).select("hv")
+    )
+    # ONE map-only corpus pass; the candidate set (≤ k·P·|groups| rows)
+    # is pinned so the merged/direct branches never re-scan the corpus
+    cand = kmv_partition_partials(hashed, "rflag", "hv", k).localCheckpoint(
+        eager=True
+    )
+    per_group = grouped_topk_two_phase(
+        cand.dropDuplicates(["g", "hv"]), ["g"], ["hv"], k
+    )
     merged_kth = (
-        partial.select("hv")
+        per_group.select("hv")
         .distinct()
         .orderBy("hv")
         .limit(k)
         .agg(F.max("hv").alias("m_kth"))
     )
     direct_kth = (
-        h.select("hv").distinct().orderBy("hv").limit(k).agg(F.max("hv").alias("d_kth"))
+        cand.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("d_kth"))
     )
-    exact = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_exact"))
     return (
-        exact.crossJoin(F.broadcast(direct_kth))
-        .crossJoin(F.broadcast(merged_kth))
+        direct_kth.crossJoin(F.broadcast(merged_kth))
         .select(
-            "n_exact",
+            F.col("d_kth").cast("bigint").alias("kmv_kth_hash"),
             F.expr(
                 f"CAST((CAST({k} - 1 AS DECIMAL(38,0)) * {scale}) div d_kth AS BIGINT)"
             ).alias("kmv_estimate"),
             F.when(F.col("m_kth") == F.col("d_kth"), F.lit(1))
             .otherwise(F.lit(0))
             .alias("merged_equals_direct"),
-            F.when(
-                F.abs(
-                    F.expr(
-                        f"CAST((CAST({k} - 1 AS DECIMAL(38,0)) * {scale}) div d_kth AS BIGINT)"
-                    )
-                    - F.col("n_exact")
-                )
-                * 10
-                <= F.col("n_exact"),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .alias("within_10pct"),
         )
     )
 

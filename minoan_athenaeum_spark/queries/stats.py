@@ -555,6 +555,81 @@ def stat_winsorize(spark, sf_dir):
     )
 
 
+_WINSOR_APPROX_ORACLE = """
+    SELECT l_returnflag AS rflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_raw,
+           CAST(1 AS BIGINT) AS lo_within_bound,
+           CAST(1 AS BIGINT) AS hi_within_bound,
+           CAST(1 AS BIGINT) AS clip_frac_within_bound
+    FROM lineitem GROUP BY 1
+"""
+
+
+@query(
+    "stat_winsorize_approx",
+    oracle=_WINSOR_APPROX_ORACLE,
+    tags=("stats", "preprocessing", "sketch"),
+)
+def stat_winsorize_approx(spark, sf_dir):
+    """WINSORIZATION WITH GK-SKETCH BOUNDS — the 100 TB default.
+    ``stat_winsorize``'s exact p05/p95 needs a corpus-wide range sort
+    (measured 245 s at 1024×, linear in rows); this variant gets the
+    clip bounds from a one-pass Greenwald-Khanna sketch
+    (``percentile_approx``, accuracy 10000 ⇒ rank error ≤ n/10000) so
+    the plan is two corpus SCANS and ZERO corpus shuffles: pass 1
+    map-side partial GK sketches merged per group (|groups| rows),
+    pass 2 a broadcast-bounds map-only clip + aggregate. Exact bounds
+    stay available as the opt-in (`stat_winsorize`), which also pins
+    the clip algebra exactly; the oracle surface here follows the
+    sketch convention (`sketch_approx_percentiles`): exact portable
+    columns (n_rows, decimal sum_raw) plus 0/1 verdicts that each
+    sketch bound's ACTUAL rank lands within 0.5% of its target (50×
+    the GK guarantee) and that the clipped fraction is ~10%.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rflag"),
+        F.col("l_extendedprice").alias("price"),
+    )
+    # pass 1: one-pass mergeable GK sketch per group — constant memory,
+    # bounds are actual data values
+    b = li.groupBy("rflag").agg(
+        F.percentile_approx("price", [0.05, 0.95], 10000).alias("b")
+    ).select("rflag", F.col("b")[0].alias("lo"), F.col("b")[1].alias("hi"))
+    # pass 2: broadcast bounds back; clip + rank-verify in ONE map-side
+    # partial aggregate (the corpus is scanned, never shuffled)
+    j = li.join(F.broadcast(b), "rflag")
+    g = j.groupBy("rflag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("price").cast("decimal(18,2)")).cast("double").alias("sum_raw"),
+        F.sum((F.col("price") <= F.col("lo")).cast("bigint")).alias("rk_lo"),
+        F.sum((F.col("price") <= F.col("hi")).cast("bigint")).alias("rk_hi"),
+        F.sum(
+            ((F.col("price") < F.col("lo")) | (F.col("price") > F.col("hi"))).cast(
+                "bigint"
+            )
+        ).alias("n_clipped"),
+    )
+    tol = F.lit(0.005) * F.col("n") + 1
+    return g.select(
+        "rflag",
+        F.col("n").cast("bigint").alias("n_rows"),
+        "sum_raw",
+        (F.abs(F.col("rk_lo") - 0.05 * F.col("n")) <= tol)
+        .cast("bigint")
+        .alias("lo_within_bound"),
+        (F.abs(F.col("rk_hi") - 0.95 * F.col("n")) <= tol)
+        .cast("bigint")
+        .alias("hi_within_bound"),
+        (
+            (F.col("n_clipped") >= 0.08 * F.col("n") - 2)
+            & (F.col("n_clipped") <= 0.12 * F.col("n") + 2)
+        )
+        .cast("bigint")
+        .alias("clip_frac_within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouped OLS regression from exact power sums
 # ---------------------------------------------------------------------------

@@ -116,14 +116,25 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family — variance/stddev was driver-green r1-r3 and stays
 # pytest-oracled; the Misra-Gries sketch-then-verify plan is the
 # scale-relevant member).
-# Round-6 rotation candidates (all oracle-verified green at sf0.001 AND
-# sf0.01 this session, awaiting their one external verification):
-# text_bpe_tokenize (for text_bpe_train once it's been driver-green),
-# sketch_kmv_intersection or sketch_count_min (for sketch_bloom_membership),
-# misc_skyline_pareto (mining family rep), pipeline_curation_v2 (for
-# pipeline_clean_corpus — strictly more stages), stream_stream_left_join_exec
-# (for stream_stream_join_exec — outer ⊃ inner), misc_incremental_join_view
-# (maintenance family next to cdc_apply_changelog).
+# Round-6 executed the documented rotation (each incoming query
+# re-verified green vs its DuckDB oracle at sf0.001 AND sf0.01 this
+# session before the swap; every outgoing member was driver-green in
+# r5 and stays pytest-oracled): text_bpe_tokenize for text_bpe_train,
+# sketch_kmv_intersection for sketch_bloom_membership,
+# misc_skyline_pareto for misc_scd2_dimension (mining family gains its
+# rep; SCD2 was driver-green r5), pipeline_curation_v2 for
+# pipeline_clean_corpus (strictly more stages),
+# stream_stream_left_join_exec for stream_stream_join_exec
+# (outer ⊃ inner), and misc_incremental_join_view for
+# cdc_apply_changelog (maintenance family; CDC driver-green r4/r5).
+# Also this round: parity_j4_range_join_ge now emits BOTH the `>=` and
+# `<=` join results row-tagged by op, closing the one §2 operator (J6)
+# without its own driver-verified line — no slot burned.
+# Round-7 rotation candidates (oracle-verified at sf0.001+sf0.01 when
+# added this round): stat_winsorize_approx (for a stats-family member
+# once one is back in window, or for skew_salted_agg's slot if the
+# skew family keeps its plan pin), sketch_count_min (sketch family),
+# text_phrase_search (search family next to text_bm25_search).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -149,10 +160,10 @@ CURATED_PREFIX = [
     "fn_string_basics",
     "graph_sssp_weighted",
     "fn_pandas_udf_vectorized",
-    "misc_scd2_dimension",
+    "misc_skyline_pareto",
     "evt_sessionize",
-    "sketch_bloom_membership",
-    "cdc_apply_changelog",
+    "sketch_kmv_intersection",
+    "misc_incremental_join_view",
     "skew_salted_agg",
     "mm_adpcm_audio_features",
     # training-data extensions: dedup / similarity / text
@@ -174,13 +185,13 @@ CURATED_PREFIX = [
     "mm_jpeg_decode_stats",
     "stream_dedup_exec",
     "stream_stateful_totals_exec",
-    "stream_stream_join_exec",
+    "stream_stream_left_join_exec",
     "rollup_incremental_refresh",
     "bucketed_colocated_join",
     # pipeline capstones
-    "pipeline_clean_corpus",
+    "pipeline_curation_v2",
     "pipeline_decontaminate",
-    "text_bpe_train",
+    "text_bpe_tokenize",
 ]
 
 

@@ -27,10 +27,13 @@ FAMILY_REPRESENTATIVES = {
     "fn_string_basics": "functions",
     "graph_sssp_weighted": "graph",
     "fn_pandas_udf_vectorized": "pandas-udf",
-    "misc_scd2_dimension": "scd2",
+    # r6 rotation: SCD2/CDC (driver-green r4/r5, pytest-oracled since)
+    # handed their slots to the mining rep and the IVM maintenance rep;
+    # the merge/CDC/SCD2/IVM cluster keeps one window member.
+    "misc_skyline_pareto": "mining",
     "evt_sessionize": "events",
-    "sketch_bloom_membership": "sketch",
-    "cdc_apply_changelog": "merge",
+    "sketch_kmv_intersection": "sketch",
+    "misc_incremental_join_view": "maintenance",
     "skew_salted_agg": "skew",
     "mm_adpcm_audio_features": "compressed",
     "dedup_exact": "dedup",
@@ -43,7 +46,7 @@ FAMILY_REPRESENTATIVES = {
     "stream_dedup_exec": "streaming",
     "rollup_incremental_refresh": "rollup",
     "bucketed_colocated_join": "bucketing",
-    "pipeline_clean_corpus": "pipeline",
+    "pipeline_curation_v2": "pipeline",
 }
 
 

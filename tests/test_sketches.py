@@ -59,3 +59,78 @@ def test_approx_percentiles_raw_estimate_error(spark, sf_dir):
         .collect()[0]
     )
     assert abs(r.a - r.e) <= 0.02 * abs(r.e) + 1e-9, (r.a, r.e)
+
+
+def test_kmv_estimate_within_10pct_of_exact(spark, sf_dir):
+    # Accuracy proof moved OUT of the gated query (a corpus-wide exact
+    # countDistinct scales with global cardinality — 262 s at 1024×);
+    # here it runs once on the bounded test slice. k=256 ⇒ relative
+    # stdev ≈ 1/sqrt(k-2) ≈ 6.3%; this deterministic draw lands well
+    # inside 10%.
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries._util import t
+
+    r = SPECS["sketch_kmv_distinct"].fn(spark, sf_dir).collect()[0]
+    assert r.merged_equals_direct == 1
+    exact = (
+        t(spark, sf_dir, "lineitem")
+        .agg(F.countDistinct("l_orderkey").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert abs(r.kmv_estimate - exact) * 10 <= exact, (r.kmv_estimate, exact)
+
+
+def test_kmv_partials_superset_property(spark):
+    # The map-only per-partition bottom-k candidate union must contain
+    # the true global bottom-k even with heavy duplication across and
+    # within partitions.
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.kmv import kmv_partition_partials
+
+    k = 16
+    df = (
+        spark.range(0, 20000)
+        .repartition(8)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            # many duplicates: only 500 distinct hash values
+            F.conv(
+                F.substring(F.md5((F.col("id") % 500).cast("string")), 1, 15), 16, 10
+            )
+            .cast("bigint")
+            .alias("hv"),
+        )
+    )
+    cand = kmv_partition_partials(df, "g", "hv", k)
+    got = sorted(
+        r.hv for r in cand.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    want = sorted(
+        r.hv
+        for r in df.select("hv").distinct().orderBy("hv").limit(k).collect()
+    )
+    assert got == want
+    # per-group bottom-k must also be recoverable from the candidates
+    for g in ("0", "1", "2"):
+        got_g = sorted(
+            r.hv
+            for r in cand.where(F.col("g") == g)
+            .select("hv")
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .collect()
+        )
+        want_g = sorted(
+            r.hv
+            for r in df.where(F.col("g") == g)
+            .select("hv")
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .collect()
+        )
+        assert got_g == want_g
