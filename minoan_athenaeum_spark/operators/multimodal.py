@@ -333,6 +333,106 @@ def with_ppm_payload(df: DataFrame, width: int = 16, height: int = 8) -> DataFra
     )
 
 
+# Minimal JPEG stream whose SOF marker is 0xC9 (arithmetic-coded) — a
+# declared codec boundary: the marker walk raises a typed
+# NotImplementedError before touching entropy data.
+_SOF9_JPEG_STUB = bytes.fromhex("ffd8ffc90008080010001001")
+
+
+def with_mixed_payload(df: DataFrame, width: int = 16, height: int = 8) -> DataFrame:
+    """Like :func:`with_ppm_payload`, but a deterministic slice of rows
+    carries payloads that hit the DECLARED decode boundaries instead of
+    valid images: ``doc_id % 11 == 3`` → an arithmetic-coded (SOF9)
+    JPEG stub (typed ``NotImplementedError``), ``doc_id % 11 == 7`` →
+    an unrecognized container magic (``ValueError``). Models the real
+    corpus condition the quarantine path exists for."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_px = width * height * 3
+        ramp = 13 * np.arange(n_px, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                m = int(d) % 11
+                if m == 3:
+                    payloads.append(_SOF9_JPEG_STUB)
+                elif m == 7:
+                    payloads.append(b"GIF89a\x00\x00 not an image we decode")
+                else:
+                    payloads.append(
+                        encode_ppm(
+                            ((int(d) % 251 + ramp) % 256)
+                            .astype(np.uint8)
+                            .reshape(height, width, 3)
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return df.select("doc_id").mapInPandas(
+        gen,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+IMAGE_QUARANTINE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("down2_checksum", T.LongType()),
+    ]
+)
+
+
+def image_channel_stats_quarantined(df: DataFrame) -> DataFrame:
+    """Decode-with-quarantine: same per-image numpy decode+pool as
+    :func:`image_channel_stats`, but a payload that hits a DECLARED
+    codec boundary (typed ``NotImplementedError``) or an unrecognized
+    container (``ValueError``) becomes a row with ``status`` = the
+    exception class name and null stats instead of failing the task —
+    the pattern a 100 TB ingest job uses to route undecodable blobs to
+    a quarantine sink while the job keeps running. Any OTHER exception
+    still propagates: quarantine is for declared boundaries, not a
+    blanket except that would hide decoder bugs."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload)).astype(np.int64)
+                except (NotImplementedError, ValueError) as exc:
+                    rows.append((int(d), type(exc).__name__, None, None, None))
+                    continue
+                h, w, _ = img.shape
+                h2, w2 = h - h % 2, w - w % 2
+                blocks = (
+                    img[:h2, :w2, :]
+                    .reshape(h2 // 2, 2, w2 // 2, 2, 3)
+                    .sum(axis=(1, 3, 4))
+                )
+                weights = np.arange(1, blocks.size + 1, dtype=np.int64).reshape(
+                    blocks.shape
+                )
+                rows.append(
+                    (int(d), "ok", w, h, int((weights * blocks).sum()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "status", "width", "height", "down2_checksum"],
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(
+        stats, IMAGE_QUARANTINE_SCHEMA
+    )
+
+
 def image_channel_stats(df: DataFrame) -> DataFrame:
     """mapInPandas decode + featurize: parse each payload with the REAL
     PPM decoder, emit dimensions, per-channel means, and a 2× box

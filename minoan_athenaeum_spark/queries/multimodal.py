@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from minoan_athenaeum_spark.operators.multimodal import (
     fake_decode_features,
     image_channel_stats,
+    image_channel_stats_quarantined,
     with_binary_payload,
+    with_mixed_payload,
     with_ppm_payload,
 )
 from minoan_athenaeum_spark.queries._util import t
@@ -513,3 +515,62 @@ def mm_ms_adpcm_audio_features(spark, sf_dir):
 
     d = with_ms_adpcm_payload(t(spark, sf_dir, "documents"))
     return adpcm_features(d)
+
+
+_QUARANTINE_ORACLE = """
+    WITH cls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 3 THEN 'NotImplementedError'
+                  WHEN doc_id % 11 = 7 THEN 'ValueError'
+                  ELSE 'ok' END AS status
+      FROM documents
+    ), chk AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32), b ->
+                  (b + 1) * list_sum(list_transform(range(0, 12), k ->
+                    (doc_id % 251
+                     + 13 * (((2 * (b // 8) + (k // 6)) * 16
+                              + (2 * (b % 8) + ((k // 3) % 2))) * 3 + (k % 3)))
+                    % 256)))) AS BIGINT) AS c
+      FROM documents
+    )
+    SELECT cls.status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(bit_xor(cls.doc_id) AS BIGINT) AS doc_xor,
+           CAST(sum(CASE WHEN cls.status = 'ok' THEN chk.c ELSE 0 END) AS BIGINT) AS ok_checksum_sum
+    FROM cls JOIN chk USING (doc_id)
+    GROUP BY 1
+"""
+
+
+@query(
+    "mm_decode_quarantine",
+    oracle=_QUARANTINE_ORACLE,
+    tags=("multimodal", "quarantine"),
+)
+def mm_decode_quarantine(spark, sf_dir):
+    """DECODE-WITH-QUARANTINE: a corpus where a deterministic slice of
+    payloads hits the DECLARED codec boundaries (doc_id%11==3 → an
+    arithmetic-coded SOF9 JPEG stub, a typed NotImplementedError;
+    doc_id%11==7 → an unrecognized container magic, ValueError) is
+    decoded with the quarantine path: boundary rows become
+    status-tagged null-stat rows instead of failing the job, every
+    other exception still propagates. Output per status: count, the
+    bit_xor of doc_ids (pins EXACTLY which rows quarantined), and the
+    decoded-pool checksum sum over the ok rows (pins that quarantine
+    didn't disturb the good decodes). The oracle re-derives the
+    routing by modular arithmetic and the ok checksums closed-form.
+
+    Scale shape: one map-only Arrow decode pass + a |status|-row
+    aggregate — identical to the plain decode queries; quarantine adds
+    a per-row try/except, no extra pass, no shuffle.
+    """
+    d = with_mixed_payload(t(spark, sf_dir, "documents"))
+    s = image_channel_stats_quarantined(d)
+    return s.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("doc_xor"),
+        F.sum(F.coalesce(F.col("down2_checksum"), F.lit(0)))
+        .cast("bigint")
+        .alias("ok_checksum_sum"),
+    )
