@@ -674,30 +674,16 @@ def text_bm25_search(spark, sf_dir):
     )
 
 
-def bm25_per_doc(spark, sf_dir):
-    """Per-document BM25 scores (doc_id, bm25) for the fixed demo
-    query — the shared lexical leg of text_bm25_search and the hybrid
-    RRF fusion in queries/similarity.py."""
+def _bm25_rank_per_doc(scored):
+    """Shared scoring tail: (doc_id, term, tf, dl, df, n_docs, avgdl)
+    → (doc_id, bm25). ONE expression definition used by both the
+    explode path and the posting-index path, so their doubles are
+    bit-identical by construction (same IEEE ops, same literal sum
+    order)."""
     k1 = float(_BM25_K1)
     b = float(_BM25_B)
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", tokens().alias("toks")
-    )
-    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
-    )
-    hit = d.select(
-        "doc_id", F.explode("toks").alias("term")
-    ).where(F.col("term").isin(*_BM25_TERMS))
-    tf = hit.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    scored = scored.withColumn(
+        "idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     per_term = F.col("idf") * (
         (F.col("tf") * (k1 + 1.0))
@@ -715,6 +701,75 @@ def bm25_per_doc(spark, sf_dir):
         F.col(f"s_{_BM25_TERMS[0]}") + F.col(f"s_{_BM25_TERMS[1]}")
     ) + F.col(f"s_{_BM25_TERMS[2]}")
     return per_doc.select("doc_id", total.alias("bm25"))
+
+
+def bm25_per_doc(spark, sf_dir):
+    """Per-document BM25 scores (doc_id, bm25) for the fixed demo
+    query — the shared lexical leg of text_bm25_search and the hybrid
+    RRF fusion in queries/similarity.py."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    hit = d.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = hit.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    return _bm25_rank_per_doc(scored)
+
+
+@query(
+    "text_bm25_search_indexed",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "bm25", "index"),
+)
+def text_bm25_search_indexed(spark, sf_dir):
+    """BM25 ranked retrieval SERVED FROM THE POSTING INDEX — the plan
+    text_bm25_search's docstring promises at 100 TB, actually built:
+    `sources/posting_sink.py::ensure_bm25_index` materializes
+    term-range-segmented postings (term, doc_id, tf, dl — the length
+    norm denormalized onto each posting, so query-time scoring is
+    JOIN-FREE against the corpus) plus a 1-row stats table, once per
+    source fingerprint. Query time: a parquet scan with the term
+    IN-filter PUSHED DOWN (row-group min/max on the term-sorted
+    segments prune to the matching ranges — no tokenize, no explode,
+    no corpus scan), df recomputed from the pruned postings (exact:
+    df(t) = posting count of t), broadcast stats, the SAME shared
+    scoring expression as the explode path (bit-identical doubles),
+    TakeOrdered top-20. Same oracle as text_bm25_search — the two
+    paths must return identical rows.
+
+    Scale shape: per-query work is proportional to the matched terms'
+    posting lists, not the corpus; the index build pays the one
+    corpus-sized tokenize+shuffle ONCE (the pay-once posture of the
+    bucketed facts, applied to search)."""
+    import os
+
+    from minoan_athenaeum_spark.sources.posting_sink import ensure_bm25_index
+
+    idx = ensure_bm25_index(spark, sf_dir)
+    p = spark.read.parquet(os.path.join(idx, "postings")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    stats = spark.read.parquet(os.path.join(idx, "stats"))
+    tf = p.select("doc_id", "term", F.col("tf").cast("double").alias("tf"), "dl")
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    return (
+        _bm25_rank_per_doc(scored)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
 
 
 # ---------------------------------------------------------------------------

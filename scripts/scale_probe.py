@@ -71,8 +71,15 @@ KEY_STRIDE = 10_000_000
 
 
 def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
-    for name in ("lineitem", "orders", "customer", "supplier", "part",
-                 "nation", "region", "documents", "embeddings", "events"):
+    # At very large amplifications disk is the constraint; an explicit
+    # table subset (comma-separated SPARK_GRAFT_AMPLIFY_TABLES) lets a
+    # probe amplify only the tables its query subset touches.
+    tables = ("lineitem", "orders", "customer", "supplier", "part",
+              "nation", "region", "documents", "embeddings", "events")
+    only = os.environ.get("SPARK_GRAFT_AMPLIFY_TABLES", "")
+    if only:
+        tables = tuple(t for t in tables if t in only.split(","))
+    for name in tables:
         if os.path.exists(f"{out_dir}/{name}.parquet") and not os.path.islink(
             f"{out_dir}/{name}.parquet"
         ):

@@ -355,6 +355,17 @@ def test_bm25_pruned_shuffle_and_topk(spark, sf_dir):
     assert "term IN" in p or "term#" in p
 
 
+def test_bm25_indexed_serves_from_posting_scan(spark, sf_dir):
+    """The posting-index path must replace the tokenize+explode with a
+    pruned parquet scan: term IN-filter pushed to the posting segments,
+    no Generate (explode) anywhere, top-20 via TakeOrdered."""
+    p = plan_of(spark, sf_dir, "text_bm25_search_indexed")
+    assert "In(term" in p, "term IN-filter not pushed to the posting scan"
+    assert "Generate" not in p, "indexed path must not tokenize/explode"
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
 def test_priority_sample_takeordered(spark, sf_dir):
     p = plan_of(spark, sf_dir, "pipeline_priority_sample")
     assert "TakeOrderedAndProject" in p, "top-(k+1) must be TakeOrdered"
