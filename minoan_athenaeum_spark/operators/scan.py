@@ -42,7 +42,17 @@ def global_cumsum(
         if num_partitions
         else df.repartitionByRange(F.col(order_col))
     )
-    d = d.withColumn("_pid", F.spark_partition_id())
+    # PIN one execution of the stamped partitioning. The local-sums
+    # branch and the offsets branch below both consume `d`; without the
+    # checkpoint Catalyst may compile the two subtrees differently
+    # (e.g. an upstream limit as TakeOrderedAndProject in one and
+    # Sort+GlobalLimit in the other), each sampling its OWN range
+    # boundaries — the same row then lands in different _pid values per
+    # branch and the _pid equi-join silently drops rows whose pid is
+    # empty on the other side (observed: 8× row loss on a 50k-doc
+    # limit slice). spark_partition_id is only meaningful relative to
+    # ONE materialized partitioning, so materialize it.
+    d = d.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     w_local = (
         Window.partitionBy("_pid")
         .orderBy(order_col)
@@ -133,7 +143,10 @@ def grouped_two_phase_rank(
         df.repartitionByRange(num_partitions, *gcols, *ocols)
         if num_partitions
         else df.repartitionByRange(*gcols, *ocols)
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # ^ pinned for the same branch-inconsistent range-sampling hazard
+    #   documented in global_cumsum: local ranks and offset counts must
+    #   see the SAME _pid assignment.
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
     local = d.withColumn("_lrn", F.row_number().over(w_local))
     counts = local.groupBy("_pid", *group_cols).agg(

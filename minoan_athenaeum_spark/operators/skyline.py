@@ -53,7 +53,10 @@ def skyline_2d(
         g.repartitionByRange(num_partitions, F.col("_gx"))
         if num_partitions
         else g.repartitionByRange(F.col("_gx"))
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # ^ pinned: the suffix-max branch and the partition-summary branch
+    #   must see ONE _pid assignment (see operators/scan.py
+    #   global_cumsum for the branch-inconsistent sampling hazard).
 
     # per-partition strict-suffix max over DISTINCT x values: rows
     # strictly earlier in x-descending order are exactly the strictly

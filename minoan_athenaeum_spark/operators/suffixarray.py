@@ -55,7 +55,10 @@ def global_dense_rank(
         keys.repartitionByRange(num_partitions, *kcols)
         if num_partitions
         else keys.repartitionByRange(*kcols)
-    ).withColumn("_pid", F.spark_partition_id())
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    # ^ pinned: the local-rank branch and the per-partition counts
+    #   branch must see ONE _pid assignment (see the global_cumsum
+    #   comment in operators/scan.py for the row-loss hazard).
     w_local = Window.partitionBy("_pid").orderBy(*kcols)
     local = keys.withColumn("_lrank", F.row_number().over(w_local))
     counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_n"))

@@ -820,3 +820,171 @@ def sim_centroid_alignment(spark, sf_dir):
         "label",
         cosine_q(F.col("q"), F.col("c")).alias("cos_to_centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: IVF coarse quantizer + PQ asymmetric-distance fine scan
+# ---------------------------------------------------------------------------
+
+_IVFADC_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, q AS cq, nrm AS cnrm FROM n WHERE vec_id < 8
+    ), scored AS (
+      SELECT n.vec_id, cents.cell,
+             CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                          i -> n.q[i] * cents.cq[i])) AS DOUBLE)
+               / (n.nrm * cents.cnrm) AS csim
+      FROM n, cents
+    ), assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cell) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), qv AS (
+      SELECT q AS q0, nrm AS nrm0 FROM n WHERE vec_id = 0
+    ), probe AS (
+      SELECT cell FROM (
+        SELECT cents.cell,
+               CAST(list_sum(list_transform(range(1, len(cents.cq) + 1),
+                                            i -> cents.cq[i] * qv.q0[i])) AS DOUBLE)
+                 / (cents.cnrm * qv.nrm0) AS csim
+        FROM cents, qv
+      ) ORDER BY csim DESC, cell LIMIT 3
+    ), cb AS (
+      SELECT ms.m, v.vec_id AS code,
+             v.q[ms.m * 8 + 1 : ms.m * 8 + 8] AS cvec
+      FROM v, (SELECT unnest(range(0, 8)) AS m) ms
+      WHERE v.vec_id < 16
+    ), dists AS (
+      SELECT v.vec_id, cb.m, cb.code,
+             list_sum(list_transform(range(1, 9),
+               i -> (v.q[cb.m * 8 + i] - cb.cvec[i])
+                    * (v.q[cb.m * 8 + i] - cb.cvec[i]))) AS dist
+      FROM v, cb
+    ), enc AS (
+      SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    ), qtab AS (
+      SELECT m, code, dist FROM dists WHERE vec_id = 0
+    ), adc AS (
+      SELECT e.vec_id, SUM(qt.dist) AS adc_dist
+      FROM enc e
+      JOIN assigned a ON e.vec_id = a.vec_id
+      JOIN probe p ON a.cell = p.cell
+      JOIN qtab qt ON e.m = qt.m AND e.code = qt.code
+      WHERE e.vec_id != 0
+      GROUP BY e.vec_id
+    ), top AS (
+      SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist, vec_id LIMIT 10
+    )
+    SELECT t.vec_id AS nn_id,
+           CAST(t.adc_dist AS BIGINT) AS adc_dist,
+           CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                        i -> n.q[i] * qv.q0[i])) AS DOUBLE)
+             / (n.nrm * qv.nrm0) AS cos_sim
+    FROM top t JOIN n ON t.vec_id = n.vec_id, qv
+"""
+
+
+@query(
+    "sim_ann_ivfadc_topk",
+    oracle=_IVFADC_ORACLE,
+    tags=("similarity", "ann", "ivf", "pq", "ivfadc"),
+)
+def sim_ann_ivfadc_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
+    """IVFADC (Jégou et al., TPAMI 2011) — the standard billion-scale
+    ANN layout, composed from this repo's two gated stages: the IVF
+    coarse quantizer (seeded cells, map-only broadcast-codebook argmax
+    — sim_ann_ivf_topk's assignment) restricts the scan to the query's
+    nprobe=3 nearest cells, and PQ asymmetric distance
+    (sim_ann_pq_adc_topk's 8-byte codes + literal ADC lookup table)
+    ranks ONLY those candidates; the top-10 by (adc, vec_id) are
+    exact-rescored with quantized-int cosine.
+
+    Why it matters at 100 TB: cell id = partition key means a probe
+    touches nprobe/n_cells of the corpus, and PQ codes shrink the
+    scanned bytes another 32× — multiplicative wins; every corpus pass
+    here (assign, encode, ADC) is map-only, the only shuffle-ish step
+    is TakeOrdered over the probed candidates.
+
+    Oracle: the identical composition in DuckDB — seeded-cell
+    assignment window, probe selection, integer sub-distances with
+    (dist, code) tie-break, integer ADC sums — bit-exact end to end
+    (the same CTEs as the two parent queries, joined)."""
+    import numpy as np
+
+    from minoan_athenaeum_spark.operators.similarity import pq_encoder
+
+    e = t(spark, sf_dir, "embeddings")
+    release_tracked()
+    v = persist_tracked(e.select("vec_id", quantize(F.col("embedding")).alias("q")))
+    # coarse stage: seeded cells, broadcast-codebook map-only argmax
+    cents = (
+        v.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("q").alias("cq"))
+    )
+    codebook = cents.agg(
+        F.collect_list(F.struct(F.col("cell"), F.col("cq"))).alias("cb")
+    )
+    best = nearest_cell(F.col("q"), F.col("cb"))
+    assigned = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", "q", best.getField("cell").alias("cell")
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("q").alias("q0"))
+    probe_cells = (
+        cents.crossJoin(F.broadcast(qv))
+        .select("cell", cosine_q(F.col("cq"), F.col("q0")).alias("csim"))
+        .orderBy(F.col("csim").desc(), F.col("cell"))
+        .limit(nprobe)
+        .select("cell")
+    )
+    # fine stage: PQ codebooks + query ADC table (bounded model
+    # artifacts, same seeding as sim_ann_pq_adc_topk)
+    seed_rows = {
+        int(r["vec_id"]): [int(x) for x in r["q"]]
+        for r in v.filter(F.col("vec_id") < 16).collect()
+    }
+    q0_np = np.array(seed_rows[0], dtype=np.int64)
+    CB = np.array(
+        [[seed_rows[c][s * 8 : (s + 1) * 8] for c in range(16)] for s in range(8)],
+        dtype=np.int64,
+    )
+    tab = [
+        [int(((q0_np[s * 8 : (s + 1) * 8] - CB[s][c]) ** 2).sum()) for c in range(16)]
+        for s in range(8)
+    ]
+    enc = pq_encoder(CB)
+    cand = assigned.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe_cells), "cell"
+    )
+    coded = cand.select("vec_id", "q", enc(F.col("q")).alias("codes"))
+    adc = None
+    for s in range(8):
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in tab[s]]),
+            F.col("codes").getItem(s).cast("int") + 1,
+        )
+        adc = term if adc is None else adc + term
+    top = (
+        coded.select("vec_id", "q", adc.cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(10)
+    )
+    return top.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("nn_id"),
+        "adc_dist",
+        cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+    )

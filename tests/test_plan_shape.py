@@ -415,7 +415,11 @@ def test_kmv_intersection_broadcast_sketch(spark, sf_dir):
 
 def test_quantile_normalize_no_single_reducer_window(spark, sf_dir):
     p = plan_of(spark, sf_dir, "pipeline_quantile_normalize")
-    # two-phase rank: range partitioning present, no partition-less
-    # corpus window (the only unpartitioned window is the tiny
-    # per-partition-count offsets table)
-    assert "rangepartitioning" in p.lower()
+    # two-phase rank: since r6 the range-partitioned + pid-stamped
+    # lineage is PINNED via localCheckpoint (branch-consistent _pid —
+    # see operators/scan.py), so the final plan reads it back as an
+    # ExistingRDD scan; the invariant that remains visible is that no
+    # corpus-sized partition-less window survives downstream.
+    assert "ExistingRDD" in p, "pinned two-phase rank lineage missing"
+    # the corpus-sized local window must be partitioned by (_pid, group)
+    assert "], [_pid" in p, "local rank window lost its _pid partitioning"

@@ -92,3 +92,58 @@ def test_grouped_topk_two_phase_matches_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_global_cumsum_over_limit_slice(spark):
+    """Regression: an orderBy+limit upstream of global_cumsum used to
+    compile differently in the local-sums and offsets branches
+    (TakeOrderedAndProject vs Sort+GlobalLimit), each sampling its OWN
+    range boundaries — inconsistent _pid values across branches made
+    the _pid join silently DROP rows (8× row loss observed on a
+    50k-doc slice). The pinned (localCheckpoint) partitioning must
+    make the scan exact for any upstream shape."""
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.scan import global_cumsum
+
+    base = (
+        spark.range(0, 200000)
+        .repartition(32)
+        .select(
+            F.col("id"),
+            (F.col("id") % 997 + 1).cast("bigint").alias("v"),
+        )
+    )
+    sliced = base.orderBy("id").limit(50000)
+    out = global_cumsum(sliced, "id", "v", "cum")
+    n = out.count()
+    assert n == 50000, f"rows dropped: {n}"
+    last = out.orderBy(F.col("id").desc()).limit(1).collect()[0]
+    expect = sum((i % 997) + 1 for i in range(50000))
+    assert last.cum == expect
+
+
+def test_global_dense_rank_over_limit_slice(spark):
+    """Same hazard, dense-rank flavor: rank must be a 0..k-1 bijection
+    over the distinct keys of a limit slice."""
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.suffixarray import global_dense_rank
+
+    base = (
+        spark.range(0, 100000)
+        .repartition(17)
+        .select((F.col("id") % 3000).alias("k"))
+    )
+    sliced = base.orderBy(F.col("k")).limit(30000)
+    ranked = global_dense_rank(sliced, ["k"], "rk")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("rk").alias("d"),
+        F.min("rk").alias("lo"),
+        F.max("rk").alias("hi"),
+    ).collect()[0]
+    assert agg.n == 30000
+    # 30000 rows ordered by k cover ceil(30000/34)=883 distinct keys at
+    # least partially; ranks must be dense 0..d-1
+    assert agg.lo == 0 and agg.hi == agg.d - 1
