@@ -40,40 +40,81 @@ def global_dense_rank(
     out_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """0-based dense rank of the tuple ``cols`` over the whole dataset,
-    without a global window.
+    """0-based dense rank of the tuple ``cols`` (all NON-NULL, ranked
+    ascending) over the whole dataset, without a global window and —
+    since r6 — without a corpus-wide distinct or join-back.
 
-    Two-phase: (1) distinct key tuples are RANGE-partitioned (so
-    partition i's keys all precede partition i+1's) and locally
-    row-numbered; (2) per-partition counts — one tiny row each — get an
-    exclusive prefix sum on the driver-safe offsets window and
-    broadcast back. Appends ``out_col`` to the input via a join on the
-    key tuple."""
+    Fused two-phase plan: range-partition the ROWS by the key tuple
+    (pinned — see the global_cumsum comment in operators/scan.py for
+    the branch-inconsistent-sampling hazard), then per partition mark
+    each row that starts a new key group (lag flag) and running-sum the
+    flags into a local dense rank. A key group can straddle a range
+    boundary, so the tiny per-partition summary (group count, first
+    and last key tuple) computes a straddle correction: partition p's
+    first group is not new when it equals the previous partition's
+    last tuple. Global rank = preceding partitions' first-seen group
+    count + local dense − 1 − straddle. One corpus materialization +
+    one window exchange + a broadcast join, vs the previous
+    distinct + rank + corpus join-back (~5 corpus movements) — the
+    suffix-array doubling loop calls this every round, so the fusion
+    is the round cost."""
     kcols = [F.col(c) for c in cols]
-    keys = df.select(*cols).distinct()
-    keys = (
-        keys.repartitionByRange(num_partitions, *kcols)
+    d = (
+        df.repartitionByRange(num_partitions, *kcols)
         if num_partitions
-        else keys.repartitionByRange(*kcols)
+        else df.repartitionByRange(*kcols)
     ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # ^ pinned: the local-rank branch and the per-partition counts
-    #   branch must see ONE _pid assignment (see the global_cumsum
-    #   comment in operators/scan.py for the row-loss hazard).
-    w_local = Window.partitionBy("_pid").orderBy(*kcols)
-    local = keys.withColumn("_lrank", F.row_number().over(w_local))
-    counts = local.groupBy("_pid").agg(F.max("_lrank").alias("_n"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    key = F.struct(*kcols)
+    w = Window.partitionBy("_pid").orderBy(*kcols)
+    prev_key = F.lag(key).over(w)
+    flagged = d.withColumn(
+        "_new",
+        F.when(prev_key.isNull() | (prev_key != key), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "_ldense",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    ranked = (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(
-            *cols,
-            (F.col("_lrank") + F.col("_off") - 1).cast("bigint").alias(out_col),
+    # per-partition summaries (|partitions| rows): group count + first/
+    # last key tuple; struct min/max is lexicographic, matching the
+    # ascending sort order
+    summ = flagged.groupBy("_pid").agg(
+        F.sum("_new").alias("_gcnt"),
+        F.min(key).alias("_first"),
+        F.max(key).alias("_last"),
+    )
+    ws = Window.orderBy("_pid")
+    offsets = (
+        summ.withColumn(
+            "_straddle",
+            F.when(F.lag("_last").over(ws) == F.col("_first"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
         )
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_gcnt") - F.col("_straddle")).over(
+                    ws.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off", "_straddle")
     )
-    return df.join(ranked, cols)
+    return (
+        flagged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col,
+            (F.col("_off") + F.col("_ldense") - 1 - F.col("_straddle")).cast(
+                "bigint"
+            ),
+        )
+        .drop("_pid", "_new", "_ldense", "_off", "_straddle")
+    )
 
 
 def corpus_positions(

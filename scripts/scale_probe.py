@@ -99,17 +99,29 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
             reps = F.broadcast(
                 spark.range(times).select(F.col("id").alias("__rep"))
             )
-            # spread the expansion across all cores — the single-file
-            # testdata source reads as a couple of partitions, and a
-            # 1024x expansion through 3 tasks serializes the write
-            out = df.repartition(32).crossJoin(reps)
+            # splittable output: scale file count with volume
+            n_files = min(512, max(32, times // 2))
+            if times >= 1024:
+                # at huge amplifications the post-expansion repartition
+                # is a full shuffle of the expanded volume (45+ GB at
+                # 4096×, doubling the disk footprint via spill);
+                # pre-partition the SOURCE instead so each of n_files
+                # tasks expands and writes its own slice — same rows,
+                # same file count, zero expanded-data shuffle
+                out = df.repartition(n_files).crossJoin(reps)
+            else:
+                # spread the expansion across all cores — the
+                # single-file testdata source reads as a couple of
+                # partitions, and a 1024x expansion through 3 tasks
+                # serializes the write
+                out = df.repartition(32).crossJoin(reps)
             for k in SHIFT_KEYS[name]:
                 out = out.withColumn(
                     k, F.col(k) + F.col("__rep") * F.lit(KEY_STRIDE)
                 )
-            # splittable output: scale file count with volume
-            n_files = min(512, max(32, times // 2))
-            out = out.drop("__rep").repartition(n_files)
+            out = out.drop("__rep")
+            if times < 1024:
+                out = out.repartition(n_files)
         else:
             out = df  # dims stay fixed (realistic: dims grow slower)
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
