@@ -106,6 +106,11 @@ EXTRA = [
     "evt_time_decayed_value",
     "evt_rolling_distinct_users",
     "sim_centroid_alignment",
+    # r6 additions
+    "text_bm25_search_indexed",
+    "sim_ann_ivfadc_topk",
+    "stat_winsorize_approx",
+    "mm_decode_quarantine",
 ]
 
 

@@ -785,3 +785,53 @@ def test_16bit_quant_tables_decode():
     new_seg = b"\xff\xdb" + (len(body16) + 2).to_bytes(2, "big") + body16
     mutated = stream[:i] + new_seg + stream[i + 2 + seg_len:]
     assert np.array_equal(decode_jpeg(mutated), base)
+
+
+def test_quarantine_routes_declared_boundaries_only(spark):
+    """The quarantine decode path catches ONLY the declared boundary
+    errors (NotImplementedError, ValueError); anything else — e.g. a
+    corrupt DEFLATE stream raising zlib.error from inside the PNG
+    decoder — must still fail the job, so real decoder bugs can't hide
+    as quarantine rows."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from minoan_athenaeum_spark.operators.multimodal import (
+        _SOF9_JPEG_STUB,
+        encode_ppm,
+        image_channel_stats_quarantined,
+    )
+
+    ok_img = np.zeros((2, 2, 3), dtype=np.uint8)
+    rows = [
+        (0, encode_ppm(ok_img)),
+        (1, _SOF9_JPEG_STUB),               # declared: NotImplementedError
+        (2, b"GIF89a not ours"),            # declared: ValueError
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.status for r in image_channel_stats_quarantined(df).collect()}
+    assert got == {0: "ok", 1: "NotImplementedError", 2: "ValueError"}
+
+    # corrupt zlib stream inside a structurally-valid PNG: zlib.error
+    # is NOT a declared boundary -> the job must fail
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x00not-deflate\x00")
+        + chunk(b"IEND", b"")
+    )
+    bad = spark.createDataFrame([(9, bad_png)], "doc_id long, payload binary")
+    with pytest.raises(PythonException, match="zlib.error"):
+        image_channel_stats_quarantined(bad).collect()
