@@ -65,3 +65,99 @@ def kmv_partition_partials(
             )
 
     return src.mapInPandas(partials, "g string, hv long")
+
+
+def kmv_candidates_jvm(
+    df: DataFrame,
+    group_col: str,
+    hash_col: str,
+    k: int,
+    scale_bits: int = 60,
+    margin: int = 4,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """EXACT bottom-k candidate set via a JVM-only sketch-then-verify
+    prefilter — the fast path over :func:`kmv_partition_partials`'s
+    Arrow scan (measured 162 s for 614M rows; this path is a codegen
+    scan + filter).
+
+    Hashes are ~uniform on [0, 2^scale_bits), so a group with D
+    distinct hashes has its k-th smallest near k·2^scale_bits/D.
+    Phase 1 estimates D per group (approx_count_distinct, one JVM
+    pass), sets threshold t_g = margin·k·2^scale_bits/D_est, and keeps
+    rows with hv < t_g — map-side, pushdown-friendly, expected
+    margin·k rows per group surviving REGARDLESS of corpus size.
+    Phase 2 dedups the survivors (map-side partial combine, so a hot
+    duplicated hash never floods the shuffle) and VERIFIES
+    sufficiency: a group's k smallest distinct hashes are all below
+    t_g iff ≥ k distinct survivors exist (or t_g covers the full hash
+    range, which also means every distinct value survived). Groups
+    that fail (estimate off by > margin) get the threshold widened
+    ×8 and re-filtered; after ``max_rounds`` the threshold is the full
+    range — unconditionally exact. Returns the DISTINCT survivor
+    (``g``, ``hv``) rows: a verified superset of every group's true
+    bottom-k distinct hashes (and hence of the global bottom-k).
+
+    Bounds: the per-group thresholds live in a driver-built CASE
+    expression, so ``group_col`` must have BOUNDED cardinality (sketch
+    group labels, ≲ a few thousand) — for unbounded group sets use
+    :func:`kmv_partition_partials`, whose state is per-executor. Null
+    group values are dropped (a null never matches the CASE arms). A
+    widen round re-filters every group (one extra corpus scan), but
+    with approx_count_distinct's ~2% error a ×``margin`` shortfall is
+    vanishingly rare.
+    """
+    full = 1 << scale_bits
+    src = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(hash_col).cast("bigint").alias("hv"),
+    )
+    est = {
+        r["g"]: max(int(r["d"]), 1)
+        for r in src.groupBy("g")
+        .agg(F.approx_count_distinct("hv").alias("d"))
+        .collect()
+    }
+    thresholds = {
+        g: min(full, max(1, (margin * k * full) // d)) for g, d in est.items()
+    }
+    for _ in range(max_rounds):
+        t_expr = F.coalesce(
+            *[
+                F.when(F.col("g") == g, F.lit(t))
+                for g, t in thresholds.items()
+            ]
+        ) if thresholds else F.lit(full)
+        survivors = (
+            src.withColumn("_t", t_expr)
+            .where(F.col("hv") < F.col("_t"))
+            .select("g", "hv")
+            .dropDuplicates(["g", "hv"])
+            .localCheckpoint(eager=True)
+        )
+        counts = {
+            r["g"]: int(r["n"])
+            for r in survivors.groupBy("g").agg(F.count("*").alias("n")).collect()
+        }
+        short = [
+            g
+            for g, t in thresholds.items()
+            if t < full and counts.get(g, 0) < k
+        ]
+        if not short:
+            return survivors
+        for g in short:
+            thresholds[g] = min(full, thresholds[g] * 8)
+    # max_rounds exhausted: force full range for the stragglers (exact)
+    for g in short:
+        thresholds[g] = full
+    t_expr = F.coalesce(
+        *[F.when(F.col("g") == g, F.lit(t)) for g, t in thresholds.items()]
+    )
+    return (
+        src.withColumn("_t", t_expr)
+        .where(F.col("hv") < F.col("_t"))
+        .select("g", "hv")
+        .dropDuplicates(["g", "hv"])
+        .localCheckpoint(eager=True)
+    )

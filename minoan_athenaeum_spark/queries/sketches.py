@@ -584,18 +584,24 @@ def sketch_kmv_distinct(spark, sf_dir):
     Scale shape: NO corpus-wide distinct anywhere — the earlier form's
     `.distinct()` over the hash projection scaled with global distinct
     cardinality (262 s at 1024× / 340M keys), which defeats a
-    constant-size sketch. The one corpus pass is a map-only Arrow scan
-    keeping per-partition per-group bottom-k distinct sets
-    (operators/kmv.py::kmv_partition_partials, constant memory);
-    everything downstream (per-group bottom-k, merge, global k-th,
-    estimate) is candidate-sized (≤ k·P·|groups| rows). The DuckDB
-    twin computes the same k-th hash from the FULL distinct set, so
-    the value-hash match proves the candidate reduction lossless.
-    The ±10% accuracy-vs-exact check lives in
+    constant-size sketch. The corpus pass is the JVM sketch-then-verify
+    prefilter (operators/kmv.py::kmv_candidates_jvm): per-group
+    approx-distinct → hash-range threshold ≈ margin·k/D_est → codegen
+    scan+filter keeps ~margin·k rows per group REGARDLESS of corpus
+    size, map-side-combined dedup, and a sufficiency check (≥ k
+    distinct survivors per group, else widen ×8; unconditionally exact
+    after the fallback to full range). Everything downstream
+    (per-group bottom-k, merge, global k-th, estimate) is
+    candidate-sized. The Arrow per-partition-partials operator
+    (kmv_partition_partials) remains the mergeable-summaries form for
+    pipelines that need per-executor sketches; both are exact and the
+    DuckDB twin computes the same k-th hash from the FULL distinct
+    set, so the value-hash match proves the candidate reduction
+    lossless. The ±10% accuracy-vs-exact check lives in
     tests/test_sketches.py::test_kmv_estimate_within_10pct_of_exact
     (bounded slice), keeping exactness proofs out of the gated plan.
     """
-    from minoan_athenaeum_spark.operators.kmv import kmv_partition_partials
+    from minoan_athenaeum_spark.operators.kmv import kmv_candidates_jvm
     from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
 
     k = _KMV_K
@@ -607,14 +613,10 @@ def sketch_kmv_distinct(spark, sf_dir):
         .cast("bigint")
         .alias("hv"),
     )
-    # ONE map-only corpus pass; the candidate set (≤ k·P·|groups| rows)
-    # is pinned so the merged/direct branches never re-scan the corpus
-    cand = kmv_partition_partials(hashed, "rflag", "hv", k).localCheckpoint(
-        eager=True
-    )
-    per_group = grouped_topk_two_phase(
-        cand.dropDuplicates(["g", "hv"]), ["g"], ["hv"], k
-    )
+    # verified-exact candidate set (~margin·k rows per group), already
+    # distinct on (g, hv) and pinned for the merged/direct branches
+    cand = kmv_candidates_jvm(hashed, "rflag", "hv", k)
+    per_group = grouped_topk_two_phase(cand, ["g"], ["hv"], k)
     merged_kth = (
         per_group.select("hv")
         .distinct()

@@ -134,3 +134,51 @@ def test_kmv_partials_superset_property(spark):
             .collect()
         )
         assert got_g == want_g
+
+
+def test_kmv_candidates_jvm_exact_and_widen_path(spark):
+    # The sketch-then-verify prefilter must return EXACTLY the distinct
+    # survivor superset of each group's true bottom-k — including when
+    # the uniformity assumption is violated so badly that the initial
+    # threshold keeps nothing and the widen/fallback path must fire.
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.kmv import kmv_candidates_jvm
+
+    k = 16
+    # group "u": ~uniform hashes (happy path, threshold keeps ~margin*k)
+    uni = spark.range(0, 50000).select(
+        F.lit("u").alias("g"),
+        F.conv(
+            F.substring(F.md5((F.col("id") % 4000).cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv"),
+    )
+    # group "t": every hash packed into the TOP of the 2^60 range —
+    # approx_count_distinct sees 2000 distinct, so the initial
+    # threshold ~ margin*k*2^60/2000 keeps zero rows; the operator must
+    # widen (and ultimately fall back to the full range) yet stay exact.
+    top = spark.range(0, 8000).select(
+        F.lit("t").alias("g"),
+        ((F.lit(1 << 59) * 2 - 1) - (F.col("id") % 2000)).cast("bigint").alias("hv"),
+    )
+    df = uni.unionAll(top).repartition(8)
+    cand = kmv_candidates_jvm(df, "g", "hv", k)
+    rows = cand.collect()
+    # distinctness of the survivor set
+    assert len(rows) == len({(r.g, r.hv) for r in rows})
+    for g in ("u", "t"):
+        got = sorted(r.hv for r in rows if r.g == g)[:k]
+        want = [
+            r.hv
+            for r in df.where(F.col("g") == g)
+            .select("hv")
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .collect()
+        ]
+        assert got == want, g
