@@ -5,11 +5,15 @@ PNG is chunk walking + per-scanline filter reconstruction, which is
 exactly the kind of byte plumbing this engine already does for
 PPM/WAV/JPEG).
 
-Decoder scope: 8-bit greyscale (color type 0), truecolor RGB (2),
-RGBA (6), and greyscale+alpha (4); non-interlaced. Palette (3),
-sub-8-bit depths, 16-bit samples, and Adam7 interlace raise
-NotImplementedError with a clear message. All five standard scanline
-filters (None/Sub/Up/Average/Paeth) are implemented.
+Decoder scope: every legal IHDR combination — greyscale (color type
+0) at 1/2/4/8/16-bit, truecolor RGB (2) and RGBA (6) and
+greyscale+alpha (4) at 8/16-bit, palette (3) at 1/2/4/8-bit —
+non-interlaced and Adam7. Sub-8-bit scanlines are big-endian
+bit-packed per the spec (filters operate on the packed BYTES with
+bpp=1); greyscale samples are left-bit-replicated to 8-bit
+(×255/(2^d−1), exact for d∈{1,2,4}), palette indices are raw. All
+five standard scanline filters (None/Sub/Up/Average/Paeth) are
+implemented.
 
 Encoder scope: the same color types, filter 0 (None) per scanline —
 enough to produce REAL standards-conforming PNG streams for the
@@ -35,6 +39,17 @@ _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+
+
+def _unpack_sub8(rows: np.ndarray, w: int, depth: int) -> np.ndarray:
+    """Unpack (h, stride_bytes) big-endian bit-packed scanlines into
+    (h, w) uint8 RAW sample values (0..2^depth-1, no scaling). Row
+    padding bits beyond the w-th sample are discarded."""
+    bits = np.unpackbits(rows, axis=1)
+    n = bits.shape[1] // depth
+    grouped = bits[:, : n * depth].reshape(rows.shape[0], n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (grouped * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :w]
 
 
 _ADAM7 = [  # (x_start, y_start, x_step, y_step) per pass
@@ -122,10 +137,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("PNG missing IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"{depth}-bit PNG (8/16-bit samples only)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if color not in _CHANNELS:
         raise NotImplementedError(f"PNG color type {color}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(
+            f"{depth}-bit PNG with color type {color} is not a legal combination"
+        )
     if color == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
     if color == 3 and depth == 16:
@@ -134,10 +153,49 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError(f"invalid PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
+    raw = zlib.decompress(bytes(idat))
+    if depth < 8:
+        # Sub-8-bit (greyscale or palette, 1 sample/pixel): scanlines
+        # are big-endian bit-packed, rows padded to a byte boundary;
+        # filters still operate on the packed BYTES with bpp=1.
+        def pass_samples(data: bytes, pw: int, ph: int) -> np.ndarray:
+            pstride = (pw * depth + 7) // 8
+            return _unpack_sub8(_unfilter(data, ph, pstride, 1), pw, depth)
+
+        if interlace == 0:
+            samples = pass_samples(raw, w, h)
+        else:
+            samples = np.zeros((h, w), dtype=np.uint8)
+            pos2 = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                take = ph * (1 + (pw * depth + 7) // 8)
+                samples[y0::dy, x0::dx] = pass_samples(
+                    raw[pos2 : pos2 + take], pw, ph
+                )
+                pos2 += take
+            if pos2 != len(raw):
+                raise ValueError(
+                    f"interlaced PNG data length {len(raw)} != consumed {pos2}"
+                )
+        if color == 3:
+            palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            if int(samples.max(initial=0)) >= palette.shape[0]:
+                raise ValueError(
+                    f"palette index {int(samples.max())} >= palette size "
+                    f"{palette.shape[0]}"
+                )
+            return palette[samples]
+        # left-bit-replication to 8-bit: ×255/(2^d−1), exact integers
+        return (samples.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     # PNG filters operate on BYTES with the left-neighbor one bytes-per-
     # pixel back, so 16-bit samples just widen the filter offset.
     ch = _CHANNELS[color] * (depth // 8)
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if interlace == 0:
         out = _unfilter(raw, h, stride, ch)

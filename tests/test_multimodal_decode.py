@@ -835,3 +835,173 @@ def test_quarantine_routes_declared_boundaries_only(spark):
     bad = spark.createDataFrame([(9, bad_png)], "doc_id long, payload binary")
     with pytest.raises(PythonException, match="zlib.error"):
         image_channel_stats_quarantined(bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# Sub-8-bit PNG (1/2/4-bit greyscale + palette, non-interlaced and
+# Adam7) — closes the last declared PNG boundary. Reference packing is
+# done independently here in pure Python (bit-by-bit, big-endian, row
+# padding to byte boundary) so the vectorized np.unpackbits path is
+# cross-checked against the spec, not against itself.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype, body):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _pack_row(samples, depth):
+    # big-endian bit packing per the PNG spec, padded to a byte
+    out, acc, nbits = bytearray(), 0, 0
+    for s in samples:
+        acc = (acc << depth) | int(s)
+        nbits += depth
+        if nbits == 8:
+            out.append(acc)
+            acc, nbits = 0, 0
+    if nbits:
+        out.append(acc << (8 - nbits))
+    return bytes(out)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_greyscale_decodes_scaled(depth):
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+    import struct
+
+    rng = np.random.RandomState(depth)
+    h, w = 7, 11  # w chosen so rows need padding bits at every depth
+    maxv = (1 << depth) - 1
+    img = rng.randint(0, maxv + 1, size=(h, w)).astype(np.uint8)
+    raw = b"".join(b"\x00" + _pack_row(img[y], depth) for y in range(h))
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)
+    assert out.shape == (h, w)
+    assert np.array_equal(out, img.astype(np.uint16) * (255 // maxv))
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_palette_decodes_raw_indices(depth):
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+
+    rng = np.random.RandomState(10 + depth)
+    h, w = 5, 9
+    n = 1 << depth
+    palette = rng.randint(0, 256, size=(n, 3)).astype(np.uint8)
+    idx = rng.randint(0, n, size=(h, w)).astype(np.uint8)
+    raw = b"".join(b"\x00" + _pack_row(idx[y], depth) for y in range(h))
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), palette[idx])
+
+
+def test_png_sub8_filters_operate_on_packed_bytes():
+    # Sub and Up filters with bpp=1 over the PACKED bytes — the spec's
+    # one subtlety for sub-8-bit scanlines.
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+
+    depth, h, w = 2, 4, 13
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 4, size=(h, w)).astype(np.uint8)
+    packed = [np.frombuffer(_pack_row(img[y], depth), dtype=np.uint8) for y in range(h)]
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 4]):
+        row = packed[y].astype(np.int64)
+        prev = packed[y - 1].astype(np.int64) if y else np.zeros_like(row)
+        enc = np.zeros_like(row)
+        for x in range(len(row)):
+            left = row[x - 1] if x else 0
+            ul = prev[x - 1] if x else 0
+            up = prev[x]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            enc[x] = (row[x] - pred) % 256
+        raw.append(f)
+        raw += bytes(enc.astype(np.uint8))
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img.astype(np.uint16) * 85)
+
+
+def test_png_sub8_adam7_interlaced():
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+
+    depth, h, w = 4, 9, 10
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 16, size=(h, w)).astype(np.uint8)
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw.append(0)
+            raw += _pack_row(sub[y], depth)
+    payload = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img.astype(np.uint16) * 17)
+
+
+def test_png_sub8_illegal_color_combo_raises():
+    import struct
+    import zlib
+
+    from minoan_athenaeum_spark.operators.png import _PNG_MAGIC, decode_png
+
+    p = (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0))
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="not a legal combination"):
+        decode_png(p)
