@@ -7,8 +7,10 @@ full T.81 progressive: spectral selection, successive approximation
 with DC/AC refinement scans and EOBRUN handling), 8-bit, 1 or 3
 components, arbitrary h/v subsampling factors up to 2 (4:4:4, 4:2:2,
 4:2:0), restart intervals (DRI/RSTn), multiple DQT/DHT segments,
-0xFF00 byte unstuffing. Arithmetic coding and hierarchical modes raise
-NotImplementedError with a clear message.
+0xFF00 byte unstuffing. ALSO lossless (SOF3, T.81 annex H): all seven
+predictors, 2-16-bit precision, point transform, interleaved
+components returned raw (no color transform). Arithmetic coding and
+hierarchical modes raise NotImplementedError with a clear message.
 
 Encoder scope: enough to produce REAL baseline JFIF streams for the
 pipeline and its oracles — grayscale or raw-YCbCr color with (1,1) or
@@ -284,10 +286,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[b + 17 : b + 17 + nv])
                 (dc_tabs if cls == 0 else ac_tabs)[tid] = _decode_map(bits, vals)
                 b += 17 + nv
-        elif marker in (0xC0, 0xC2):            # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC2, 0xC3):      # SOF0 / SOF2 / SOF3 lossless
             precision = body[0]
-            if precision != 8:
+            lossless = marker == 0xC3
+            if not lossless and precision != 8:
                 raise NotImplementedError(f"{precision}-bit samples")
+            if lossless and not (2 <= precision <= 16):
+                raise ValueError(f"invalid lossless JPEG precision {precision}")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
@@ -296,14 +301,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps,
-                     "progressive": marker == 0xC2}
+                     "progressive": marker == 0xC2,
+                     "lossless": lossless, "precision": precision}
             if frame["progressive"]:
                 coefs = _prog_alloc(frame)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline (SOF0) and progressive (SOF2) JPEG decode; "
-                f"got SOF marker 0x{marker:02x}")
+                f"only baseline (SOF0), progressive (SOF2), and lossless "
+                f"(SOF3) JPEG decode; got SOF marker 0x{marker:02x}")
         elif marker == 0xDD:                    # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xDA:                    # SOS
@@ -315,6 +321,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0x0F))
+            if frame.get("lossless"):
+                psv = body[1 + 2 * ns]           # Ss = predictor selector
+                if body[2 + 2 * ns] != 0:
+                    raise ValueError("lossless JPEG scan with Se != 0")
+                pt = body[3 + 2 * ns] & 0x0F     # Al = point transform
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "multi-scan (non-interleaved per-component) "
+                        "lossless JPEG")
+                return _lossless_scan(
+                    payload, pos + 2 + seg_len, frame, scan, dc_tabs,
+                    psv, pt, restart_interval)
             if not frame.get("progressive"):
                 return _decode_scan(
                     payload, pos + 2 + seg_len, frame, scan,
@@ -398,6 +416,141 @@ def _decode_scan(payload, entropy_pos, frame, scan, qtables, dc_tabs,
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------
+# lossless (SOF3) — T.81 annex H predictive coding. Differences are
+# Huffman-coded with DC-style category tables (SSSS 0-16, category 16
+# meaning diff=32768 with no appended bits); arithmetic is modulo 2^16
+# per H.1.2.1; decoded samples are upshifted by the point transform.
+
+
+def _lossless_scan(payload, entropy_pos, frame, scan, dc_tabs, psv, pt,
+                   restart_interval):
+    """Decode one interleaved SOF3 scan. Components are returned RAW
+    (no YCbCr transform — lossless JPEG conventionally stores RGB or
+    sensor planes): (H, W) for one component, (H, W, C) otherwise;
+    uint8 when the frame precision ≤ 8, uint16 above."""
+    h, w = frame["h"], frame["w"]
+    p = frame["precision"]
+    comps = [c for c, _, _ in scan]
+    if len(comps) > 1 and any(c["h"] != 1 or c["v"] != 1 for c in comps):
+        raise NotImplementedError(
+            "lossless JPEG with subsampled interleaved components")
+    if not 1 <= psv <= 7:
+        raise ValueError(f"invalid lossless predictor {psv}")
+    if pt >= p:
+        raise ValueError(f"point transform {pt} >= precision {p}")
+    ncomp = len(comps)
+    default = 1 << (p - pt - 1)
+    planes = np.zeros((ncomp, h, w), dtype=np.int64)
+    reader = _BitReader(payload, entropy_pos)
+    tds = [dc_tabs[td] for _, td, _ in scan]
+    rst = 0
+    n_mcu = 0
+    reset = True                                 # scan start = default pred
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.sync_restart(rst)
+                rst = (rst + 1) % 8
+                reset = True
+            for ci in range(ncomp):
+                t = _huff_symbol(reader, tds[ci])
+                diff = 32768 if t == 16 else _extend(reader.receive(t), t)
+                pl = planes[ci]
+                if reset:
+                    pred = default
+                elif y == 0:
+                    pred = int(pl[0, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, 0])
+                else:
+                    ra = int(pl[y, x - 1])
+                    rb = int(pl[y - 1, x])
+                    rc = int(pl[y - 1, x - 1])
+                    if psv == 1:
+                        pred = ra
+                    elif psv == 2:
+                        pred = rb
+                    elif psv == 3:
+                        pred = rc
+                    elif psv == 4:
+                        pred = ra + rb - rc
+                    elif psv == 5:
+                        pred = ra + ((rb - rc) >> 1)
+                    elif psv == 6:
+                        pred = rb + ((ra - rc) >> 1)
+                    else:
+                        pred = (ra + rb) >> 1
+                pl[y, x] = (pred + diff) & 0xFFFF
+            reset = False
+            n_mcu += 1
+    out = planes << pt
+    dt = np.uint8 if p <= 8 else np.uint16
+    if ncomp == 1:
+        return out[0].astype(dt)
+    return np.stack([out[i] for i in range(ncomp)], axis=-1).astype(dt)
+
+
+# canonical DC-style table over all 17 difference categories (14 codes
+# of length 4, 3 of length 5 — complete enough for any precision, and
+# the all-ones 5-bit code stays unused as T.81 requires)
+_LL_BITS = [0, 0, 0, 14, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless_gray(pixels: np.ndarray, predictor: int = 1,
+                              point_transform: int = 0,
+                              precision: int | None = None) -> bytes:
+    """Encode an (H, W) uint8/uint16 plane as a single-component SOF3
+    lossless JPEG. Round-trips bit-exactly through :func:`decode_jpeg`
+    (up to the point transform's deliberate downshift)."""
+    px = np.asarray(pixels)
+    if px.ndim != 2:
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    if precision is None:
+        precision = 8 if px.dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    h, w = px.shape
+    codes = _canonical_codes(_LL_BITS, _LL_VALS)
+    out = bytearray(b"\xff\xd8")
+    sof = (bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + bytes([1, 1, 0x11, 0]))
+    out += _seg(0xC3, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform]))
+    vals = px.astype(np.int64) >> point_transform
+    default = 1 << (precision - point_transform - 1)
+    writer = _BitWriter()
+    for y in range(h):
+        for x in range(w):
+            if y == 0:
+                pred = int(vals[0, x - 1]) if x else default
+            elif x == 0:
+                pred = int(vals[y - 1, 0])
+            else:
+                ra = int(vals[y, x - 1])
+                rb = int(vals[y - 1, x])
+                rc = int(vals[y - 1, x - 1])
+                pred = [0, ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
+                        rb + ((ra - rc) >> 1), (ra + rb) >> 1][predictor]
+            diff = (int(vals[y, x]) - pred) & 0xFFFF
+            if diff == 32768:
+                code, ln = codes[16]             # category 16: no extra bits
+                writer.put(code, ln)
+                continue
+            signed = diff - 65536 if diff > 32768 else diff
+            t, off = _magnitude(signed)
+            code, ln = codes[t]
+            writer.put(code, ln)
+            if t:
+                writer.put(off, t)
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------

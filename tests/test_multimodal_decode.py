@@ -1005,3 +1005,85 @@ def test_png_sub8_illegal_color_combo_raises():
     )
     with pytest.raises(ValueError, match="not a legal combination"):
         decode_png(p)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 annex H) — predictive coding, all seven
+# predictors, 8- and 16-bit precision, point transform. Lossless, so
+# encode→decode must be BIT-exact.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_jpeg_lossless_roundtrip_all_predictors(predictor):
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    rng = np.random.RandomState(predictor)
+    img = rng.randint(0, 256, size=(13, 17), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless_gray(img, predictor=predictor))
+    assert out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_lossless_16bit_and_category16():
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    rng = np.random.RandomState(42)
+    img = rng.randint(0, 1 << 16, size=(9, 7)).astype(np.uint16)
+    # force the category-16 edge: the first sample predicts the default
+    # 32768, so a value of 0 codes diff = (0-32768) mod 2^16 = 32768
+    img[0, 0] = 0
+    out = decode_jpeg(encode_jpeg_lossless_gray(img))
+    assert out.dtype == np.uint16
+    assert np.array_equal(out, img)
+
+
+def test_jpeg_lossless_point_transform():
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless_gray(img, point_transform=2))
+    # decoded = (sample >> Pt) << Pt — the deliberate precision loss
+    assert np.array_equal(out, (img >> 2) << 2)
+
+
+def test_jpeg_lossless_gradient_smooth_image():
+    # smooth ramps exercise predictors meaningfully (small diffs)
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    y, x = np.mgrid[0:24, 0:31]
+    img = ((y * 3 + x * 5) % 256).astype(np.uint8)
+    for p in (1, 4, 7):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_lossless_gray(img, predictor=p)), img
+        )
+
+
+def test_jpeg_lossless_rejects_bad_params():
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    img = np.zeros((4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="invalid lossless predictor"):
+        encode_jpeg_lossless_gray(img, predictor=0)
+    # hierarchical / arithmetic SOFs still raise the typed boundary
+    good = bytearray(encode_jpeg_lossless_gray(img))
+    sof_at = bytes(good).find(b"\xff\xc3")
+    bad = bytes(good[:sof_at + 1]) + b"\xc9" + bytes(good[sof_at + 2:])
+    with pytest.raises(NotImplementedError, match="SOF marker 0xc9"):
+        decode_jpeg(bad)
