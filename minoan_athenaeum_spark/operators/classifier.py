@@ -1,0 +1,120 @@
+"""Distributed linear classifiers for model-based corpus filtering —
+the "quality classifier" stage of an LLM data pipeline (fasttext-style
+filtering re-expressed Spark-first).
+
+Two trainers over the same feature layout:
+
+- :func:`batch_perceptron_train` — batch perceptron with INTEGER
+  weights and integer features. Each round is ONE map-side-combined
+  aggregate over the (pinned) feature table: the summed gradient of
+  the misclassified set, d+2 longs per partition — the same
+  rounds-of-one-aggregate shape as the Lloyd/kmeans and BPE loops
+  already in this repo, so it holds at 100 TB (driver state is d+1
+  ints). Being all-integer it is bit-exactly reproducible in a DuckDB
+  recursive CTE, which makes the TRAINING LOOP itself driver-gateable
+  (queries/classifier.py) — no weaker rows-only check needed.
+
+- :func:`logreg_train_gd` — full-batch logistic regression GD with
+  float weights (probability outputs). Same one-aggregate-per-round
+  shape; float exp/sigmoid cannot be oracle-matched bit-exactly across
+  engines, so it is property-tested in pytest (loss decreases,
+  separable data reaches high accuracy) and its scores are served via
+  integer-quantized weights when exactness matters.
+
+Reference parity note: the reference engine (icirellik/minoan-athenaeum)
+has no ML surface (SURVEY §2 absences) — this is extension surface for
+the 100 TB training-data pipeline.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(weights: list[int] | list[float], xcols: list[str]):
+    expr = F.lit(weights[0]) * F.col(xcols[0])
+    for wi, c in zip(weights[1:], xcols[1:]):
+        expr = expr + F.lit(wi) * F.col(c)
+    return expr
+
+
+def batch_perceptron_train(
+    feats: DataFrame,
+    xcols: list[str],
+    ycol: str = "y",
+    iters: int = 8,
+    lr: int = 1,
+) -> list[tuple[int, ...]]:
+    """Batch perceptron over integer features. ``feats`` must have the
+    label column (``+1``/``-1`` bigint) and bigint feature columns
+    (include an all-ones bias column). Per round, with current weights
+    w: the misclassified set is ``y·(w·x) <= 0`` and the update is
+    ``w += lr · Σ_mis y·x`` — one aggregate job per round.
+
+    Returns one tuple per round: ``(it, mistakes, w0, …, wd)`` where
+    ``mistakes`` counts misclassifications at the PREVIOUS round's
+    weights and ``w*`` are the weights AFTER the update — exactly the
+    rows a DuckDB recursive CTE produces for the same recurrence.
+    """
+    w = [0] * len(xcols)
+    hist: list[tuple[int, ...]] = []
+    for it in range(1, iters + 1):
+        mis = F.col(ycol) * _dot(w, xcols) <= 0
+        aggs = [
+            F.sum(F.when(mis, F.col(ycol) * F.col(c)).otherwise(0)).alias(f"g{i}")
+            for i, c in enumerate(xcols)
+        ]
+        aggs.append(F.sum(F.when(mis, 1).otherwise(0)).alias("m"))
+        r = feats.agg(*aggs).collect()[0]
+        w = [w[i] + lr * int(r[f"g{i}"] or 0) for i in range(len(xcols))]
+        hist.append((it, int(r["m"] or 0), *w))
+    return hist
+
+
+def logreg_train_gd(
+    feats: DataFrame,
+    xcols: list[str],
+    ycol: str = "label",
+    iters: int = 30,
+    lr: float = 0.5,
+) -> tuple[list[float], list[float]]:
+    """Full-batch logistic-regression gradient descent. ``ycol`` is
+    0/1; ``xcols`` are numeric (include a bias column of ones; scale
+    features to O(1) for a sane learning rate). Per round ONE aggregate
+    computes n, Σ x·(σ(w·x) − y) per feature, and the log-loss — all
+    JVM expressions (F.exp), map-side combined. Returns (weights,
+    per-round losses)."""
+    n = feats.count()
+    if n == 0:
+        raise ValueError("logreg_train_gd: empty feature table")
+    w = [0.0] * len(xcols)
+    losses: list[float] = []
+    for _ in range(iters):
+        z = _dot(w, xcols)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        yc = F.col(ycol).cast("double")
+        aggs = [
+            F.sum((p - yc) * F.col(c)).alias(f"g{i}") for i, c in enumerate(xcols)
+        ]
+        # log-loss with the numerically stable log1p(exp(-|z|)) form
+        aggs.append(
+            F.sum(
+                F.when(z >= 0, F.log1p(F.exp(-z)) + (1 - yc) * z).otherwise(
+                    F.log1p(F.exp(z)) - yc * z
+                )
+            ).alias("loss")
+        )
+        r = feats.agg(*aggs).collect()[0]
+        w = [w[i] - lr * float(r[f"g{i}"]) / n for i in range(len(xcols))]
+        losses.append(float(r["loss"]) / n)
+    return w, losses
+
+
+def quantize_weights(w: list[float], unit: float = 1e-6) -> list[int]:
+    """Round float weights to integer multiples of ``unit`` (micro-units
+    by default) for exact integer-logit serving — the shipped-model
+    form whose scores any SQL engine reproduces bit-exactly."""
+    return [int(math.floor(wi / unit + 0.5)) for wi in w]

@@ -134,7 +134,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # added this round): stat_winsorize_approx (for a stats-family member
 # once one is back in window, or for skew_salted_agg's slot if the
 # skew family keeps its plan pin), sketch_count_min (sketch family),
-# text_phrase_search (search family next to text_bm25_search).
+# text_phrase_search (search family next to text_bm25_search), and
+# ml_perceptron_quality_train (new ML family — the oracle replays the
+# full integer training recurrence in a recursive CTE, so the driver
+# would hash-check an ITERATIVE TRAINING trajectory end-to-end).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -223,6 +226,7 @@ def load_all() -> dict[str, QuerySpec]:
         functions,
         graph,
         cdc,
+        classifier,
     )
 
     ordered = {name: REGISTRY[name] for name in CURATED_PREFIX}
