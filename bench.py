@@ -62,6 +62,8 @@ HEADLINE = [
     "stream_dedup_exec",
     "sim_ann_pq_adc_topk",
     "stat_winsorize",
+    # r6 late addition: distributed averaged-perceptron training
+    "ml_perceptron_quality_train",
 ]
 
 

@@ -111,6 +111,7 @@ EXTRA = [
     "sim_ann_ivfadc_topk",
     "stat_winsorize_approx",
     "mm_decode_quarantine",
+    "ml_perceptron_quality_eval",
 ]
 
 
