@@ -172,14 +172,14 @@ _EVAL_ORACLE = (
     _steps_sql()
     + f"""
     , final AS (
-      SELECT {", ".join(f"SUM(w{i}) AS s{i}" for i in range(_D))}
+      SELECT {", ".join(f"CAST(SUM(w{i}) AS BIGINT) AS s{i}" for i in range(_D))}
       FROM steps WHERE it >= 1
     )
     SELECT
-      SUM(CASE WHEN y = 1  AND {_SDOT} > 0 THEN 1 ELSE 0 END) AS tp,
-      SUM(CASE WHEN y = -1 AND {_SDOT} > 0 THEN 1 ELSE 0 END) AS fp,
-      SUM(CASE WHEN y = 1  AND {_SDOT} <= 0 THEN 1 ELSE 0 END) AS fn,
-      SUM(CASE WHEN y = -1 AND {_SDOT} <= 0 THEN 1 ELSE 0 END) AS tn
+      CAST(SUM(CASE WHEN y = 1  AND {_SDOT} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN y = -1 AND {_SDOT} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN y = 1  AND {_SDOT} <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN y = -1 AND {_SDOT} <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
     FROM feats, final
     """
 )

@@ -988,3 +988,157 @@ def sim_ann_ivfadc_topk(spark, sf_dir, n_cells: int = 8, nprobe: int = 3):
         "adc_dist",
         cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
     )
+
+
+_COV_DIM = 64
+_COV_ORACLE = f"""
+    WITH v AS (
+      SELECT {_QUANT} AS q FROM embeddings
+    ), pairs AS (
+      SELECT ii.i AS i, jj.j AS j,
+             CAST(SUM(q[ii.i + 1] * q[jj.j + 1]) AS BIGINT) AS s
+      FROM v, range({_COV_DIM}) ii(i), range({_COV_DIM}) jj(j)
+      WHERE ii.i <= jj.j
+      GROUP BY 1, 2
+    ), firsts AS (
+      SELECT ii.i AS i, -1 AS j, CAST(SUM(q[ii.i + 1]) AS BIGINT) AS s
+      FROM v, range({_COV_DIM}) ii(i)
+      GROUP BY 1
+    ), cnt AS (
+      SELECT -1 AS i, -1 AS j, CAST(COUNT(*) AS BIGINT) AS s FROM v
+    )
+    SELECT i, j, s FROM pairs
+    UNION ALL SELECT i, j, s FROM firsts
+    UNION ALL SELECT i, j, s FROM cnt
+"""
+
+
+@query(
+    "sim_pca_covariance",
+    oracle=_COV_ORACLE,
+    tags=("similarity", "pca", "moments"),
+)
+def sim_pca_covariance(spark, sf_dir):
+    """Exact integer covariance power sums of the embedding corpus in
+    ONE Arrow pass (operators/pca.py::covariance_power_sums): each
+    partition accumulates the int64 Gram matrix XᵀX + column sums +
+    count with numpy matmuls and emits ~dim²/2 cells once — the corpus
+    is never exploded by dim² the way the oracle twin does (4096× row
+    blowup, fine at sf0.01, fatal at 100 TB). Feeds driver-side PCA /
+    whitening (pca_components — eigh of a 64×64 bounded model
+    artifact, pytest-verified)."""
+    from minoan_athenaeum_spark.operators.pca import covariance_power_sums
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select(quantize(F.col("embedding")).alias("q"))
+    return covariance_power_sums(v, "q", _COV_DIM)
+
+
+_JL_K = 32
+_JL_R = 100
+_JL_SIGN_SQL = (
+    "CASE WHEN (CAST(('0x' || substr(md5('jl_' || CAST(mm AS VARCHAR) || '_' "
+    "|| CAST(jj - 1 AS VARCHAR)), 1, 15)) AS BIGINT) & 1) = 1 "
+    "THEN q[jj] ELSE -q[jj] END"
+)
+_JL_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), proj AS (
+      SELECT vec_id, q,
+             list_transform(range(0, {_JL_K}), mm ->
+               CAST(list_sum(list_transform(range(1, len(q) + 1), jj ->
+                  {_JL_SIGN_SQL})) AS BIGINT)) AS r
+      FROM v
+    ), n AS (
+      SELECT vec_id, q, r,
+             sqrt(CAST(list_sum(list_transform(r, x -> x * x)) AS DOUBLE)) AS rnrm,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS qnrm
+      FROM proj
+    ), qv AS (
+      SELECT q AS q0, r AS r0, rnrm AS rnrm0, qnrm AS qnrm0 FROM n WHERE vec_id = 0
+    ), cand AS (
+      SELECT n.vec_id, n.q, n.qnrm, qv.q0, qv.qnrm0,
+             CAST(list_sum(list_transform(range(1, {_JL_K} + 1),
+                                          i -> n.r[i] * qv.r0[i])) AS DOUBLE)
+               / (n.rnrm * qv.rnrm0) AS jl_cos
+      FROM n, qv
+      WHERE n.vec_id != 0
+      ORDER BY jl_cos DESC, n.vec_id
+      LIMIT {_JL_R}
+    )
+    SELECT vec_id AS nn_id, jl_cos,
+           CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                        i -> q[i] * q0[i])) AS DOUBLE)
+             / (qnrm * qnrm0) AS cos_sim
+    FROM cand
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_jl_project_topk",
+    oracle=_JL_ORACLE,
+    tags=("similarity", "jl", "dimreduction"),
+)
+def sim_jl_project_topk(spark, sf_dir):
+    """Johnson-Lindenstrauss ANN serving: project 64-dim quantized
+    vectors to 32 dims with a deterministic ±1 sign matrix (parity of
+    the portable md5-60-bit hash of ("jl", m, j) — the engine-portable
+    convention sign-LSH uses), sweep the corpus in REDUCED space (2×
+    less dot-product work and 2× smaller vectors to scan/store — the
+    point of JL at 100 TB), TakeOrdered the top-100 candidates by
+    projected cosine, then exact-rescore just those and emit the
+    top-10 by true cosine. Projection is map-only JVM fold
+    expressions; the corpus never shuffles. Candidate recall vs brute
+    is pinned in tests/test_dedup_similarity.py; the oracle replays
+    the identical projection in DuckDB bit-exactly."""
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    dim_idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
+
+    def sign_pos(m: int, j):
+        s = F.concat(F.lit(f"jl_{m}_"), j.cast("string"))
+        return portable_hash60(s).bitwiseAND(F.lit(1).cast("bigint")) == 1
+
+    def component(m: int):
+        return F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                dim_idx,
+                lambda x, j: F.when(sign_pos(m, j), x).otherwise(-x),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    proj = v.select(
+        "vec_id", "q", F.array(*[component(m) for m in range(_JL_K)]).alias("r")
+    )
+    qv = proj.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("q0"), F.col("r").alias("r0")
+    )
+    cand = (
+        proj.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "q",
+            "q0",
+            cosine_q(F.col("r"), F.col("r0")).alias("jl_cos"),
+        )
+        .orderBy(F.col("jl_cos").desc(), F.col("vec_id"))
+        .limit(_JL_R)
+    )
+    return (
+        cand.select(
+            F.col("vec_id").alias("nn_id"),
+            "jl_cos",
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )

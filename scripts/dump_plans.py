@@ -112,6 +112,8 @@ EXTRA = [
     "stat_winsorize_approx",
     "mm_decode_quarantine",
     "ml_perceptron_quality_eval",
+    "sim_pca_covariance",
+    "sim_jl_project_topk",
 ]
 
 
