@@ -1094,23 +1094,24 @@ def sim_jl_project_topk(spark, sf_dir):
     expressions; the corpus never shuffles. Candidate recall vs brute
     is pinned in tests/test_dedup_similarity.py; the oracle replays
     the identical projection in DuckDB bit-exactly."""
-    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+    import hashlib
 
     e = t(spark, sf_dir, "embeddings")
     v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
-    dim_idx = F.sequence(F.lit(0), F.size(F.col("q")) - 1)
 
-    def sign_pos(m: int, j):
-        s = F.concat(F.lit(f"jl_{m}_"), j.cast("string"))
-        return portable_hash60(s).bitwiseAND(F.lit(1).cast("bigint")) == 1
+    # The ±1 matrix is data-independent, so it is materialized ONCE on
+    # the driver (hashlib md5 == SQL md5, same parity convention as the
+    # oracle) and folded in as literal arrays — the oracle recomputes
+    # the hash per cell, which is fine at oracle scale but would cost
+    # 2048 md5 calls PER ROW here (measured: a 2M-vector corpus DNF'd).
+    def sign(m: int, j: int) -> int:
+        h = int(hashlib.md5(f"jl_{m}_{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h & 1 else -1
 
     def component(m: int):
+        signs = F.array(*[F.lit(sign(m, j)) for j in range(_COV_DIM)])
         return F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                dim_idx,
-                lambda x, j: F.when(sign_pos(m, j), x).otherwise(-x),
-            ),
+            F.zip_with(F.col("q"), signs, lambda x, sg: x * sg.cast("bigint")),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
