@@ -607,3 +607,103 @@ def dedup_sorted_neighborhood(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("is_exact_dup"),
     )
+
+
+_INC_ORACLE = r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 0) + 1),
+               i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+             )) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(sh, x ->
+                 CAST(('0x' || substr(md5(x || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)))) AS sg
+      FROM s
+    ), banded AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               CAST(('0x' || substr(md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ',')
+                                        || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)) AS bk
+      FROM sig
+    ), ex AS (
+      SELECT doc_id, unnest(bk) AS bucket FROM banded
+    ), cand AS (
+      SELECT DISTINCT e.doc_id AS a, n.doc_id AS b
+      FROM ex e JOIN ex n ON e.bucket = n.bucket
+      WHERE e.doc_id % 10 != 0 AND n.doc_id % 10 = 0
+    ), scored AS (
+      SELECT c.a AS a, c.b AS b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jacc
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, jacc FROM scored WHERE jacc >= 0.5
+"""
+
+
+@query(
+    "dedup_minhash_incremental",
+    oracle=_INC_ORACLE,
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup detection: deduplicate the new batch
+    (doc_id % 10 == 0 — 10% of documents) against the persisted LSH
+    band index of the existing corpus (sources/lsh_index.py,
+    build-once per corpus fingerprint) WITHOUT re-shingling or
+    re-bucketing the corpus.
+
+    Serve shape: the batch computes its own signatures/band keys
+    (map-only over 10% of the data) and is BROADCAST against one
+    map-only scan of the index — the corpus side never shuffles and
+    never re-hashes; shingle sets ride on the index rows, so the exact
+    Jaccard verify needs no join back to the corpus (the BM25
+    denormalized-norm trick). At 100 TB this is the difference between
+    re-processing the corpus per arriving batch and paying only
+    O(batch + index-scan).
+
+    Oracle: the full-recompute twin — both sides re-derived from
+    scratch in DuckDB with the portable md5-60-bit hashes, proving the
+    persisted index serves EXACTLY the pairs a from-scratch run finds.
+    In-batch (new-vs-new) duplicates are dedup_minhash_lsh's job
+    scoped to the batch; this query is the cross-generation check."""
+    import os
+
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        band_rows,
+        ensure_minhash_index,
+        shingled,
+    )
+
+    idx_path = ensure_minhash_index(spark, sf_dir)
+    idx_bands = spark.read.parquet(os.path.join(idx_path, "bands"))
+    idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
+    batch_sh = shingled(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ).localCheckpoint(eager=True)
+    new_keys = band_rows(batch_sh).select(
+        "bucket", F.col("doc_id").alias("b")
+    )
+    # candidate (a, b) ids only — the shingle payloads stay out of the
+    # bucket join and the distinct; verification joins are
+    # candidate-sized against the shingle tables
+    cand = (
+        idx_bands.join(F.broadcast(new_keys), "bucket")
+        .select(F.col("doc_id").alias("a"), "b")
+        .dropDuplicates(["a", "b"])
+    )
+    verified = cand.join(
+        idx_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")), "a"
+    ).join(
+        F.broadcast(
+            batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh"))
+        ),
+        "b",
+    )
+    j = jaccard(F.col("a_sh"), F.col("b_sh"))
+    return verified.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)

@@ -1,0 +1,104 @@
+"""Persisted MinHash-LSH band index for INCREMENTAL deduplication.
+
+The 100-TB problem this solves: near-dup detection over a growing
+corpus must not re-shingle, re-hash, and re-bucket the whole corpus
+every time a batch of new documents arrives. The standard layout is a
+persisted band-bucket index — (bucket, doc_id, shingles) — built once
+per corpus version; deduplicating a new batch is then:
+
+  batch → signatures → band keys (map-only over the BATCH)
+        → join against the index on bucket
+        → exact Jaccard verify on the surviving candidates.
+
+With the batch side broadcast (the common case: batch ≪ corpus), the
+corpus-side work is ONE map-only scan of the index — no corpus
+shuffle, no re-hashing; shingle sets are denormalized onto the index
+rows precisely so the verify step needs no join back to the corpus
+(the same denormalization trick the BM25 serving index uses for
+doc-length norms, sources/posting_sink.py:78).
+
+Freshness follows the bucketed-facts convention: the index path embeds
+a fingerprint of the source parquet, so a changed corpus resolves to a
+new path and a stale index is simply never served.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def minhash_index_path(spark: SparkSession, sf_dir: str) -> str | None:
+    """Warehouse directory for the documents table's LSH band index —
+    None when the warehouse isn't a local filesystem."""
+    import hashlib
+    import os
+
+    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    elif "://" in wh:
+        return None
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
+    return os.path.join(wh, f"mas_lshidx_{tag}_{fresh}")
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) — the 3-char shingle sets of ``docs``."""
+    from minoan_athenaeum_spark.operators.dedup import char_shingles, normalized
+
+    return docs.select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+
+
+def band_rows(sh_df: DataFrame, bands: int = 4, rows: int = 4) -> DataFrame:
+    """Lean (bucket, doc_id) rows from a (doc_id, sh) table: 16-value
+    minhash signature → ``bands`` band keys, exploded. All hashing is
+    the engine-portable md5-60-bit convention, so the index contents
+    are reproducible in DuckDB oracle SQL."""
+    from minoan_athenaeum_spark.operators.dedup import band_keys, minhash_signature
+
+    return sh_df.select(
+        F.explode(
+            band_keys(minhash_signature(F.col("sh"), bands * rows), bands, rows)
+        ).alias("bucket"),
+        "doc_id",
+    )
+
+
+def ensure_minhash_index(
+    spark: SparkSession, sf_dir: str, bands: int = 4, rows: int = 4
+) -> str:
+    """Materialize the two-table band index for the EXISTING corpus
+    (documents with ``doc_id % 10 != 0`` — the driver-visible batch
+    split this repo's incremental queries use): ``bands/`` holds the
+    lean (bucket, doc_id) rows co-located by bucket, ``shingles/``
+    holds (doc_id, sh) ONCE (not denormalized per band — 4× smaller
+    than the naive layout; an earlier denormalized form was measured
+    4.6M corpus-sized array rows and dominated the serve scan). The
+    verify join against ``shingles/`` is candidate-sized, never
+    corpus-sized. Idempotent per source fingerprint."""
+    import os
+
+    path = minhash_index_path(spark, sf_dir)
+    if path is None:
+        raise RuntimeError("MinHash index needs a local warehouse dir")
+    if os.path.isfile(
+        os.path.join(path, "bands", "_SUCCESS")
+    ) and os.path.isfile(os.path.join(path, "shingles", "_SUCCESS")):
+        return path
+    from minoan_athenaeum_spark.catalog import load_table
+
+    existing = shingled(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
+    ).localCheckpoint(eager=True)
+    (
+        band_rows(existing, bands, rows)
+        .repartition(8, F.col("bucket"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bands"))
+    )
+    existing.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    return path

@@ -114,6 +114,7 @@ EXTRA = [
     "ml_perceptron_quality_eval",
     "sim_pca_covariance",
     "sim_jl_project_topk",
+    "dedup_minhash_incremental",
 ]
 
 

@@ -362,3 +362,27 @@ def test_jl_candidate_recall_vs_brute(spark, sf_dir):
     rows = sim_jl_project_topk(spark, sf_dir).collect()
     sims = [r["cos_sim"] for r in rows]
     assert sims == sorted(sims, reverse=True)
+
+
+def test_minhash_index_idempotent_and_lean(spark, sf_dir):
+    import os
+    import time
+
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        ensure_minhash_index,
+        minhash_index_path,
+    )
+
+    p1 = ensure_minhash_index(spark, sf_dir)
+    assert p1 == minhash_index_path(spark, sf_dir)
+    assert os.path.isfile(os.path.join(p1, "bands", "_SUCCESS"))
+    assert os.path.isfile(os.path.join(p1, "shingles", "_SUCCESS"))
+    # second call is a fingerprint-hit no-op (no Spark job)
+    t0 = time.time()
+    assert ensure_minhash_index(spark, sf_dir) == p1
+    assert time.time() - t0 < 1.0
+    # lean layout: the band table carries ids only, shingles exactly once
+    bands = spark.read.parquet(os.path.join(p1, "bands"))
+    assert set(bands.columns) == {"bucket", "doc_id"}
+    sh = spark.read.parquet(os.path.join(p1, "shingles"))
+    assert sh.groupBy("doc_id").count().filter("count > 1").count() == 0
