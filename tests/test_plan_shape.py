@@ -423,3 +423,46 @@ def test_quantile_normalize_no_single_reducer_window(spark, sf_dir):
     assert "ExistingRDD" in p, "pinned two-phase rank lineage missing"
     # the corpus-sized local window must be partitioned by (_pid, group)
     assert "], [_pid" in p, "local rank window lost its _pid partitioning"
+
+
+def test_pca_covariance_one_arrow_pass_no_explode(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sim_pca_covariance", "simple")
+    # the corpus must flow through exactly one Arrow stage and never be
+    # exploded by dim^2 the way the oracle twin is
+    assert p.count("MapInPandas") == 1
+    assert "Generate" not in p
+    # the reduce over emitted cells is a partial-agg'd groupBy
+    assert "partial_sum" in p
+
+
+def test_jl_projection_no_corpus_shuffle_no_explode(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "sim_jl_project_topk", "simple")
+    assert "Generate" not in p
+    assert "CartesianProduct" not in p
+    # candidate selection is TakeOrdered (never a global sort of the
+    # corpus); the only exchanges serve the broadcast + final top-k
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_minhash_incremental_serves_from_index(spark, sf_dir):
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        ensure_minhash_index,
+        minhash_index_path,
+    )
+
+    ensure_minhash_index(spark, sf_dir)
+    p = plan_of(spark, sf_dir, "dedup_minhash_incremental", "simple")
+    # bucket probe is the batch side BROADCAST against the index scan
+    assert "BroadcastHashJoin" in p
+    # the corpus-side work is parquet scans of the persisted index, not
+    # a re-derivation from the documents table: the only documents-table
+    # scans belong to the batch split (doc_id % 10 = 0 pushed down)
+    idx = minhash_index_path(spark, sf_dir)
+    assert idx is not None and idx.split("/")[-1] in p
+    # the batch side is the pinned checkpoint of the 10% split (shows
+    # as an ExistingRDD scan), never a re-derivation of the corpus:
+    # the documents table itself does not appear in the serve plan
+    assert "ExistingRDD" in p
+    assert "documents.parquet" not in p
