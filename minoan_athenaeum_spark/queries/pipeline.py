@@ -1335,3 +1335,142 @@ def pipeline_curation_v2(spark, sf_dir):
             F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
         )
     )
+
+
+_SHUF_ORACLE = r"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('shuf#' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM documents
+    ), ordered AS (
+      SELECT doc_id, hv, hv % 16 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id) AS pos
+      FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(hv) AS BIGINT) AS min_h,
+           CAST(MAX(hv) AS BIGINT) AS max_h,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM ordered
+    GROUP BY shard
+"""
+
+
+@query(
+    "pipeline_shuffle_shards",
+    oracle=_SHUF_ORACLE,
+    tags=("pipeline", "shuffle", "shards"),
+)
+def pipeline_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle into training shards — the
+    randomize-training-order step every LLM data pipeline ends with.
+    Permutation key = portable md5-60-bit hash of the doc id (a
+    pseudorandom but REPRODUCIBLE total order; re-runs and engines
+    agree), shard = key mod 16, within-shard order = key rank. The
+    order-sensitive checksum Σ pos·doc_id pins the exact within-shard
+    sequence, not just membership.
+
+    Scale shape: ONE hash shuffle on the shard id; the within-shard
+    rank is a per-shard window (shards ≫ executors at 100 TB — a real
+    deployment uses thousands of shards, each sorting locally in the
+    writer, exactly `repartitionByRange + sortWithinPartitions`); no
+    global sort, no single-reducer window, document bodies never move
+    (ids + 8-byte hashes only)."""
+    from pyspark.sql import Window
+
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+
+    h = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        portable_hash60(
+            F.concat(F.lit("shuf#"), F.col("doc_id").cast("string"))
+        ).alias("hv"),
+    )
+    d = h.withColumn("shard", F.col("hv") % 16)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    ordered = d.withColumn("pos", F.row_number().over(w))
+    return ordered.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("hv").alias("min_h"),
+        F.max("hv").alias("max_h"),
+        F.sum(F.col("pos") * F.col("doc_id")).cast("bigint").alias("order_checksum"),
+    )
+
+
+_BUDGET = 15000
+_HEAD_ORACLE = rf"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
+             least(CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS DOUBLE)/100.0, 1.0)*0.5
+               + (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)/length(text))*0.3
+               + (CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                       tk -> list_contains({_EN}, tk))) AS DOUBLE)
+                  / len(regexp_split_to_array(lower(trim(text)), '\s+')))*0.2 AS quality
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, n_tokens,
+             (1200000 - CAST(round(quality * 1000000) AS BIGINT)) * 8589934592 + doc_id AS k
+      FROM m
+    ), run AS (
+      SELECT doc_id, n_tokens, k,
+             SUM(n_tokens) OVER (ORDER BY k
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM keyed
+    )
+    SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM run WHERE cum <= {_BUDGET}
+"""
+
+
+@query(
+    "pipeline_token_budget_head",
+    oracle=_HEAD_ORACLE,
+    tags=("pipeline", "budget", "selection"),
+)
+def pipeline_token_budget_head(spark, sf_dir):
+    """Select the best documents up to a global TOKEN BUDGET: rank by
+    the quality heuristic (micro-quantized to an integer so the
+    composite (quality desc, doc_id) order folds into ONE unique
+    bigint key) and keep the running-token-count prefix ≤ 15 000 —
+    "fill the training budget with the best data first".
+
+    Scale shape: the running sum is the two-phase range-partitioned
+    global_cumsum (operators/scan.py) — per-partition sums + broadcast
+    straddle offsets, NO single-reducer window (the oracle's plain
+    window-sum twin is the semantics, not the plan). Output size is
+    budget-bound regardless of corpus size."""
+    from minoan_athenaeum_spark.operators.scan import global_cumsum
+    from minoan_athenaeum_spark.operators.text import (
+        char_count,
+        punct_count,
+        token_count,
+    )
+
+    m = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        token_count().cast("long").alias("n_tokens"),
+        char_count().cast("double").alias("nc"),
+        punct_count().cast("double").alias("np"),
+        stopword_hits("text", "en").cast("double").alias("ns"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    quality = (
+        F.least(nt / 100.0, F.lit(1.0)) * 0.5
+        + (1.0 - F.col("np") / F.col("nc")) * 0.3
+        + (F.col("ns") / nt) * 0.2
+    )
+    keyed = m.select(
+        "doc_id",
+        "n_tokens",
+        (
+            (F.lit(1200000) - F.round(quality * 1000000.0).cast("bigint"))
+            * F.lit(8589934592)
+            + F.col("doc_id")
+        ).alias("k"),
+    )
+    run = global_cumsum(keyed, "k", "n_tokens", "cum")
+    return run.filter(F.col("cum") <= _BUDGET).select(
+        "doc_id", "n_tokens", F.col("cum").cast("bigint").alias("cum_tokens")
+    )

@@ -138,6 +138,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # ml_perceptron_quality_train (new ML family — the oracle replays the
 # full integer training recurrence in a recursive CTE, so the driver
 # would hash-check an ITERATIVE TRAINING trajectory end-to-end).
+# Late-r6 additions, all oracle-verified at sf0.001+sf0.01 and
+# plan-pinned, also strong candidates: dedup_minhash_incremental
+# (persisted-index incremental dedup — the operational form of the
+# driver-green dedup_minhash_lsh), sim_pca_covariance (one-pass exact
+# moments), sim_jl_project_topk (reduced-dimension ANN serving).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",

@@ -115,6 +115,8 @@ EXTRA = [
     "sim_pca_covariance",
     "sim_jl_project_topk",
     "dedup_minhash_incremental",
+    "pipeline_shuffle_shards",
+    "pipeline_token_budget_head",
 ]
 
 
