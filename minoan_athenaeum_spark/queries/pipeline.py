@@ -1411,7 +1411,7 @@ _HEAD_ORACLE = rf"""
       FROM documents
     ), keyed AS (
       SELECT doc_id, n_tokens,
-             (1200000 - CAST(round(quality * 1000000) AS BIGINT)) * 8589934592 + doc_id AS k
+             (1200000 - CAST(round(quality * 1000000) AS BIGINT)) * 4398046511104 + doc_id AS k
       FROM m
     ), run AS (
       SELECT doc_id, n_tokens, k,
@@ -1433,7 +1433,8 @@ def pipeline_token_budget_head(spark, sf_dir):
     """Select the best documents up to a global TOKEN BUDGET: rank by
     the quality heuristic (micro-quantized to an integer so the
     composite (quality desc, doc_id) order folds into ONE unique
-    bigint key) and keep the running-token-count prefix ≤ 15 000 —
+    bigint key — multiplier 2^42 keeps the fold injective and
+    int64-safe for doc ids up to 4.4e12) and keep the running-token-count prefix ≤ 15 000 —
     "fill the training budget with the best data first".
 
     Scale shape: the running sum is the two-phase range-partitioned
@@ -1466,7 +1467,7 @@ def pipeline_token_budget_head(spark, sf_dir):
         "n_tokens",
         (
             (F.lit(1200000) - F.round(quality * 1000000.0).cast("bigint"))
-            * F.lit(8589934592)
+            * F.lit(4398046511104)
             + F.col("doc_id")
         ).alias("k"),
     )
