@@ -683,9 +683,10 @@ def dedup_minhash_incremental(spark, sf_dir):
     idx_path = ensure_minhash_index(spark, sf_dir)
     idx_bands = spark.read.parquet(os.path.join(idx_path, "bands"))
     idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
-    batch_sh = shingled(
-        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
-    ).localCheckpoint(eager=True)
+    release_tracked()
+    batch_sh = persist_tracked(
+        shingled(t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0))
+    )
     new_keys = band_rows(batch_sh).select(
         "bucket", F.col("doc_id").alias("b")
     )

@@ -94,11 +94,15 @@ def ensure_minhash_index(
     existing = shingled(
         load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 != 0)
     ).localCheckpoint(eager=True)
-    (
-        band_rows(existing, bands, rows)
-        .repartition(8, F.col("bucket"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "bands"))
-    )
-    existing.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    try:
+        (
+            band_rows(existing, bands, rows)
+            .repartition(8, F.col("bucket"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "bands"))
+        )
+        existing.write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    finally:
+        # release the checkpoint blocks — the index lives on disk now
+        existing.unpersist()
     return path
