@@ -130,7 +130,10 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
 def main() -> None:
     times = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     # Optional second arg: comma-separated query subset (the full
-    # AMPLIFIED list at very large amplifications would take hours).
+    # AMPLIFIED list at very large amplifications would take hours), or
+    # "--amplify-only" to materialize the (possibly
+    # SPARK_GRAFT_AMPLIFY_TABLES-subset) data and exit — running the
+    # query set against a table subset would only die on missing paths.
     subset = sys.argv[2].split(",") if len(sys.argv) > 2 else AMPLIFIED
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/mas_scale_probe_x{times}"
@@ -138,6 +141,8 @@ def main() -> None:
     t0 = time.perf_counter()
     amplify(spark, src, out_dir, times)  # idempotent per table
     print(f"# amplify x{times} ensured in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    if "--amplify-only" in sys.argv:
+        return
 
     if os.environ.get("SPARK_GRAFT_BUCKETED_FACTS", "") not in ("", "0"):
         from minoan_athenaeum_spark.sources.bucketed import ensure_bucketed_facts
