@@ -106,3 +106,32 @@ def ensure_minhash_index(
         # release the checkpoint blocks — the index lives on disk now
         existing.unpersist()
     return path
+
+
+def write_training_shards(
+    docs: DataFrame, path: str, n_shards: int = 16, salt: str = "shuf#"
+) -> None:
+    """Materialize the deterministic training shuffle as on-disk shards
+    (the write path behind queries/pipeline.py::pipeline_shuffle_shards):
+    permutation key = portable md5-60-bit hash of the doc id, shard =
+    key mod ``n_shards``, one parquet file per shard directory with
+    rows SORTED by the permutation key — a training loader reading
+    shard files sequentially sees the global pseudorandom order.
+
+    Plan shape: one hash shuffle on the shard id, per-shard external
+    sort in the writer (`sortWithinPartitions`), no global sort. Use
+    n_shards ≫ executor count at scale (the 65536× A/B measured the
+    16-shard layout window-bound and the 1024-shard one faster)."""
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+
+    keyed = docs.withColumn(
+        "_hv",
+        portable_hash60(F.concat(F.lit(salt), F.col("doc_id").cast("string"))),
+    ).withColumn("shard", (F.col("_hv") % n_shards).cast("int"))
+    (
+        keyed.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "_hv")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -386,3 +386,42 @@ def test_minhash_index_idempotent_and_lean(spark, sf_dir):
     assert set(bands.columns) == {"bucket", "doc_id"}
     sh = spark.read.parquet(os.path.join(p1, "shingles"))
     assert sh.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_write_training_shards_order_and_coverage(spark, sf_dir, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries._util import t
+    from minoan_athenaeum_spark.sources.lsh_index import write_training_shards
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=8)
+    back = spark.read.parquet(out)
+    # coverage: every doc exactly once
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # shard assignment and within-file ordering
+    shards = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+    )
+    assert shards == list(range(8))
+    for s in (0, 3, 7):
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, f"shard={s}"))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, "one file per shard"
+        rows = (
+            spark.read.parquet(os.path.join(out, f"shard={s}", files[0]))
+            .select("_hv")
+            .collect()
+        )
+        hvs = [r["_hv"] for r in rows]
+        assert hvs == sorted(hvs), "shard file must be permutation-ordered"
+        assert all(h % 8 == s for h in hvs)
