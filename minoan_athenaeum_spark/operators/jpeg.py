@@ -502,10 +502,15 @@ _LL_VALS = list(range(17))
 
 def encode_jpeg_lossless_gray(pixels: np.ndarray, predictor: int = 1,
                               point_transform: int = 0,
-                              precision: int | None = None) -> bytes:
+                              precision: int | None = None,
+                              restart_interval: int = 0) -> bytes:
     """Encode an (H, W) uint8/uint16 plane as a single-component SOF3
     lossless JPEG. Round-trips bit-exactly through :func:`decode_jpeg`
-    (up to the point transform's deliberate downshift)."""
+    (up to the point transform's deliberate downshift). With
+    ``restart_interval`` = R, a DRI segment is written and every R
+    samples the entropy stream is byte-aligned, an RSTn marker emitted,
+    and the next sample's prediction reset to the annex-H default —
+    matching the decoder's restart handling."""
     px = np.asarray(pixels)
     if px.ndim != 2:
         raise ValueError(f"unsupported pixel shape {px.shape}")
@@ -520,13 +525,25 @@ def encode_jpeg_lossless_gray(pixels: np.ndarray, predictor: int = 1,
            + bytes([1, 1, 0x11, 0]))
     out += _seg(0xC3, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
     out += _seg(0xDA, bytes([1, 1, 0x00, predictor, 0, point_transform]))
     vals = px.astype(np.int64) >> point_transform
     default = 1 << (precision - point_transform - 1)
     writer = _BitWriter()
+    n_mcu = 0
+    rst = 0
+    reset = True
     for y in range(h):
         for x in range(w):
-            if y == 0:
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                reset = True
+            if reset:
+                pred = default
+            elif y == 0:
                 pred = int(vals[0, x - 1]) if x else default
             elif x == 0:
                 pred = int(vals[y - 1, 0])
@@ -536,6 +553,8 @@ def encode_jpeg_lossless_gray(pixels: np.ndarray, predictor: int = 1,
                 rc = int(vals[y - 1, x - 1])
                 pred = [0, ra, rb, rc, ra + rb - rc, ra + ((rb - rc) >> 1),
                         rb + ((ra - rc) >> 1), (ra + rb) >> 1][predictor]
+            reset = False
+            n_mcu += 1
             diff = (int(vals[y, x]) - pred) & 0xFFFF
             if diff == 32768:
                 code, ln = codes[16]             # category 16: no extra bits

@@ -1087,3 +1087,20 @@ def test_jpeg_lossless_rejects_bad_params():
     bad = bytes(good[:sof_at + 1]) + b"\xc9" + bytes(good[sof_at + 2:])
     with pytest.raises(NotImplementedError, match="SOF marker 0xc9"):
         decode_jpeg(bad)
+
+
+def test_jpeg_lossless_restart_markers_roundtrip():
+    from minoan_athenaeum_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless_gray,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    # interval that does NOT divide the row length: restarts land
+    # mid-row, exercising the prediction-reset-anywhere path; > 8
+    # intervals wraps the RSTn modulo counter
+    enc = encode_jpeg_lossless_gray(img, predictor=4, restart_interval=11)
+    assert enc.count(b"\xff\xdd") == 1          # DRI present
+    assert sum(enc.count(bytes([0xFF, 0xD0 + i])) for i in range(8)) >= 9
+    assert np.array_equal(decode_jpeg(enc), img)
