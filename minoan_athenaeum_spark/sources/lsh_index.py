@@ -135,3 +135,33 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def append_to_minhash_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    bands: int = 4,
+    rows: int = 4,
+) -> None:
+    """Fold a deduplicated batch INTO the persisted index — the
+    maintenance step after a batch passes the incremental dedup gate,
+    so the next batch dedups against old + new without any rebuild.
+    Appends the batch's lean band rows and shingle rows (parquet
+    append); per-doc-id idempotence is the caller's contract (the
+    dedup pipeline admits each doc_id once). Equivalence with a
+    from-scratch rebuild is pinned by
+    tests/test_dedup_similarity.py::test_append_to_index_equals_rebuild."""
+    import os
+
+    batch_sh = shingled(new_docs).localCheckpoint(eager=True)
+    try:
+        (
+            band_rows(batch_sh, bands, rows)
+            .repartition(1, F.col("bucket"))
+            .write.mode("append")
+            .parquet(os.path.join(path, "bands"))
+        )
+        batch_sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+    finally:
+        batch_sh.unpersist()

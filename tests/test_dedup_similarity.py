@@ -425,3 +425,45 @@ def test_write_training_shards_order_and_coverage(spark, sf_dir, tmp_path):
         hvs = [r["_hv"] for r in rows]
         assert hvs == sorted(hvs), "shard file must be permutation-ordered"
         assert all(h % 8 == s for h in hvs)
+
+
+def test_append_to_index_equals_rebuild(spark, sf_dir, tmp_path):
+    # Maintenance contract: ensure(existing) + append(batch) holds the
+    # same (bucket, doc_id) set and shingle set as building an index
+    # over existing+batch from scratch.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        append_to_minhash_index,
+        band_rows,
+        ensure_minhash_index,
+        shingled,
+    )
+
+    p = ensure_minhash_index(spark, sf_dir)
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    # copy the index so the shared fingerprint path stays pristine
+    import shutil
+
+    work = str(tmp_path / "idx")
+    shutil.copytree(p, work)
+    append_to_minhash_index(spark, work, batch)
+
+    all_docs = load_table(spark, sf_dir, "documents")
+    want_bands = {
+        (r["bucket"], r["doc_id"])
+        for r in band_rows(shingled(all_docs)).collect()
+    }
+    got_bands = {
+        (r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(os.path.join(work, "bands")).collect()
+    }
+    assert got_bands == want_bands
+    got_sh = spark.read.parquet(os.path.join(work, "shingles"))
+    assert got_sh.count() == all_docs.count()
+    assert got_sh.select("doc_id").distinct().count() == all_docs.count()
