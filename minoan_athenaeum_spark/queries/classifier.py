@@ -67,10 +67,14 @@ _XCOLS = ["x0"] + [f"x{i + 1}" for i in range(len(_RULES))]
 _D = len(_XCOLS)
 
 
-def _features(spark, sf_dir):
+def feature_frame(docs, with_id: bool = False):
     """Teacher label (+1 = quality heuristic ≥ 0.6) and the binary rule
-    features, all from one corpus scan; pinned for the training rounds."""
-    counts = t(spark, sf_dir, "documents").select(
+    features for any frame with a ``text`` column (``doc_id`` carried
+    through when ``with_id``). Pure stateless JVM expressions, so the
+    same builder runs over the batch corpus AND a document stream."""
+    id_cols = ["doc_id"] if with_id else []
+    counts = docs.select(
+        *id_cols,
         char_count().cast("long").alias("n_chars"),
         token_count().cast("long").alias("n_tokens"),
         punct_count().cast("long").alias("n_punct"),
@@ -91,22 +95,47 @@ def _features(spark, sf_dir):
     ]
     for i, (_, cond) in enumerate(_RULES):
         cols.append(F.expr(cond).cast("long").alias(f"x{i + 1}"))
-    return counts.select(*cols).localCheckpoint(eager=True)
+    return counts.select(*id_cols, *cols)
 
 
-def _feats_sql() -> str:
+def averaged_weights(spark, sf_dir) -> list[int]:
+    """Train the 12-round batch perceptron on the corpus and return the
+    round-summed (averaged) integer weight vector — the bounded model
+    artifact the scoring paths fold into their expressions."""
+    feats = _features(spark, sf_dir)
+    hist = batch_perceptron_train(feats, _XCOLS, "y", iters=_ITERS, lr=1)
+    return [sum(row[2 + i] for row in hist) for i in range(_D)]
+
+
+def logit_expr(weights: list[int]):
+    """Integer logit s·x as a single JVM expression over x0..xd."""
+    dot = F.lit(weights[0]) * F.col("x0")
+    for wi, c in zip(weights[1:], _XCOLS[1:]):
+        dot = dot + F.lit(wi) * F.col(c)
+    return dot
+
+
+def _features(spark, sf_dir):
+    """Batch feature table, pinned for the training rounds."""
+    return feature_frame(t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=True
+    )
+
+
+def _feats_sql(with_id: bool = False) -> str:
     rules = ",\n             ".join(
         f"CAST({cond} AS BIGINT) AS x{i + 1}" for i, (_, cond) in enumerate(_RULES)
     )
+    id_sel = "doc_id, " if with_id else ""
     return rf"""
-      SELECT CASE WHEN least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5
+      SELECT {id_sel}CASE WHEN least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5
                      + (1.0 - CAST(n_punct AS DOUBLE)/n_chars)*0.3
                      + (CAST(n_stop AS DOUBLE)/n_tokens)*0.2 >= 0.6
                   THEN 1 ELSE -1 END AS y,
              CAST(1 AS BIGINT) AS x0,
              {rules}
       FROM (
-        SELECT CAST(length(text) AS BIGINT) AS n_chars,
+        SELECT {id_sel}CAST(length(text) AS BIGINT) AS n_chars,
                CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tokens,
                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
                CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
@@ -210,4 +239,52 @@ def ml_perceptron_quality_eval(spark, sf_dir):
         F.sum(F.when((yc == -1) & pos, 1).otherwise(0)).alias("fp"),
         F.sum(F.when((yc == 1) & ~pos, 1).otherwise(0)).alias("fn"),
         F.sum(F.when((yc == -1) & ~pos, 1).otherwise(0)).alias("tn"),
+    )
+
+
+_FILTER_ORACLE = (
+    _steps_sql()
+    + f"""
+    , final AS (
+      SELECT {", ".join(f"CAST(SUM(w{i}) AS BIGINT) AS s{i}" for i in range(_D))}
+      FROM steps WHERE it >= 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN {_SDOT} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN {_SDOT} > 0 THEN {_SDOT} ELSE 0 END) AS BIGINT) AS kept_logit_sum,
+           CAST(MIN(CASE WHEN {_SDOT} > 0 THEN {_SDOT} END) AS BIGINT) AS min_kept_logit,
+           CAST(MAX({_SDOT}) AS BIGINT) AS max_logit
+    FROM feats, final
+    """
+)
+
+
+@query(
+    "ml_quality_filter",
+    oracle=_FILTER_ORACLE,
+    tags=("ml", "classifier", "filter"),
+)
+def ml_quality_filter(spark, sf_dir):
+    """The PRODUCTION step the trainer exists for: score every document
+    with the averaged-perceptron model (integer logit = s·x, map-only,
+    weights folded into the expression) and keep logit > 0 — the
+    model-based quality filter applied to the corpus. Emits the exact
+    filter accounting (totals, kept count, integer logit sums/extrema)
+    so the driver hash-checks the full scoring pass; the oracle
+    re-derives the averaged weights via the recursive CTE. At 100 TB
+    this is one codegen map over the corpus — no shuffle at all
+    (the aggregate is the verification summary, map-side combined)."""
+    feats = _features(spark, sf_dir)
+    hist = batch_perceptron_train(feats, _XCOLS, "y", iters=_ITERS, lr=1)
+    s = [sum(row[2 + i] for row in hist) for i in range(_D)]
+    dot = F.lit(s[0]) * F.col("x0")
+    for si, c in zip(s[1:], _XCOLS[1:]):
+        dot = dot + F.lit(si) * F.col(c)
+    kept = dot > 0
+    return feats.agg(
+        F.count("*").cast("bigint").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, dot).otherwise(0)).cast("bigint").alias("kept_logit_sum"),
+        F.min(F.when(kept, dot)).cast("bigint").alias("min_kept_logit"),
+        F.max(dot).cast("bigint").alias("max_logit"),
     )

@@ -475,3 +475,61 @@ def stream_stream_left_join_exec(spark, sf_dir):
     )
     name = f"q_stream_left_{next(_counter)}"
     return run_to_memory(joined, name, mode="append")
+
+
+def _quality_gate_oracle() -> str:
+    from minoan_athenaeum_spark.queries.classifier import (
+        _D,
+        _SDOT,
+        _steps_sql,
+        _feats_sql,
+    )
+
+    return (
+        _steps_sql()
+        + f"""
+    , final AS (
+      SELECT {", ".join(f"CAST(SUM(w{i}) AS BIGINT) AS s{i}" for i in range(_D))}
+      FROM steps WHERE it >= 1
+    ), feats_id AS ({_feats_sql(with_id=True)})
+    SELECT doc_id, CAST({_SDOT} AS BIGINT) AS logit
+    FROM feats_id, final
+    WHERE {_SDOT} > 0
+    """
+    )
+
+
+@query(
+    "stream_quality_gate_exec",
+    oracle=_quality_gate_oracle(),
+    tags=("streaming", "ml", "quality", "exec"),
+)
+def stream_quality_gate_exec(spark, sf_dir):
+    """Model-gated STREAMING ingest: the averaged-perceptron quality
+    model is trained OFFLINE on the batch corpus (bounded driver
+    artifact — the standard train-offline / serve-online split), then
+    the documents arrive as a file-source STREAM and each micro-batch
+    is scored map-only with the integer weights folded into the filter
+    expression; only logit > 0 documents pass the gate (append mode —
+    fully stateless, so state is zero regardless of corpus size). The
+    availableNow drain materializes exactly the kept (doc_id, logit)
+    rows; the oracle re-derives the same weights via the recursive CTE
+    and applies the same integer filter to all documents."""
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries.classifier import (
+        averaged_weights,
+        feature_frame,
+        logit_expr,
+    )
+    from minoan_athenaeum_spark.streaming.ops import read_documents_stream
+
+    w = averaged_weights(spark, sf_dir)
+    stream = read_documents_stream(spark, sf_dir)
+    feats = feature_frame(stream, with_id=True)
+    logit = logit_expr(w)
+    gated = feats.select(
+        "doc_id", logit.cast("bigint").alias("logit")
+    ).filter(F.col("logit") > 0)
+    name = f"q_stream_quality_{next(_counter)}"
+    return run_to_memory(gated, name, mode="append")

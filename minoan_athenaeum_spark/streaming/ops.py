@@ -258,3 +258,39 @@ def run_with_rollup_refresh(
     q.awaitTermination()
     assert state["latest"] is not None, "stream produced no batches"
     return state["latest"]
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet as a file-source stream (same directory /
+    symlink handling as the events stream) — the ingest side of a
+    streaming corpus pipeline."""
+    import hashlib
+    import os
+    import tempfile
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):
+        d = src
+    else:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = os.path.join(tempfile.gettempdir(), f"mas_docs_stream_{tag}")
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "documents.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    return spark.readStream.schema(schema).format("parquet").load(d)

@@ -117,6 +117,8 @@ EXTRA = [
     "dedup_minhash_incremental",
     "pipeline_shuffle_shards",
     "pipeline_token_budget_head",
+    "ml_quality_filter",
+    "stream_quality_gate_exec",
 ]
 
 
