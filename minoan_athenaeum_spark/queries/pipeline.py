@@ -1475,3 +1475,183 @@ def pipeline_token_budget_head(spark, sf_dir):
     return run.filter(F.col("cum") <= _BUDGET).select(
         "doc_id", "n_tokens", F.col("cum").cast("bigint").alias("cum_tokens")
     )
+
+
+def _v3_oracle() -> str:
+    from minoan_athenaeum_spark.queries.classifier import (
+        _D,
+        _SDOT,
+        _feats_sql,
+        _steps_sql,
+    )
+
+    finals = ", ".join(f"CAST(SUM(w{i}) AS BIGINT) AS s{i}" for i in range(_D))
+    return rf"""{_steps_sql()}
+    , final AS (
+      SELECT {finals} FROM steps WHERE it >= 1
+    ), gate AS (
+      SELECT doc_id FROM ({_feats_sql(with_id=True)}) fx, final
+      WHERE {_SDOT} > 0
+    ), scored AS (
+      SELECT d.doc_id, d.source,
+             md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS fp,
+             CAST(len(regexp_split_to_array(lower(trim(d.text)), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents d JOIN gate g ON d.doc_id = g.doc_id
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS dup_rn
+        FROM scored
+      ) WHERE dup_rn <= {_V2_CAP}
+    ), src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM capped GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS c FROM src
+    ), quota0 AS (
+      SELECT source, n_docs,
+             ({_V2_BUDGET} * n_docs) // tot.c AS floor_q,
+             ({_V2_BUDGET} * n_docs) % tot.c AS rem
+      FROM src, tot
+    ), ranked_q AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT {_V2_BUDGET} - sum(floor_q) FROM quota0) AS leftover
+      FROM quota0
+    ), quota AS (
+      SELECT source, n_docs,
+             floor_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked_q
+    ), hashed AS (
+      SELECT c.source, c.doc_id, c.n_tokens,
+             row_number() OVER (
+               PARTITION BY c.source
+               ORDER BY md5('mix:' || CAST(c.doc_id AS VARCHAR)), c.doc_id
+             ) AS hr
+      FROM capped c
+    ), picked AS (
+      SELECT h.source, h.doc_id, h.n_tokens, h.hr
+      FROM hashed h JOIN quota q ON q.source = h.source AND h.hr <= q.quota
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             (sum(n_tokens) OVER (PARTITION BY source ORDER BY hr
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) // {_V2_BIN} AS bin
+      FROM picked
+    )
+    SELECT q.source, q.n_docs AS n_after_capping, q.quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_selected,
+           CAST(coalesce(sum(p.n_tokens), 0) AS BIGINT) AS total_tokens,
+           CAST(coalesce(count(DISTINCT p.bin), 0) AS BIGINT) AS n_bins,
+           CAST(coalesce(bit_xor(p.doc_id), 0) AS BIGINT) AS sel_xor
+    FROM quota q LEFT JOIN packed p ON p.source = q.source
+    GROUP BY q.source, q.n_docs, q.quota
+"""
+
+
+@query("pipeline_curation_v3", oracle=_v3_oracle(), tags=("pipeline", "capstone", "ml"))
+def pipeline_curation_v3(spark, sf_dir):
+    """CURATION CAPSTONE v3 — v2 with the heuristic quality gate
+    replaced by the LEARNED one: the averaged-perceptron model is
+    trained on the corpus (12 one-aggregate rounds, bounded driver
+    artifact), then the gate is the integer logit folded into the SAME
+    map-only scan that computes fingerprints and token counts — no
+    extra corpus pass or join for the model gate. Downstream stages
+    (duplicate-cluster capping ≤2, largest-remainder quotas over a 300
+    budget, deterministic hash pick, 2048-token packing) are byte-for-
+    byte the v2 stages, so this gate flips on a regression in either
+    the trainer or any curation stage. Oracle: the full recursive-CTE
+    training replay feeding the v2 SQL pipeline."""
+    from pyspark.sql import Window as W
+
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+    from minoan_athenaeum_spark.queries.classifier import (
+        _RULES,
+        averaged_weights,
+        logit_expr,
+    )
+    from minoan_athenaeum_spark.operators.text import (
+        char_count,
+        punct_count,
+        token_count,
+    )
+
+    b, cap, binsz = _V2_BUDGET, _V2_CAP, _V2_BIN
+    w = averaged_weights(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    # ONE scan: gate features + curation columns together
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+        char_count().cast("long").alias("n_chars"),
+        token_count().cast("long").alias("n_tokens"),
+        punct_count().cast("long").alias("n_punct"),
+        stopword_hits("text", "en").cast("long").alias("n_stop"),
+    )
+    xcols = [F.lit(1).cast("long").alias("x0")] + [
+        F.expr(cond).cast("long").alias(f"x{i + 1}")
+        for i, (_, cond) in enumerate(_RULES)
+    ]
+    gated = base.select("doc_id", "source", "fp", "n_tokens", *xcols).where(
+        logit_expr(w) > 0
+    )
+    capped = (
+        gated.withColumn(
+            "dup_rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+        )
+        .where(F.col("dup_rn") <= cap)
+        .select("doc_id", "source", "n_tokens")
+    )
+    src = capped.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = src.agg(F.sum("n_docs").cast("bigint").alias("c"))
+    quota0 = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.expr(f"({b} * n_docs) div c").alias("floor_q"),
+        (F.lit(b) * F.col("n_docs") % F.col("c")).alias("rem"),
+    )
+    leftover = quota0.agg((F.lit(b) - F.sum("floor_q")).alias("leftover"))
+    quota = (
+        quota0.crossJoin(F.broadcast(leftover))
+        .withColumn("rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source")))
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("floor_q") + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    hashed = grouped_topk_two_phase(
+        capped.withColumn(
+            "h", F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+        ),
+        ["source"],
+        ["h", "doc_id"],
+        k=b,
+    ).withColumnRenamed("rn", "hr")
+    picked = hashed.join(F.broadcast(quota), "source").where(
+        F.col("hr") <= F.col("quota")
+    )
+    packed = picked.withColumn(
+        "bin",
+        F.expr(f"CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY hr "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div {binsz} AS BIGINT)"),
+    )
+    agg = packed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("bin").cast("bigint").alias("n_bins"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("sel_xor"),
+    )
+    return (
+        quota.withColumnRenamed("n_docs", "n_after_capping")
+        .join(agg, "source", "left")
+        .select(
+            "source",
+            "n_after_capping",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0).cast("bigint")).alias("n_selected"),
+            F.coalesce(F.col("total_tokens"), F.lit(0).cast("bigint")).alias("total_tokens"),
+            F.coalesce(F.col("n_bins"), F.lit(0).cast("bigint")).alias("n_bins"),
+            F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
+        )
+    )

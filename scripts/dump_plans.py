@@ -119,6 +119,7 @@ EXTRA = [
     "pipeline_token_budget_head",
     "ml_quality_filter",
     "stream_quality_gate_exec",
+    "pipeline_curation_v3",
 ]
 
 
