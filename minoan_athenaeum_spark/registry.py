@@ -142,7 +142,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # plan-pinned, also strong candidates: dedup_minhash_incremental
 # (persisted-index incremental dedup — the operational form of the
 # driver-green dedup_minhash_lsh), sim_pca_covariance (one-pass exact
-# moments), sim_jl_project_topk (reduced-dimension ANN serving).
+# moments), sim_jl_project_topk (reduced-dimension ANN serving),
+# pipeline_shuffle_shards / pipeline_token_budget_head (training-order
+# + budget selection), and the classifier lifecycle closers
+# ml_quality_filter / stream_quality_gate_exec /
+# pipeline_curation_v3 (the last composes the trained gate into the
+# full curation recipe — a natural like-for-like swap for
+# pipeline_curation_v2's slot).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
