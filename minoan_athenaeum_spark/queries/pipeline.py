@@ -1441,7 +1441,12 @@ def pipeline_token_budget_head(spark, sf_dir):
     global_cumsum (operators/scan.py) — per-partition sums + broadcast
     straddle offsets, NO single-reducer window (the oracle's plain
     window-sum twin is the semantics, not the plan). Output size is
-    budget-bound regardless of corpus size."""
+    budget-bound regardless of corpus size. Cost note (65536× probe,
+    327M docs, 1038 s): the regex featurization dominates and is
+    linear; a production corpus stores quality scores at ingest
+    (one-time) and this query's selection machinery then runs over
+    (id, score, n_tokens) only — the recompute here keeps the gated
+    query self-contained."""
     from minoan_athenaeum_spark.operators.scan import global_cumsum
     from minoan_athenaeum_spark.operators.text import (
         char_count,
