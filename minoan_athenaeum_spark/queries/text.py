@@ -1142,3 +1142,142 @@ def text_phrase_search(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_occurrences"),
         F.min("pos").cast("bigint").alias("first_pos"),
     )
+
+
+_CCNET_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), ref_bg AS (
+      SELECT g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d WHERE lang = 'en'
+      )
+    ), cbg AS (
+      SELECT w1, w2, COUNT(*) AS c_bg FROM ref_bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM cbg GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT UNNEST(tk) AS w FROM d WHERE lang = 'en')
+    ), bg AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d
+      )
+    ), sc AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(COALESCE(cbg.c_bg, 0)) + COUNT(*) AS BIGINT) AS numer,
+             CAST(SUM(COALESCE(cctx.c_ctx, 0)) + COUNT(*) * vocab.v AS BIGINT) AS denom
+      FROM bg
+      LEFT JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+      LEFT JOIN cctx ON bg.w1 = cctx.w1, vocab
+      GROUP BY bg.doc_id, vocab.v
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY CAST(numer AS DOUBLE) / denom DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sc
+    )
+    SELECT doc_id, n_bg, numer, denom,
+           CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+
+
+@query("text_ccnet_ppl_buckets", oracle=_CCNET_ORACLE, tags=("text", "lm", "quality", "ccnet"))
+def text_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: a bigram LM is trained on the
+    REFERENCE slice of the corpus (lang='en' — the role Wikipedia
+    plays in CCNet), every document is scored against it with ADD-ONE
+    smoothing (unseen transitions pay the (0+1)/(0+V) penalty instead
+    of vanishing), and documents are split into head/middle/tail
+    terciles of the fluency score — the standard keep-head /
+    inspect-middle / drop-tail curation policy.
+
+    Exactness: smoothed numerator Σc_bg + n and denominator
+    Σc_ctx + n·V are exact BIGINTs (ONE terminal double division
+    orders the terciles; doubles are bit-equal across engines so the
+    rank order is too, with doc_id tie-breaks).
+
+    Scale shape: reference count tables are vocab-bounded partial
+    aggregates; scoring re-joins the corpus bigram stream by key
+    (left joins — unseen keys stay map-side after AQE broadcasts the
+    vocab tables); the tercile rank is the range-partitioned two-phase
+    global rank, NO single-reducer window; the only window left is the
+    oracle twin's, not the plan's."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(normalized(), " ").alias("tk")
+    )
+    pairs = F.when(
+        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at("tk", i).alias("w1"),
+                F.element_at("tk", i + 1).alias("w2"),
+            ),
+        )
+    )
+    withbg = d.withColumn("g", pairs)
+    ref = withbg.filter(F.col("lang") == "en")
+    ref_bg = ref.select(F.explode("g").alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
+    vocab = ref.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    sc = (
+        bg.join(cbg, ["w1", "w2"], "left")
+        .join(cctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "v")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bg"),
+            (F.sum(F.coalesce(F.col("c_bg"), F.lit(0))) + F.count("*"))
+            .cast("bigint")
+            .alias("numer"),
+            (
+                F.sum(F.coalesce(F.col("c_ctx"), F.lit(0)))
+                + F.count("*") * F.first("v")
+            )
+            .cast("bigint")
+            .alias("denom"),
+        )
+        .select("doc_id", "n_bg", "numer", "denom")
+    )
+    scored = sc.withColumn(
+        "neg", -(F.col("numer").cast("double") / F.col("denom").cast("double"))
+    )
+    ranked = grouped_two_phase_rank(scored, [], ["neg", "doc_id"], out_col="rn")
+    n = sc.agg(F.count("*").cast("bigint").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_bg",
+        "numer",
+        "denom",
+        F.when((F.col("rn") - 1) * 3 < F.col("n"), "head")
+        .when((F.col("rn") - 1) * 3 < 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -120,6 +120,7 @@ EXTRA = [
     "ml_quality_filter",
     "stream_quality_gate_exec",
     "pipeline_curation_v3",
+    "text_ccnet_ppl_buckets",
 ]
 
 
