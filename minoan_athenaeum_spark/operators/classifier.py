@@ -87,9 +87,22 @@ def logreg_train_gd(
     computes n, Σ x·(σ(w·x) − y) per feature, and the log-loss — all
     JVM expressions (F.exp), map-side combined. Returns (weights,
     per-round losses)."""
-    n = feats.count()
+    # One pre-pass counts rows AND null labels together: F.sum ignores
+    # nulls inside the gradient aggregate, so a null label would
+    # silently train a plausible-but-wrong model — fail fast instead
+    # (matching apply_merge's posture).
+    head = feats.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(ycol).isNull().cast("bigint")).alias("n_null"),
+    ).collect()[0]
+    n = int(head["n"])
     if n == 0:
         raise ValueError("logreg_train_gd: empty feature table")
+    if int(head["n_null"] or 0) > 0:
+        raise ValueError(
+            f"logreg_train_gd: {int(head['n_null'])} null values in label "
+            f"column {ycol!r} — drop or impute them before training"
+        )
     w = [0.0] * len(xcols)
     losses: list[float] = []
     for _ in range(iters):

@@ -107,7 +107,10 @@ def kmv_candidates_jvm(
     with approx_count_distinct's ~2% error a ×``margin`` shortfall is
     vanishingly rare.
     """
+    if max_rounds < 1:
+        raise ValueError(f"max_rounds must be >= 1, got {max_rounds}")
     full = 1 << scale_bits
+    short: list[str] = []
     src = df.select(
         F.col(group_col).cast("string").alias("g"),
         F.col(hash_col).cast("bigint").alias("hv"),

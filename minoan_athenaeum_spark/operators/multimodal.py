@@ -36,6 +36,16 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+class UnsupportedContainerError(ValueError):
+    """The payload's magic bytes match NO known container format.
+
+    A DECLARED quarantine boundary (like the codec NotImplementedErrors):
+    the quarantine decode path catches exactly this type, so a
+    decoder-internal ValueError (truncated header, bad token, short
+    pixel data) still fails the task instead of masquerading as an
+    unsupported input."""
+
+
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Decode a binary PPM (P6) image to an (H, W, 3) uint8 array.
 
@@ -284,7 +294,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         from minoan_athenaeum_spark.operators.png import decode_png
 
         return decode_png(payload)
-    raise ValueError(f"unrecognized image container: magic {payload[:8]!r}")
+    raise UnsupportedContainerError(
+        f"unrecognized image container: magic {payload[:8]!r}"
+    )
 
 
 IMAGE_STATS_SCHEMA = T.StructType(
@@ -394,12 +406,14 @@ def image_channel_stats_quarantined(df: DataFrame) -> DataFrame:
     """Decode-with-quarantine: same per-image numpy decode+pool as
     :func:`image_channel_stats`, but a payload that hits a DECLARED
     codec boundary (typed ``NotImplementedError``) or an unrecognized
-    container (``ValueError``) becomes a row with ``status`` = the
-    exception class name and null stats instead of failing the task —
-    the pattern a 100 TB ingest job uses to route undecodable blobs to
-    a quarantine sink while the job keeps running. Any OTHER exception
-    still propagates: quarantine is for declared boundaries, not a
-    blanket except that would hide decoder bugs."""
+    container (``UnsupportedContainerError``) becomes a row with
+    ``status`` = the exception class name and null stats instead of
+    failing the task — the pattern a 100 TB ingest job uses to route
+    undecodable blobs to a quarantine sink while the job keeps running.
+    Any OTHER exception still propagates — including decoder-internal
+    ValueErrors (truncated IDAT, bad PPM header): quarantine is for
+    declared boundaries, not a blanket except that would let a decoder
+    regression masquerade as bad input."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,7 +421,7 @@ def image_channel_stats_quarantined(df: DataFrame) -> DataFrame:
             for d, payload in zip(pdf["doc_id"], pdf["payload"]):
                 try:
                     img = decode_image(bytes(payload)).astype(np.int64)
-                except (NotImplementedError, ValueError) as exc:
+                except (NotImplementedError, UnsupportedContainerError) as exc:
                     rows.append((int(d), type(exc).__name__, None, None, None))
                     continue
                 h, w, _ = img.shape

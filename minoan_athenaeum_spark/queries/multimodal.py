@@ -521,7 +521,7 @@ _QUARANTINE_ORACLE = """
     WITH cls AS (
       SELECT doc_id,
              CASE WHEN doc_id % 11 = 3 THEN 'NotImplementedError'
-                  WHEN doc_id % 11 = 7 THEN 'ValueError'
+                  WHEN doc_id % 11 = 7 THEN 'UnsupportedContainerError'
                   ELSE 'ok' END AS status
       FROM documents
     ), chk AS (
@@ -552,7 +552,8 @@ def mm_decode_quarantine(spark, sf_dir):
     """DECODE-WITH-QUARANTINE: a corpus where a deterministic slice of
     payloads hits the DECLARED codec boundaries (doc_id%11==3 → an
     arithmetic-coded SOF9 JPEG stub, a typed NotImplementedError;
-    doc_id%11==7 → an unrecognized container magic, ValueError) is
+    doc_id%11==7 → an unrecognized container magic, a typed
+    UnsupportedContainerError) is
     decoded with the quarantine path: boundary rows become
     status-tagged null-stat rows instead of failing the job, every
     other exception still propagates. Output per status: count, the

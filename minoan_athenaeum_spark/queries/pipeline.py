@@ -854,10 +854,14 @@ _PRIO_ORACLE = rf"""
              row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
       FROM pri
     ), tau AS (
-      SELECT priority AS tau FROM top WHERE rn = {_PRIO_K} + 1
+      SELECT max(CASE WHEN rn = {_PRIO_K} + 1 THEN priority END) AS tau,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM top WHERE rn <= {_PRIO_K} + 1
     )
     SELECT t.doc_id, t.weight, t.priority,
-           greatest(CAST(t.weight AS DOUBLE), tau.tau) AS adj_weight
+           CASE WHEN tau.cnt = {_PRIO_K} + 1
+                THEN greatest(CAST(t.weight AS DOUBLE), tau.tau)
+                ELSE CAST(t.weight AS DOUBLE) END AS adj_weight
     FROM top t, tau
     WHERE t.rn <= {_PRIO_K}
 """
@@ -901,15 +905,11 @@ def pipeline_priority_sample(spark, sf_dir):
     ).withColumn("priority", F.col("weight").cast("double") / u)
     topk1 = pri.orderBy(F.col("priority").desc(), "doc_id").limit(k + 1)
     # tau is defined ONLY when a (k+1)-th priority exists; with <= k
-    # items the estimator is the trivial exact sample and the oracle's
-    # tau CTE is empty, so mirror it exactly: an empty tau empties the
-    # cross join and the query returns no rows (engine/oracle parity at
-    # tiny inputs pinned by test_priority_sample_tiny_corpus).
-    tau = (
-        topk1.agg(F.min("priority").alias("tau"), F.count("*").alias("n"))
-        .where(F.col("n") == k + 1)
-        .select("tau")
-    )
+    # items the estimator degenerates to the trivial EXACT sample —
+    # every item kept, adj_weight = weight (HT estimator with inclusion
+    # probability 1) — mirrored in the oracle's CASE and pinned by
+    # test_priority_sample_tiny_corpus.
+    tau = topk1.agg(F.min("priority").alias("tau"), F.count("*").alias("cnt"))
     return (
         topk1.orderBy(F.col("priority").desc(), "doc_id")
         .limit(k)
@@ -918,7 +918,12 @@ def pipeline_priority_sample(spark, sf_dir):
             "doc_id",
             "weight",
             "priority",
-            F.greatest(F.col("weight").cast("double"), F.col("tau")).alias("adj_weight"),
+            F.when(
+                F.col("cnt") == k + 1,
+                F.greatest(F.col("weight").cast("double"), F.col("tau")),
+            )
+            .otherwise(F.col("weight").cast("double"))
+            .alias("adj_weight"),
         )
     )
 

@@ -789,10 +789,11 @@ def test_16bit_quant_tables_decode():
 
 def test_quarantine_routes_declared_boundaries_only(spark):
     """The quarantine decode path catches ONLY the declared boundary
-    errors (NotImplementedError, ValueError); anything else — e.g. a
-    corrupt DEFLATE stream raising zlib.error from inside the PNG
-    decoder — must still fail the job, so real decoder bugs can't hide
-    as quarantine rows."""
+    errors (NotImplementedError, UnsupportedContainerError); anything
+    else — a corrupt DEFLATE stream raising zlib.error from inside the
+    PNG decoder, a decoder-internal ValueError from a truncated PPM —
+    must still fail the job, so real decoder bugs can't hide as
+    quarantine rows."""
     import pytest
     from pyspark.errors.exceptions.captured import PythonException
 
@@ -806,11 +807,19 @@ def test_quarantine_routes_declared_boundaries_only(spark):
     rows = [
         (0, encode_ppm(ok_img)),
         (1, _SOF9_JPEG_STUB),               # declared: NotImplementedError
-        (2, b"GIF89a not ours"),            # declared: ValueError
+        (2, b"GIF89a not ours"),            # declared: unknown container
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r.status for r in image_channel_stats_quarantined(df).collect()}
-    assert got == {0: "ok", 1: "NotImplementedError", 2: "ValueError"}
+    assert got == {0: "ok", 1: "NotImplementedError", 2: "UnsupportedContainerError"}
+
+    # truncated PPM: recognized container, decoder-internal ValueError
+    # -> NOT a declared boundary, must propagate
+    trunc = spark.createDataFrame(
+        [(8, encode_ppm(ok_img)[:-5])], "doc_id long, payload binary"
+    )
+    with pytest.raises(PythonException, match="truncated PPM"):
+        image_channel_stats_quarantined(trunc).collect()
 
     # corrupt zlib stream inside a structurally-valid PNG: zlib.error
     # is NOT a declared boundary -> the job must fail

@@ -142,12 +142,17 @@ def test_priority_sample_ht_weights_bounded(spark):
 
 
 def test_priority_sample_tiny_corpus(spark, tmp_path):
-    """Engine/oracle parity at <= k items: no (k+1)-th priority exists,
-    so tau is undefined and the query returns NO rows — exactly the
-    oracle's empty-tau-CTE semantics (was a silent divergence: a biased
-    tau from fewer than k+1 rows)."""
+    """At <= k items no (k+1)-th priority exists, so the estimator
+    degenerates to the trivial EXACT sample: every item returned with
+    adj_weight = weight (inclusion probability 1 — the HT estimate is
+    then exactly the corpus total). Engine and oracle share the CASE
+    branch; previously this returned zero rows, surprising callers who
+    sampled a small source."""
+    import duckdb
+
     from minoan_athenaeum_spark.queries.pipeline import (
         _PRIO_K,
+        _PRIO_ORACLE,
         pipeline_priority_sample,
     )
 
@@ -157,7 +162,19 @@ def test_priority_sample_tiny_corpus(spark, tmp_path):
         "doc_id long, text string, source string",
     )
     docs.write.parquet(f"{sf_dir}/documents.parquet")
-    assert pipeline_priority_sample(spark, sf_dir).count() == 0
+    got = pipeline_priority_sample(spark, sf_dir).collect()
+    assert len(got) == _PRIO_K
+    # exact sample: adjusted weight IS the weight, HT sum == corpus sum
+    assert all(r.adj_weight == float(r.weight) for r in got)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    oracle = con.execute(_PRIO_ORACLE).fetchall()
+    assert sorted((r[0], r[1], r[3]) for r in oracle) == sorted(
+        (r.doc_id, r.weight, r.adj_weight) for r in got
+    )
 
 
 def test_mixing_quota_exactness_synthetic(spark):
