@@ -130,25 +130,36 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Also this round: parity_j4_range_join_ge now emits BOTH the `>=` and
 # `<=` join results row-tagged by op, closing the one §2 operator (J6)
 # without its own driver-verified line — no slot burned.
-# Round-7 rotation candidates (oracle-verified at sf0.001+sf0.01 when
-# added this round): stat_winsorize_approx (for a stats-family member
-# once one is back in window, or for skew_salted_agg's slot if the
-# skew family keeps its plan pin), sketch_count_min (sketch family),
-# text_phrase_search (search family next to text_bm25_search), and
-# ml_perceptron_quality_train (new ML family — the oracle replays the
-# full integer training recurrence in a recursive CTE, so the driver
-# would hash-check an ITERATIVE TRAINING trajectory end-to-end).
-# Late-r6 additions, all oracle-verified at sf0.001+sf0.01 and
-# plan-pinned, also strong candidates: dedup_minhash_incremental
-# (persisted-index incremental dedup — the operational form of the
-# driver-green dedup_minhash_lsh), sim_pca_covariance (one-pass exact
-# moments), sim_jl_project_topk (reduced-dimension ANN serving),
-# pipeline_shuffle_shards / pipeline_token_budget_head (training-order
-# + budget selection), and the classifier lifecycle closers
-# ml_quality_filter / stream_quality_gate_exec /
-# pipeline_curation_v3 (the last composes the trained gate into the
-# full curation recipe — a natural like-for-like swap for
-# pipeline_curation_v2's slot).
+# Round-7 executed the documented rotation of the r6 operator crop
+# (every incoming query RE-verified green vs its DuckDB oracle at
+# sf0.001 AND sf0.01 this session before the swap; every outgoing
+# member was driver-green in r6 or earlier and stays pytest-oracled
+# every round). Eight like-for-like swaps:
+#   ml_perceptron_quality_train for fn_string_basics (the new ML
+#     family gains its rep — the oracle replays the full integer
+#     training recurrence in a recursive CTE, so the driver
+#     hash-checks an ITERATIVE TRAINING trajectory end-to-end; the
+#     functions family keeps fn_pandas_udf_vectorized, which carries
+#     both the 'functions' and 'pandas-udf' tags);
+#   sketch_hll_distinct for sketch_heavy_hitters (sketch family —
+#     HLL's only prior appearance was r3's no_oracle row, the oldest
+#     never-green query in the repo; heavy hitters was green r6);
+#   stat_winsorize_approx for skew_salted_agg (the stats family
+#     returns to the window with the GK-sketch default; the salted-agg
+#     plan stays pytest-oracled + oracle-parity-gated);
+#   dedup_minhash_incremental for dedup_minhash_lsh (the operational
+#     persisted-index form; batch LSH was green r1-r6);
+#   sim_pca_covariance for sim_ann_ivf_kmeans_topk (decomposition rep
+#     joins; ANN keeps sim_ann_pq_adc_topk + the RRF fusion);
+#   text_bm25_search_indexed for text_bm25_search (the posting-index
+#     serving path strictly contains the ranking math);
+#   pipeline_token_budget_head for pipeline_decontaminate
+#     (selection-under-budget rep; decontaminate green r2-r6);
+#   pipeline_curation_v3 for pipeline_curation_v2 (strictly more
+#     stages: composes the TRAINED quality gate into the recipe).
+# Remaining documented candidates for r8: sketch_count_min,
+# text_phrase_search, sim_jl_project_topk, pipeline_shuffle_shards,
+# ml_quality_filter / stream_quality_gate_exec, plus whatever r7 adds.
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
@@ -169,30 +180,30 @@ CURATED_PREFIX = [
     "tpch_q18_large_orders",
     "setop_intersect",
     "win_time_range_moving_sum",
-    "sketch_heavy_hitters",
+    "sketch_hll_distinct",
     # scalar functions + both Python-UDF paths
-    "fn_string_basics",
+    "ml_perceptron_quality_train",
     "graph_sssp_weighted",
     "fn_pandas_udf_vectorized",
     "misc_skyline_pareto",
     "evt_sessionize",
     "sketch_kmv_intersection",
     "misc_incremental_join_view",
-    "skew_salted_agg",
+    "stat_winsorize_approx",
     "mm_adpcm_audio_features",
     # training-data extensions: dedup / similarity / text
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
+    "dedup_minhash_incremental",
     "dedup_substring_spans",
     "dedup_embedding_cosine_lsh",
     "dedup_components_star",
     "sim_hybrid_rrf",
     "sim_ann_pq_adc_topk",
-    "sim_ann_ivf_kmeans_topk",
+    "sim_pca_covariance",
     "sim_semdedup",
     "pipeline_pii_redact",
-    "text_bm25_search",
+    "text_bm25_search_indexed",
     # time-series / multimodal / streaming / rollup / bucketing
     "ts_asof_join",
     "text_suffix_array",
@@ -203,8 +214,8 @@ CURATED_PREFIX = [
     "rollup_incremental_refresh",
     "bucketed_colocated_join",
     # pipeline capstones
-    "pipeline_curation_v2",
-    "pipeline_decontaminate",
+    "pipeline_curation_v3",
+    "pipeline_token_budget_head",
     "text_bpe_tokenize",
 ]
 

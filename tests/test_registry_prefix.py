@@ -21,12 +21,18 @@ FAMILY_REPRESENTATIVES = {
     "tpch_q18_large_orders": "tpch",
     "setop_intersect": "setop",
     "win_time_range_moving_sum": "window",
-    "sketch_heavy_hitters": "heavy-hitters",
+    # r7 rotation: heavy-hitters (green r6) handed its slot to HLL —
+    # the oldest never-driver-green query; the sketch cluster keeps two
+    # window members (KMV + HLL).
+    "sketch_hll_distinct": "sketch",
     "dedup_substring_spans": "substring",
     "text_suffix_array": "suffix-array",
-    "fn_string_basics": "functions",
+    # r7 rotation: fn_string_basics (green r1-r6) handed its slot to
+    # the new ML-training family; fn_pandas_udf_vectorized carries the
+    # 'functions' tag too, so the scalar-function family keeps a rep.
+    "fn_pandas_udf_vectorized": "functions",
+    "ml_perceptron_quality_train": "ml",
     "graph_sssp_weighted": "graph",
-    "fn_pandas_udf_vectorized": "pandas-udf",
     # r6 rotation: SCD2/CDC (driver-green r4/r5, pytest-oracled since)
     # handed their slots to the mining rep and the IVM maintenance rep;
     # the merge/CDC/SCD2/IVM cluster keeps one window member.
@@ -34,19 +40,24 @@ FAMILY_REPRESENTATIVES = {
     "evt_sessionize": "events",
     "sketch_kmv_intersection": "sketch",
     "misc_incremental_join_view": "maintenance",
-    "skew_salted_agg": "skew",
+    # r7 rotation: skew_salted_agg (green r1-r6) handed its slot back
+    # to the stats family (GK-winsorize, the 100 TB default bounds).
+    "stat_winsorize_approx": "stats",
     "mm_adpcm_audio_features": "compressed",
     "dedup_exact": "dedup",
+    "dedup_minhash_incremental": "incremental",
     "sim_hybrid_rrf": "similarity",
     "sim_ann_pq_adc_topk": "pq",
+    "sim_pca_covariance": "pca",
     "pipeline_pii_redact": "pii",
-    "text_bm25_search": "text",
+    "text_bm25_search_indexed": "text",
     "ts_asof_join": "timeseries",
     "mm_jpeg_decode_stats": "multimodal",
     "stream_dedup_exec": "streaming",
     "rollup_incremental_refresh": "rollup",
     "bucketed_colocated_join": "bucketing",
-    "pipeline_curation_v2": "pipeline",
+    "pipeline_curation_v3": "pipeline",
+    "pipeline_token_budget_head": "selection",
 }
 
 
