@@ -1198,25 +1198,31 @@ _CCNET_ORACLE = r"""
 
 @query("text_ccnet_ppl_buckets", oracle=_CCNET_ORACLE, tags=("text", "lm", "quality", "ccnet"))
 def text_ccnet_ppl_buckets(spark, sf_dir):
-    """CCNet-style perplexity bucketing: a bigram LM is trained on the
-    REFERENCE slice of the corpus (lang='en' — the role Wikipedia
-    plays in CCNet), every document is scored against it with ADD-ONE
-    smoothing (unseen transitions pay the (0+1)/(0+V) penalty instead
-    of vanishing), and documents are split into head/middle/tail
-    terciles of the fluency score — the standard keep-head /
-    inspect-middle / drop-tail curation policy.
+    """FLUENCY-RATIO bucketing — the cheap SCREENING HEURISTIC next to
+    the faithful log-domain `text_ccnet_ppl_buckets_log`. A bigram LM
+    is trained on the REFERENCE slice of the corpus (lang='en' — the
+    role Wikipedia plays in CCNet, Wenzek et al. 2020), every document
+    is scored with ADD-ONE smoothing, and documents split into
+    head/middle/tail terciles. The score here is the RATIO OF SUMS
+    Σ(c_bg+1) / Σ(c_ctx+V) — NOT a perplexity: one very frequent
+    bigram can dominate a document's ratio, where in log space every
+    transition contributes equally. Use this variant as a first-pass
+    screen (it needs no log at all and the sums are exact BIGINTs);
+    use the _log variant for CCNet-faithful tercile assignment.
 
     Exactness: smoothed numerator Σc_bg + n and denominator
     Σc_ctx + n·V are exact BIGINTs (ONE terminal double division
     orders the terciles; doubles are bit-equal across engines so the
     rank order is too, with doc_id tie-breaks).
 
-    Scale shape: reference count tables are vocab-bounded partial
-    aggregates; scoring re-joins the corpus bigram stream by key
-    (left joins — unseen keys stay map-side after AQE broadcasts the
-    vocab tables); the tercile rank is the range-partitioned two-phase
-    global rank, NO single-reducer window; the only window left is the
-    oracle twin's, not the plan's."""
+    Scale shape: the reference count tables grow with reference-corpus
+    size (bigram TYPES follow Heaps' law — they are NOT |V|-bounded),
+    so at 100 TB the c_bg table won't broadcast: the score join
+    degrades to a shuffle join keyed by bigram, which AQE skew-splits
+    on the Zipf head. The corpus-side stream is re-joined by key; the
+    tercile rank is the range-partitioned two-phase global rank, NO
+    single-reducer window; the only window left is the oracle twin's,
+    not the plan's."""
     from minoan_athenaeum_spark.operators.dedup import normalized
     from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
 
@@ -1276,6 +1282,199 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
         "n_bg",
         "numer",
         "denom",
+        F.when((F.col("rn") - 1) * 3 < F.col("n"), "head")
+        .when((F.col("rn") - 1) * 3 < 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet log-perplexity bucketing (the faithful log-domain variant)
+# ---------------------------------------------------------------------------
+
+from minoan_athenaeum_spark.operators.intlog import (  # noqa: E402
+    log2_lookup_cte,
+    with_log2_fixed,
+)
+
+_CCNET_LOG_ORACLE = (
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), ref_bg AS (
+      SELECT g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d WHERE lang = 'en'
+      )
+    ), cbg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM ref_bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM cbg GROUP BY w1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT UNNEST(tk) AS w FROM d WHERE lang = 'en')
+    ), xvals AS (
+      SELECT DISTINCT c_bg + 1 AS x FROM cbg
+      UNION
+      SELECT DISTINCT cctx.c_ctx + vocab.v AS x FROM cctx, vocab
+      UNION
+      SELECT v AS x FROM vocab
+    ),
+    """
+    + log2_lookup_cte("xvals", "lgtab")
+    + r""",
+    lgv AS (
+      SELECT lgtab.lg AS lgv FROM lgtab JOIN vocab ON lgtab.x = vocab.v
+    ), cbg2 AS (
+      SELECT cbg.w1, cbg.w2, lgtab.lg AS lg_bg
+      FROM cbg JOIN lgtab ON lgtab.x = cbg.c_bg + 1
+    ), cctx2 AS (
+      SELECT cctx.w1, lgtab.lg AS lg_ctx
+      FROM cctx, vocab
+      JOIN lgtab ON lgtab.x = cctx.c_ctx + vocab.v
+    ), bg AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d
+      )
+    ), sc AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bg,
+             CAST(SUM(COALESCE(cbg2.lg_bg, 0)
+                      - COALESCE(cctx2.lg_ctx, lgv.lgv)) AS BIGINT) AS lg_sum
+      FROM bg
+      LEFT JOIN cbg2 ON bg.w1 = cbg2.w1 AND bg.w2 = cbg2.w2
+      LEFT JOIN cctx2 ON bg.w1 = cctx2.w1, lgv
+      GROUP BY bg.doc_id
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               ORDER BY CAST(lg_sum AS DOUBLE) / n_bg DESC, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM sc
+    )
+    SELECT doc_id, n_bg, lg_sum,
+           CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+"""
+)
+
+
+@query(
+    "text_ccnet_ppl_buckets_log",
+    oracle=_CCNET_LOG_ORACLE,
+    tags=("text", "lm", "quality", "ccnet", "perplexity"),
+)
+def text_ccnet_ppl_buckets_log(spark, sf_dir):
+    """CCNet perplexity bucketing, LOG-DOMAIN (Wenzek et al. 2020,
+    faithful form): train a bigram LM with add-one smoothing on the
+    reference slice (lang='en'), score every document by its average
+    log-probability (1/n)·Σ log((c_bg+1)/(c_ctx+V)) — equivalently
+    negative log-perplexity — and bucket into head/middle/tail
+    terciles (head = lowest perplexity). Unlike the ratio-of-sums
+    screening heuristic (`text_ccnet_ppl_buckets`), every transition
+    contributes equally here: one frequent bigram cannot mask a
+    disfluent document.
+
+    Exactness without libm: the log is the QUANTIZED fixed-point
+    integer log2 L(x) (operators/intlog.py — msb-normalize +
+    shift-and-square, Q24), so per-document lg_sum =
+    Σ(L(c_bg+1) − L(c_ctx+V)) is an exact BIGINT that any engine
+    reproduces bit-for-bit; the oracle replays the identical integer
+    recurrence as a generated CTE chain. One terminal IEEE double
+    division (lg_sum/n_bg) orders the terciles, doc_id tie-break.
+    Quantization (2^-24, ±~25·2^-30 truncation) is part of the
+    operator contract — validated against float log2 in
+    tests/test_intlog.py.
+
+    Scale shape: L is evaluated on the DISTINCT-key count tables
+    (|bigram types| and |contexts| rows, NOT the corpus instance
+    stream) as ~60 int64 codegen expressions per distinct count; the
+    corpus pays only the same two score joins as the heuristic
+    variant (bigram-keyed shuffle joins at 100 TB — Heaps' law means
+    the count tables outgrow broadcast; AQE skew-splits the Zipf
+    head), one map-side-combined per-doc aggregate, and the two-phase
+    global rank. No single-reducer window, no driver collect."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(normalized(), " ").alias("tk")
+    )
+    pairs = F.when(
+        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 1),
+            lambda i: F.struct(
+                F.element_at("tk", i).alias("w1"),
+                F.element_at("tk", i + 1).alias("w2"),
+            ),
+        )
+    )
+    withbg = d.withColumn("g", pairs)
+    ref = withbg.filter(F.col("lang") == "en")
+    ref_bg = ref.select(F.explode("g").alias("p")).select(
+        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_bg"))
+    cctx = cbg.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
+    vocab = ref.select(F.explode("tk").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    # quantized log2 on the DISTINCT-key count tables (not the stream)
+    cbg2 = with_log2_fixed(
+        cbg.withColumn("xb", F.col("c_bg") + 1), "xb", "lg_bg"
+    ).select("w1", "w2", "lg_bg")
+    cctx2 = with_log2_fixed(
+        cctx.crossJoin(F.broadcast(vocab)).withColumn(
+            "xc", F.col("c_ctx") + F.col("v")
+        ),
+        "xc",
+        "lg_ctx",
+    ).select("w1", "lg_ctx")
+    lgv = with_log2_fixed(
+        vocab.withColumn("xv", F.col("v")), "xv", "lgv"
+    ).select("lgv")
+    bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    sc = (
+        bg.join(cbg2, ["w1", "w2"], "left")
+        .join(cctx2, "w1", "left")
+        .crossJoin(F.broadcast(lgv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bg"),
+            F.sum(
+                F.coalesce(F.col("lg_bg"), F.lit(0))
+                - F.coalesce(F.col("lg_ctx"), F.col("lgv"))
+            )
+            .cast("bigint")
+            .alias("lg_sum"),
+        )
+    )
+    scored = sc.withColumn(
+        "neg", -(F.col("lg_sum").cast("double") / F.col("n_bg").cast("double"))
+    )
+    ranked = grouped_two_phase_rank(scored, [], ["neg", "doc_id"], out_col="rn")
+    n = sc.agg(F.count("*").cast("bigint").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n_bg",
+        "lg_sum",
         F.when((F.col("rn") - 1) * 3 < F.col("n"), "head")
         .when((F.col("rn") - 1) * 3 < 2 * F.col("n"), "middle")
         .otherwise("tail")

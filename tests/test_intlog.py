@@ -1,0 +1,145 @@
+"""Fixed-point integer log2 (operators/intlog.py) and the log-domain
+CCNet perplexity bucketing built on it.
+
+The operator's claim is threefold: (1) the quantized log is CLOSE to
+the real log2 (within 2^-24 + normalization truncation), (2) all three
+implementations (Python ints, Spark codegen columns, generated DuckDB
+CTE chain) are BIT-IDENTICAL, and (3) the tercile assignment that
+text_ccnet_ppl_buckets_log derives from it matches an independent
+float-domain NumPy implementation of CCNet bucketing on a pinned
+corpus (i.e. the quantization never reorders real documents).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from minoan_athenaeum_spark.operators.intlog import (
+    log2_fixed_int,
+    log2_lookup_cte,
+    with_log2_fixed,
+)
+
+EDGE = [1, 2, 3, 4, 5, 7, 15, 16, 17, (1 << 31) - 1, 1 << 31, (1 << 62) + 12345]
+
+
+def test_python_reference_accuracy():
+    rng = random.Random(7)
+    xs = EDGE + [rng.randrange(1, 1 << 62) for _ in range(5000)]
+    for x in xs:
+        err = abs(log2_fixed_int(x) / (1 << 24) - math.log2(x))
+        # 2^-24 quantization + <= ~25*2^-30 truncation during squaring
+        assert err < 1e-6, (x, err)
+    assert log2_fixed_int(1) == 0
+    assert log2_fixed_int(2) == 1 << 24
+    assert log2_fixed_int(1 << 40) == 40 << 24
+    with pytest.raises(ValueError):
+        log2_fixed_int(0)
+
+
+def test_python_reference_monotone():
+    # strictly monotone on small x (each unit step exceeds the quantum
+    # up to x ~ 2^24/ln2); non-decreasing beyond
+    prev = -1
+    for x in range(1, 4000):
+        cur = log2_fixed_int(x)
+        assert cur > prev
+        prev = cur
+
+
+def test_spark_matches_python(spark):
+    rng = random.Random(13)
+    xs = EDGE + [rng.randrange(1, 1 << 62) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    got = {r.x: r.lg for r in with_log2_fixed(df, "x", "lg").collect()}
+    assert all(got[x] == log2_fixed_int(x) for x in xs)
+
+
+def test_duckdb_cte_matches_python():
+    import duckdb
+
+    rng = random.Random(29)
+    xs = EDGE + [rng.randrange(1, 1 << 62) for _ in range(500)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v(x BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in xs])
+    sql = (
+        "WITH vals AS (SELECT x FROM v),\n    "
+        + log2_lookup_cte("vals", "lgtab")
+        + "\nSELECT x, lg FROM lgtab"
+    )
+    got = dict(con.execute(sql).fetchall())
+    assert all(got[x] == log2_fixed_int(x) for x in xs)
+
+
+def _numpy_ccnet_buckets(rows: list[tuple[int, str, str]]) -> dict[int, str]:
+    """Independent float-domain CCNet bucketing: add-one bigram LM on
+    the lang='en' slice, score = mean log((c_bg+1)/(c_ctx+V)), terciles
+    of rank order (desc score, doc_id tiebreak). Pure Python/float —
+    shares NO code with the engine path."""
+    tok = {d: t.lower().strip().split() for d, t, _ in rows}
+    ref = [tok[d] for d, _, lang in rows if lang == "en"]
+    cbg: dict[tuple[str, str], int] = {}
+    vocab = set()
+    for tk in ref:
+        vocab.update(tk)
+        for a, b in zip(tk, tk[1:]):
+            cbg[(a, b)] = cbg.get((a, b), 0) + 1
+    cctx: dict[str, int] = {}
+    for (a, _), c in cbg.items():
+        cctx[a] = cctx.get(a, 0) + c
+    v = len(vocab)
+    scores = {}
+    for d, _, _ in rows:
+        tk = tok[d]
+        if len(tk) < 2:
+            continue
+        s = 0.0
+        for a, b in zip(tk, tk[1:]):
+            s += math.log2((cbg.get((a, b), 0) + 1) / (cctx.get(a, 0) + v))
+        scores[d] = s / (len(tk) - 1)
+    order = sorted(scores, key=lambda d: (-scores[d], d))
+    n = len(order)
+    out = {}
+    for i, d in enumerate(order):
+        out[d] = "head" if i * 3 < n else ("middle" if i * 3 < 2 * n else "tail")
+    return out
+
+
+def test_ccnet_log_buckets_match_numpy_reference(spark, tmp_path):
+    """Pinned-corpus fidelity: the engine's quantized-integer-log
+    terciles equal an independent float NumPy/Python implementation —
+    i.e. Q24 quantization does not reorder documents across tercile
+    boundaries on a realistic mixed corpus."""
+    from minoan_athenaeum_spark.queries.text import text_ccnet_ppl_buckets_log
+
+    rng = random.Random(101)
+    common = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "a", "big"]
+    rare = ["zyx", "qqv", "wkj", "vrb", "xxo", "jjq"]
+    rows = []
+    for d in range(120):
+        if d % 3 == 0:  # fluent: common-word chains (reference-like)
+            words = [rng.choice(common) for _ in range(rng.randrange(8, 30))]
+        elif d % 3 == 1:  # mixed
+            words = [
+                rng.choice(common if rng.random() < 0.6 else rare)
+                for _ in range(rng.randrange(8, 30))
+            ]
+        else:  # disfluent: mostly rare transitions
+            words = [rng.choice(rare) for _ in range(rng.randrange(8, 30))]
+        lang = "en" if d % 2 == 0 else "xx"
+        rows.append((d, " ".join(words), lang))
+    spark.createDataFrame(
+        [(d, txt, lang, "web") for d, txt, lang in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r.doc_id: r.bucket
+        for r in text_ccnet_ppl_buckets_log(spark, str(tmp_path)).collect()
+    }
+    want = _numpy_ccnet_buckets(rows)
+    assert got == want
