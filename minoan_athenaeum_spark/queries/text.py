@@ -1480,3 +1480,61 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@query(
+    "text_bm25_index_append",
+    oracle=_bm25_oracle(),
+    tags=("text", "search", "bm25", "index", "incremental"),
+)
+def text_bm25_index_append(spark, sf_dir):
+    """INCREMENTAL BM25 index maintenance, served end-to-end: the base
+    index holds the EXISTING corpus (doc_id % 10 != 0, built once per
+    source fingerprint — the same generation convention as the
+    incremental LSH dedup), the arriving batch (doc_id % 10 == 0) is
+    folded in via `append_to_bm25_index` (delta posting segments +
+    exact stats merge), and the standard _BM25_TERMS query is served
+    from the APPENDED index. The oracle is the full-corpus BM25 twin —
+    identical to text_bm25_search's — so a green row proves
+    append-then-serve ≡ rebuild-then-serve through the entire ranking
+    math (df from base+delta postings, avgdl from merged exact sums).
+
+    The append lands in a scratch copy of the base index (refreshed
+    per run), so the fingerprint-keyed base stays pristine and the
+    query is deterministic under re-execution.
+
+    Scale shape: the corpus pays NOTHING per batch — only the batch is
+    tokenized (map-only) and its delta segments written; stats merge
+    is 1-row arithmetic. Serving reads base + one delta generation
+    with the term filter pushed into both (row-group min/max pruning);
+    generations compact by rewriting through write_posting_segments."""
+    import os
+    import shutil
+
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        append_to_bm25_index,
+        ensure_bm25_index,
+    )
+
+    base = ensure_bm25_index(spark, sf_dir, slice_="existing")
+    work = base + "_appendwork"
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(base, work)
+    batch = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    append_to_bm25_index(spark, work, batch)
+
+    p = spark.read.parquet(os.path.join(work, "postings")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    stats = spark.read.parquet(os.path.join(work, "stats")).select(
+        "n_docs", "avgdl"
+    )
+    tf = p.select("doc_id", "term", F.col("tf").cast("double").alias("tf"), "dl")
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    return (
+        _bm25_rank_per_doc(scored)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -55,11 +55,15 @@ def lookup_term(
 # BM25 serving index: postings + norms + corpus stats, built once
 # ---------------------------------------------------------------------------
 
-def bm25_index_path(spark: SparkSession, sf_dir: str) -> str | None:
+def bm25_index_path(
+    spark: SparkSession, sf_dir: str, slice_: str = "full"
+) -> str | None:
     """Warehouse directory for the BM25 index of ``sf_dir``'s documents
     table, freshness-fingerprinted like the bucketed facts (a changed
     source parquet resolves to a new path, so a stale index is simply
-    never served). None when the warehouse isn't a local filesystem."""
+    never served). ``slice_`` distinguishes the full-corpus index from
+    the existing-corpus base the incremental queries append onto. None
+    when the warehouse isn't a local filesystem."""
     import hashlib
     import os
 
@@ -72,47 +76,124 @@ def bm25_index_path(spark: SparkSession, sf_dir: str) -> str | None:
         return None
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    return os.path.join(wh, f"mas_bm25idx_{tag}_{fresh}")
+    sl = "" if slice_ == "full" else f"_{slice_}"
+    # v2: stats table gained sum_dl (exact append merges); the version
+    # bump keeps pre-append-era warehouse dirs from being served
+    return os.path.join(wh, f"mas_bm25idx2_{tag}{sl}_{fresh}")
+
+
+def doc_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf, dl) postings of a documents slice — the ONE
+    definition the full build and the batch append both use, so an
+    appended index is bit-identical to a rebuild."""
+    from minoan_athenaeum_spark.operators.text import tokens
+
+    d = docs.select("doc_id", tokens().alias("toks"))
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    return (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .join(dl, "doc_id")
+    )
+
+
+def _write_stats(dl_stats_row, path: str, spark: SparkSession) -> None:
+    n, s = float(dl_stats_row["n_docs"]), float(dl_stats_row["sum_dl"])
+    spark.createDataFrame(
+        [(n, s / n, s)], "n_docs double, avgdl double, sum_dl double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def ensure_bm25_index(
-    spark: SparkSession, sf_dir: str, num_segments: int = 8
+    spark: SparkSession, sf_dir: str, num_segments: int = 8, slice_: str = "full"
 ) -> str:
-    """Materialize the documents table's BM25 serving index under the
-    warehouse: term-range-segmented postings (term, doc_id, tf, dl —
-    the doc-length norm is DENORMALIZED onto each posting, the
-    standard trick that makes query-time scoring join-free) plus a
-    1-row corpus-stats table (n_docs, avgdl). Idempotent per source
-    fingerprint; the tokenize+explode+count happens HERE, once at
-    index-build time, never at query time."""
+    """Materialize a BM25 serving index under the warehouse:
+    term-range-segmented postings (term, doc_id, tf, dl — the
+    doc-length norm is DENORMALIZED onto each posting, the standard
+    trick that makes query-time scoring join-free) plus a 1-row
+    corpus-stats table (n_docs, avgdl, sum_dl — sum_dl is stored so an
+    append can merge stats EXACTLY: doc lengths are integer-valued
+    doubles, their sums are exact below 2^53, so merged avgdl is
+    bit-equal to a rebuild's). Idempotent per source fingerprint; the
+    tokenize+explode+count happens HERE, once at index-build time,
+    never at query time. ``slice_='existing'`` indexes only
+    ``doc_id % 10 != 0`` — the base corpus of the incremental
+    append/serve queries (same convention as sources/lsh_index.py)."""
     import os
 
     from minoan_athenaeum_spark.catalog import load_table
-    from minoan_athenaeum_spark.operators.text import tokens
 
-    path = bm25_index_path(spark, sf_dir)
+    path = bm25_index_path(spark, sf_dir, slice_)
     if path is None:
         raise RuntimeError("BM25 index needs a local warehouse dir")
     if os.path.isfile(os.path.join(path, "postings", "_SUCCESS")) and os.path.isfile(
         os.path.join(path, "stats", "_SUCCESS")
     ):
         return path
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens().alias("toks")
-    )
-    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
-    postings = (
-        d.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-        .join(dl, "doc_id")
-    )
+    docs = load_table(spark, sf_dir, "documents")
+    if slice_ == "existing":
+        docs = docs.filter(F.col("doc_id") % 10 != 0)
+    postings = doc_postings(docs)
     write_posting_segments(
         postings, os.path.join(path, "postings"), num_segments=num_segments
     )
-    stats = dl.agg(
-        F.count("*").cast("double").alias("n_docs"),
-        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
-    )
-    stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+    _write_stats(_dl_stats(docs), os.path.join(path, "stats"), spark)
     return path
+
+
+def _dl_stats(docs: DataFrame):
+    """1-row (n_docs, sum_dl) over a documents slice, computed from the
+    docs themselves (not the postings) so token-less documents still
+    count toward the corpus stats."""
+    from minoan_athenaeum_spark.operators.text import tokens
+
+    return (
+        docs.select(F.size(tokens()).cast("double").alias("dl"))
+        .agg(
+            F.count("*").cast("double").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .collect()[0]
+    )
+
+
+def append_to_bm25_index(
+    spark: SparkSession, path: str, new_docs: DataFrame, num_segments: int = 1
+) -> None:
+    """Fold a document batch INTO a persisted BM25 index — the
+    maintenance step that keeps a growing corpus searchable without
+    the full tokenize+segment rebuild (mirror of
+    lsh_index.append_to_minhash_index, r6's LSH maintenance pattern).
+
+    Postings: the batch's (term, doc_id, tf, dl) rows are written as
+    DELTA segments (parquet append, term-range-sorted within the
+    batch) — term lookups still prune by row-group min/max, now over
+    base + delta files; a lookup touches one base segment plus one
+    delta segment per appended generation, the classic LSM read
+    shape (compaction = rewrite through write_posting_segments when
+    generations accumulate). Stats: n_docs and sum_dl merge by exact
+    addition (integer-valued doubles), so the merged avgdl is
+    BIT-EQUAL to a from-scratch rebuild — pinned by
+    tests/test_text_ops.py::test_bm25_append_equals_rebuild and by
+    text_bm25_index_append's full-rebuild oracle. Per-doc_id
+    idempotence is the caller's contract (each doc appended once)."""
+    import os
+
+    batch = doc_postings(new_docs).localCheckpoint(eager=True)
+    try:
+        (
+            batch.repartitionByRange(num_segments, F.col("term"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .parquet(os.path.join(path, "postings"))
+        )
+        brow = _dl_stats(new_docs)
+        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
+        merged = {
+            "n_docs": float(old["n_docs"]) + float(brow["n_docs"]),
+            "sum_dl": float(old["sum_dl"]) + float(brow["sum_dl"]),
+        }
+        _write_stats(merged, os.path.join(path, "stats"), spark)
+    finally:
+        batch.unpersist()

@@ -83,3 +83,46 @@ def test_lookup_prunes_to_one_segment(spark, sf_dir, tmp_path):
                 admitting += 1
                 break  # count files, not row groups
     assert admitting <= 1
+
+
+def test_bm25_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Maintenance contract (mirror of the LSH index's
+    test_append_to_index_equals_rebuild): ensure(existing) +
+    append(batch) holds the same (term, doc_id, tf, dl) posting set
+    and a BIT-EQUAL stats row as building the full-corpus index from
+    scratch."""
+    import shutil
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        append_to_bm25_index,
+        ensure_bm25_index,
+    )
+
+    base = ensure_bm25_index(spark, sf_dir, slice_="existing")
+    work = str(tmp_path / "bm25idx")
+    shutil.copytree(base, work)
+    batch = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    append_to_bm25_index(spark, work, batch)
+
+    full = ensure_bm25_index(spark, sf_dir, slice_="full")
+    got_postings = {
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in spark.read.parquet(os.path.join(work, "postings")).collect()
+    }
+    want_postings = {
+        (r.term, r.doc_id, r.tf, r.dl)
+        for r in spark.read.parquet(os.path.join(full, "postings")).collect()
+    }
+    assert got_postings == want_postings
+
+    got_stats = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
+    want_stats = spark.read.parquet(os.path.join(full, "stats")).collect()[0]
+    # exact equality — integer-valued double sums merge losslessly
+    assert (got_stats.n_docs, got_stats.avgdl, got_stats.sum_dl) == (
+        want_stats.n_docs,
+        want_stats.avgdl,
+        want_stats.sum_dl,
+    )
