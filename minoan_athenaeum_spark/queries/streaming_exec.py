@@ -533,3 +533,160 @@ def stream_quality_gate_exec(spark, sf_dir):
     ).filter(F.col("logit") > 0)
     name = f"q_stream_quality_{next(_counter)}"
     return run_to_memory(gated, name, mode="append")
+
+
+_MINHASH_GATE_ORACLE = r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2, 0) + 1),
+               i -> substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+             )) AS sh
+      FROM documents
+    ), sig AS (
+      SELECT doc_id,
+             list_transform(range(0, 16), i ->
+               list_min(list_transform(sh, x ->
+                 CAST(('0x' || substr(md5(x || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)))) AS sg
+      FROM s
+    ), banded AS (
+      SELECT doc_id,
+             list_transform(range(0, 4), b ->
+               CAST(('0x' || substr(md5(array_to_string(list_slice(sg, b*4 + 1, b*4 + 4), ',')
+                                        || '#' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT)) AS bk
+      FROM sig
+    ), ex AS (
+      SELECT doc_id, unnest(bk) AS bucket FROM banded
+    ), cand AS (
+      SELECT DISTINCT e.doc_id AS a, n.doc_id AS b
+      FROM ex e JOIN ex n ON e.bucket = n.bucket
+      WHERE e.doc_id % 10 != 0 AND n.doc_id % 10 = 0
+    ), scored AS (
+      SELECT c.a AS a, c.b AS b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (CAST(len(sa.sh) + len(sb.sh) AS DOUBLE)
+                  - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)) AS jacc
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    ), dup AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_dups, MAX(jacc) AS max_jacc
+      FROM scored WHERE jacc >= 0.5 GROUP BY b
+    )
+    SELECT d.doc_id,
+           COALESCE(dup.n_dups, 0) AS n_dups,
+           dup.max_jacc AS max_jacc,
+           CASE WHEN dup.n_dups IS NOT NULL THEN 'quarantine' ELSE 'pass' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN dup ON d.doc_id = dup.b
+"""
+
+
+@query(
+    "stream_minhash_dedup_exec",
+    oracle=_MINHASH_GATE_ORACLE,
+    tags=("streaming", "dedup", "minhash", "incremental", "exec"),
+)
+def stream_minhash_dedup_exec(spark, sf_dir):
+    """STREAMING NEAR-DUP INGEST GATE — the MinHash sibling of
+    stream_quality_gate_exec, composing the persisted LSH band index
+    (sources/lsh_index.py, built once over the existing corpus) with
+    the streaming ingest path: document batches (doc_id % 10 == 0)
+    arrive via a file-source stream with an availableNow drain; each
+    micro-batch is shingled/signed/banded MAP-ONLY, joined against the
+    STATIC index on bucket, exact-Jaccard-verified against the static
+    shingle table, and every batch document is emitted as `pass`
+    (no existing near-dup) or `quarantine` (n_dups partners, max
+    Jaccard) through the idempotent batch_id-partitioned parquet sink
+    (exactly-once under replay). The oracle re-derives both
+    generations from scratch in DuckDB — the drain must hash-match the
+    full-recompute batch twin exactly.
+
+    foreachBatch is the production shape here: the gate needs a
+    left-join + per-doc aggregate against the batch's own candidates,
+    and doing it per micro-batch keeps the streaming state ZERO (the
+    only state is the durable index on disk) — the same
+    serve-vs-maintain split as dedup_minhash_incremental, now on the
+    live ingest path. At 100 TB each arriving batch pays O(batch +
+    matched index buckets); the corpus is never re-shingled."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.dedup import jaccard
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        band_rows,
+        ensure_minhash_index,
+        shingled,
+    )
+    from minoan_athenaeum_spark.streaming.ops import read_documents_stream
+
+    idx_path = ensure_minhash_index(spark, sf_dir)
+    idx_bands = spark.read.parquet(os.path.join(idx_path, "bands"))
+    idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
+
+    base = tempfile.mkdtemp(prefix="mas_minhash_gate_")
+    out, ckpt = f"{base}/out", f"{base}/ckpt"
+
+    def gate(batch_df, batch_id: int) -> None:
+        docs = batch_df.filter(F.col("doc_id") % 10 == 0)
+        batch_sh = shingled(docs).localCheckpoint(eager=True)
+        try:
+            new_keys = band_rows(batch_sh).select(
+                "bucket", F.col("doc_id").alias("b")
+            )
+            cand = (
+                idx_bands.join(F.broadcast(new_keys), "bucket")
+                .select(F.col("doc_id").alias("a"), "b")
+                .dropDuplicates(["a", "b"])
+            )
+            ver = cand.join(
+                idx_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")),
+                "a",
+            ).join(
+                F.broadcast(
+                    batch_sh.select(
+                        F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")
+                    )
+                ),
+                "b",
+            )
+            j = jaccard(F.col("a_sh"), F.col("b_sh"))
+            dup = (
+                ver.select("b", j.alias("jacc"))
+                .filter(F.col("jacc") >= 0.5)
+                .groupBy("b")
+                .agg(
+                    F.count("*").cast("bigint").alias("n_dups"),
+                    F.max("jacc").alias("max_jacc"),
+                )
+            )
+            verdicts = (
+                batch_sh.select(F.col("doc_id"))
+                .join(dup, F.col("doc_id") == F.col("b"), "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("n_dups"), F.lit(0).cast("bigint")).alias(
+                        "n_dups"
+                    ),
+                    "max_jacc",
+                    F.when(F.col("n_dups").isNotNull(), "quarantine")
+                    .otherwise("pass")
+                    .alias("status"),
+                )
+            )
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch_id={batch_id}")
+            )
+        finally:
+            batch_sh.unpersist()
+
+    stream = read_documents_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("doc_id", "n_dups", "max_jacc", "status")
