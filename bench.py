@@ -64,6 +64,16 @@ HEADLINE = [
     "stat_winsorize",
     # r6 late addition: distributed averaged-perceptron training
     "ml_perceptron_quality_train",
+    # r7: the r6/r7 operator families under the gate. The incremental
+    # pair (LSH dedup serve, indexed BM25) measure WARM index serving —
+    # the fingerprint-keyed index build is pay-once in the warehouse;
+    # a clean checkout pays it on the first bench run only.
+    "dedup_minhash_incremental",
+    "text_bm25_search_indexed",
+    "text_ccnet_ppl_buckets",
+    "text_ccnet_ppl_buckets_log",
+    "pipeline_curation_v3",
+    "pipeline_token_budget_head",
 ]
 
 
