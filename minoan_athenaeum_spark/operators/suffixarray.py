@@ -254,3 +254,91 @@ def lcp_adjacent(
     return pairs.select(
         "rank", F.col("b").alias("pos"), F.col("acc").alias("lcp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded per-shard suffix arrays — the 100 TB production form
+# ---------------------------------------------------------------------------
+
+def np_inverse_suffix_array(s: bytes):
+    """Inverse suffix array (0-based dense suffix rank per position) of
+    an ASCII byte string, by in-memory prefix doubling over numpy
+    (lexsort + diff-flag dense ranking — the same Manber-Myers
+    recurrence as the distributed path, collapsed into vectorized
+    array ops). O(n log^2 n), pure integer comparisons, bit-identical
+    to sorting the suffix strings (ASCII: byte order == char order)."""
+    import numpy as np
+
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    # initial ranks: dense-rank the codes so the early-exit test is exact
+    order = np.argsort(rank, kind="stable")
+    flags = np.ones(n, dtype=np.int64)
+    flags[1:] = np.diff(rank[order]) != 0
+    dense = np.cumsum(flags) - 1
+    out = np.empty(n, dtype=np.int64)
+    out[order] = dense
+    rank = out
+    k = 1
+    while rank.max() != n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        pair_r, pair_k = rank[order], key2[order]
+        flags = np.ones(n, dtype=np.int64)
+        flags[1:] = (np.diff(pair_r) != 0) | (np.diff(pair_k) != 0)
+        dense = np.cumsum(flags) - 1
+        out = np.empty(n, dtype=np.int64)
+        out[order] = dense
+        rank = out
+        k *= 2
+    return rank
+
+
+def sharded_suffix_ranks(
+    docs: DataFrame,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "txt",
+    sep: str = "|",
+) -> DataFrame:
+    """(shard, pos, rank) — per-shard inverse suffix arrays, one
+    INDEPENDENT bounded index per shard, built inside a single Arrow
+    task each (applyInPandas → numpy prefix doubling).
+
+    This is the scale posture for suffix-array indexing at 100 TB: the
+    global prefix-doubling array (suffix_array above) is the one
+    operator in the repo that shuffles the full corpus O(log n) times —
+    correct, but days at 100 TB. Production substring tooling (Lee et
+    al. 2022's deduplicate-text-datasets builds suffix arrays on
+    bounded chunks and merges results) shards the corpus
+    (domain/source/date) into BOUNDED pieces, builds each array
+    locally, and unions the results: zero corpus-wide shuffles, one
+    groupBy(shard) exchange, every shard an independent task. The
+    shard-size ceiling is the task's memory (~int64 ranks: 16 bytes ×
+    chars, so ~1 GB text per 16 GB task); enforce it with the layout,
+    not the operator. Cross-shard duplicate detection remains
+    dedup_substring_spans' fixed-L gram job — per-shard arrays answer
+    within-shard substring/repetition queries exactly."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = pdf[shard_col].iloc[0]
+        pdf = pdf.sort_values(id_col)
+        corpus = sep.join(pdf[text_col].tolist()) + sep
+        ranks = np_inverse_suffix_array(corpus.encode("ascii"))
+        return pd.DataFrame(
+            {
+                "shard": shard,
+                "pos": range(len(ranks)),
+                "rank": ranks,
+            }
+        )
+
+    return (
+        docs.select(shard_col, id_col, text_col)
+        .groupBy(shard_col)
+        .applyInPandas(build, "shard string, pos long, rank long")
+    )

@@ -40,6 +40,25 @@ def token_count(col: str = "text") -> Column:
     return F.size(tokens(col))
 
 
+def bigram_pairs(tk_col: str = "tk") -> Column:
+    """``array<struct<w1,w2>>`` of adjacent token pairs from a token
+    array column. Built as arrays_zip over two slices — pure codegen,
+    O(L) per row. (The equivalent higher-order form
+    ``transform(sequence(...), i -> struct(element_at...))`` drops to
+    interpreted per-element lambda evaluation and measured 13× slower
+    on the sf0.1 corpus — 16.5 s vs 1.3 s for the same 266k bigrams.)"""
+    c = F.col(tk_col)
+    n1 = F.size(c) - 1
+    return F.when(
+        F.size(c) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(
+        F.arrays_zip(
+            F.slice(c, 1, n1).alias("w1"),
+            F.slice(c, 2, n1).alias("w2"),
+        )
+    )
+
+
 def char_count(col: str = "text") -> Column:
     return F.length(F.col(col))
 

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from minoan_athenaeum_spark.operators.text import (
     STOPWORDS,
+    bigram_pairs,
     char_count,
     fingerprint,
     punct_count,
@@ -470,17 +471,7 @@ def text_bigram_lm_score(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.split(normalized(), " ").alias("tk")
     )
-    pairs = F.when(
-        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - 1),
-            lambda i: F.struct(
-                F.element_at("tk", i).alias("w1"),
-                F.element_at("tk", i + 1).alias("w2"),
-            ),
-        )
-    )
+    pairs = bigram_pairs("tk")
     bg = d.select("doc_id", F.explode(pairs).alias("g")).select(
         "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
@@ -1226,20 +1217,19 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
     from minoan_athenaeum_spark.operators.dedup import normalized
     from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split(normalized(), " ").alias("tk")
+    # featurize ONCE: tokenize in parallel (the single-file bench table
+    # scans as one partition) and pin the token table — the LM branches
+    # (bigram counts, context counts, vocab, per-doc scoring) otherwise
+    # each re-run the corpus tokenize as their own single-task
+    # broadcast job. At 100 TB this checkpoint is the featurize-once
+    # layout: land the token table columnar once, serve every branch.
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
+        .localCheckpoint(eager=True)
     )
-    pairs = F.when(
-        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - 1),
-            lambda i: F.struct(
-                F.element_at("tk", i).alias("w1"),
-                F.element_at("tk", i + 1).alias("w2"),
-            ),
-        )
-    )
+    pairs = bigram_pairs("tk")
     withbg = d.withColumn("g", pairs)
     ref = withbg.filter(F.col("lang") == "en")
     ref_bg = ref.select(F.explode("g").alias("p")).select(
@@ -1274,9 +1264,12 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
     )
     scored = sc.withColumn(
         "neg", -(F.col("numer").cast("double") / F.col("denom").cast("double"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pin per-doc scores before ranking — see the _log twin's note
     ranked = grouped_two_phase_rank(scored, [], ["neg", "doc_id"], out_col="rn")
-    n = sc.agg(F.count("*").cast("bigint").alias("n"))
+    # count over RANKED (built on grouped_two_phase_rank's localCheckpoint)
+    # — counting `sc` instead would re-run the whole score pipeline
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
     return ranked.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_bg",
@@ -1410,20 +1403,19 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
     from minoan_athenaeum_spark.operators.dedup import normalized
     from minoan_athenaeum_spark.operators.scan import grouped_two_phase_rank
 
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split(normalized(), " ").alias("tk")
+    # featurize ONCE: tokenize in parallel (the single-file bench table
+    # scans as one partition) and pin the token table — the LM branches
+    # (bigram counts, context counts, vocab, per-doc scoring) otherwise
+    # each re-run the corpus tokenize as their own single-task
+    # broadcast job. At 100 TB this checkpoint is the featurize-once
+    # layout: land the token table columnar once, serve every branch.
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
+        .localCheckpoint(eager=True)
     )
-    pairs = F.when(
-        F.size("tk") < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.size("tk") - 1),
-            lambda i: F.struct(
-                F.element_at("tk", i).alias("w1"),
-                F.element_at("tk", i + 1).alias("w2"),
-            ),
-        )
-    )
+    pairs = bigram_pairs("tk")
     withbg = d.withColumn("g", pairs)
     ref = withbg.filter(F.col("lang") == "en")
     ref_bg = ref.select(F.explode("g").alias("p")).select(
@@ -1434,20 +1426,33 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
     vocab = ref.select(F.explode("tk").alias("w")).agg(
         F.countDistinct("w").cast("bigint").alias("v")
     )
-    # quantized log2 on the DISTINCT-key count tables (not the stream)
-    cbg2 = with_log2_fixed(
-        cbg.withColumn("xb", F.col("c_bg") + 1), "xb", "lg_bg"
-    ).select("w1", "w2", "lg_bg")
-    cctx2 = with_log2_fixed(
-        cctx.crossJoin(F.broadcast(vocab)).withColumn(
-            "xc", F.col("c_ctx") + F.col("v")
-        ),
-        "xc",
-        "lg_ctx",
-    ).select("w1", "lg_ctx")
-    lgv = with_log2_fixed(
-        vocab.withColumn("xv", F.col("v")), "xv", "lgv"
-    ).select("lgv")
+    # quantized log2 via ONE lookup table over the union of distinct
+    # count values (the oracle's xvals/lgtab shape exactly). One
+    # application = one codegen unit: the 59-projection recurrence
+    # costs ~2 s of Janino compile per DISTINCT plan shape, so three
+    # inline applications paid ~6 s of pure compile; the single lookup
+    # pays it once and L is computed once per distinct value globally
+    # (|distinct counts| = O(sqrt(corpus bigrams)) — bounded, AQE
+    # broadcasts the joins back).
+    cctx_v = cctx.crossJoin(F.broadcast(vocab))
+    xs = (
+        cbg.select((F.col("c_bg") + 1).alias("x"))
+        .union(cctx_v.select((F.col("c_ctx") + F.col("v")).alias("x")))
+        .union(vocab.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    lgtab = with_log2_fixed(xs, "x", "lg")
+    cbg2 = (
+        cbg.join(lgtab, cbg["c_bg"] + 1 == lgtab["x"])
+        .select("w1", "w2", F.col("lg").alias("lg_bg"))
+    )
+    cctx2 = (
+        cctx_v.join(lgtab, cctx_v["c_ctx"] + cctx_v["v"] == lgtab["x"])
+        .select("w1", F.col("lg").alias("lg_ctx"))
+    )
+    lgv = vocab.join(lgtab, vocab["v"] == lgtab["x"]).select(
+        F.col("lg").alias("lgv")
+    )
     bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
@@ -1468,9 +1473,14 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
     )
     scored = sc.withColumn(
         "neg", -(F.col("lg_sum").cast("double") / F.col("n_bg").cast("double"))
-    )
+    ).localCheckpoint(eager=True)
+    # ^ pin the per-doc scores (|docs| rows) before ranking: the range
+    # partitioner SAMPLES its input, so an unpinned rank would run the
+    # whole score pipeline twice (sample pass + shuffle pass)
     ranked = grouped_two_phase_rank(scored, [], ["neg", "doc_id"], out_col="rn")
-    n = sc.agg(F.count("*").cast("bigint").alias("n"))
+    # count over RANKED (built on grouped_two_phase_rank's localCheckpoint)
+    # — counting `sc` instead would re-run the whole score pipeline
+    n = ranked.agg(F.count("*").cast("bigint").alias("n"))
     return ranked.crossJoin(F.broadcast(n)).select(
         "doc_id",
         "n_bg",
@@ -1538,3 +1548,62 @@ def text_bm25_index_append(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+_SUFFIX_SHARDED_ORACLE = r"""
+    WITH c AS (
+      SELECT source AS shard,
+             string_agg(
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') || '|',
+               '' ORDER BY doc_id) AS corpus
+      FROM documents WHERE doc_id < 120
+      GROUP BY source
+    ), p AS (
+      SELECT shard, corpus,
+             CAST(UNNEST(range(0, length(corpus))) AS BIGINT) AS pos
+      FROM c
+    )
+    SELECT shard, pos,
+           CAST(row_number() OVER (
+                  PARTITION BY shard
+                  ORDER BY substr(corpus, CAST(pos AS INTEGER) + 1)) - 1
+                AS BIGINT) AS rank
+    FROM p
+"""
+
+
+@query(
+    "text_suffix_array_sharded",
+    oracle=_SUFFIX_SHARDED_ORACLE,
+    tags=("text", "suffix-array", "sharded"),
+)
+def text_suffix_array_sharded(spark, sf_dir):
+    """PER-SHARD SUFFIX ARRAYS — the bounded production form of
+    text_suffix_array (VERDICT r6 #4). The global prefix-doubling
+    array is the repo's one O(log n)-corpus-shuffle operator; at
+    100 TB that's days. Lee et al.'s deduplicate-text-datasets (the
+    public tooling this family mirrors) builds suffix arrays over
+    bounded CHUNKS instead — here each shard (the `source` column:
+    domain/date/crawl in production) concatenates its docs in doc_id
+    order and builds its inverse suffix array INSIDE one Arrow task
+    (numpy prefix doubling, operators/suffixarray.py::
+    np_inverse_suffix_array — the same Manber-Myers recurrence,
+    vectorized). ONE groupBy(shard) exchange total, zero corpus-wide
+    shuffles, shards embarrassingly parallel; the shard-size ceiling
+    (~1 GB text per 16 GB task: int64 rank arrays are 16 B/char at
+    the lexsort peak) is a layout contract, not an operator limit.
+    Within-shard substring/repetition queries are exact; CROSS-shard
+    duplicate text remains dedup_substring_spans' fixed-L gram job.
+
+    Oracle: per shard, rank equality against DuckDB literally sorting
+    the suffix STRINGS — certifying the vectorized doubling against
+    the definition, shard by shard."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.suffixarray import sharded_suffix_ranks
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("source", "doc_id", normalized().alias("txt"))
+    )
+    return sharded_suffix_ranks(docs)
