@@ -665,17 +665,20 @@ def text_bm25_search(spark, sf_dir):
     )
 
 
-def _bm25_rank_per_doc(scored):
+def _bm25_rank_per_doc(scored, idf_precomputed: bool = False):
     """Shared scoring tail: (doc_id, term, tf, dl, df, n_docs, avgdl)
     → (doc_id, bm25). ONE expression definition used by both the
     explode path and the posting-index path, so their doubles are
     bit-identical by construction (same IEEE ops, same literal sum
-    order)."""
+    order). With ``idf_precomputed`` the input carries its own ``idf``
+    column (the Robertson log-idf variant) and only the tf/length
+    normalization + fixed-order sum run here."""
     k1 = float(_BM25_K1)
     b = float(_BM25_B)
-    scored = scored.withColumn(
-        "idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
+    if not idf_precomputed:
+        scored = scored.withColumn(
+            "idf", (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        )
     per_term = F.col("idf") * (
         (F.col("tf") * (k1 + 1.0))
         / (F.col("tf") + k1 * ((1.0 - b) + b * (F.col("dl") / F.col("avgdl"))))
@@ -1607,3 +1610,134 @@ def text_suffix_array_sharded(spark, sf_dir):
         .select("source", "doc_id", normalized().alias("txt"))
     )
     return sharded_suffix_ranks(docs)
+
+
+# ---------------------------------------------------------------------------
+# BM25 with the REAL Robertson log-idf (rank-faithful form)
+# ---------------------------------------------------------------------------
+
+def _bm25_robertson_oracle() -> str:
+    """DuckDB twin of the Robertson-idf BM25: the idf log runs through
+    the same generated fixed-point-log2 CTE chain the engine's
+    operators/intlog.py executes, so the scores stay bit-exact."""
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    k1, b = _BM25_K1, _BM25_B
+    score_cols = ",\n           ".join(
+        f"""coalesce(max(CASE WHEN term = '{t}' THEN
+             idf * ((tf * ({k1} + 1.0)) / (tf + {k1} * ((1.0 - {b}) + {b} * (dl / avgdl))))
+           END), 0.0) AS s_{t}"""
+        for t in _BM25_TERMS
+    )
+    return (
+        rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM d
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), hit AS (
+      SELECT d.doc_id, u.t AS term
+      FROM d, UNNEST(toks) AS u(t)
+      WHERE u.t IN ({terms})
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM hit GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ), rx AS (
+      SELECT df.term,
+             CAST(floor((1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                        * 1048576.0) AS BIGINT) AS x
+      FROM df, stats
+    ), rvals AS (
+      SELECT DISTINCT x FROM rx
+    ),
+    """
+        + log2_lookup_cte("rvals", "rlg")
+        + rf""",
+    ridf AS (
+      SELECT rx.term, (rlg.lg - 335544320) / 16777216.0 AS idf
+      FROM rx JOIN rlg ON rx.x = rlg.x
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dl.dl, stats.avgdl, ridf.idf
+      FROM tf JOIN ridf USING (term) JOIN dl USING (doc_id), stats
+    ), per_doc AS (
+      SELECT doc_id,
+           {score_cols}
+      FROM scored GROUP BY doc_id
+    ), sc AS (
+      SELECT doc_id,
+             (s_{_BM25_TERMS[0]} + s_{_BM25_TERMS[1]}) + s_{_BM25_TERMS[2]} AS bm25
+      FROM per_doc
+    )
+    SELECT doc_id, bm25 FROM sc
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+"""
+    )
+
+
+@query(
+    "text_bm25_search_robertson",
+    oracle=_bm25_robertson_oracle(),
+    tags=("text", "search", "bm25", "log-idf"),
+)
+def text_bm25_search_robertson(spark, sf_dir):
+    """BM25 with the REAL Robertson log-idf — closing text_bm25_search's
+    documented compromise (its rational (N−df+0.5)/(df+0.5) idf skipped
+    the log because libm isn't engine-portable). The idf here is
+    log2(1 + (N−df+0.5)/(df+0.5)) computed via the exact fixed-point
+    integer log2 (operators/intlog.py): the rational value is scaled by
+    2^20 and floored (exact IEEE ops — the scale is a power of two),
+    L(x) is the quantized integer log2, and idf = (L(x) − 20·2^24)/2^24.
+    log2 instead of ln is RANK-IDENTICAL to Robertson's formula: the
+    score is Σ_t idf_t · tfpart_t, so the constant 1/ln2 factors out of
+    the whole sum — pinned against a float ln implementation in
+    tests/test_intlog.py. Same top-20 contract as text_bm25_search.
+
+    Scale shape: identical to text_bm25_search (the idf work is a
+    |query terms|-row lookup); at 100 TB serve it from the posting
+    index exactly like text_bm25_search_indexed — only the idf
+    expression differs."""
+    from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
+
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
+    dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    hit = d.select("doc_id", F.explode("toks").alias("term")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    tf = hit.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    rx = df_.crossJoin(F.broadcast(stats)).withColumn(
+        "xr",
+        F.floor(
+            (
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.lit(float(1 << 20))
+        ).cast("long"),
+    )
+    ridf = with_log2_fixed(rx, "xr", "lgx").withColumn(
+        "idf",
+        (F.col("lgx") - F.lit(20 << 24)).cast("double") / F.lit(float(1 << 24)),
+    )
+    scored = tf.join(
+        F.broadcast(ridf.select("term", "idf", "n_docs", "avgdl")), "term"
+    ).join(dl, "doc_id")
+    return (
+        _bm25_rank_per_doc(scored, idf_precomputed=True)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )

@@ -143,3 +143,44 @@ def test_ccnet_log_buckets_match_numpy_reference(spark, tmp_path):
     }
     want = _numpy_ccnet_buckets(rows)
     assert got == want
+
+
+def test_bm25_robertson_rank_matches_float_ln(spark, sf_dir):
+    """Rank-faithfulness pin: the quantized-log2 Robertson BM25 ranks
+    documents identically to a pure-float math.log (ln) implementation
+    — log2 vs ln is a constant factor across the per-term sum, and Q24
+    quantization is far below the score gaps."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.queries.text import (
+        _BM25_TERMS,
+        text_bm25_search_robertson,
+    )
+
+    k1, b = 1.2, 0.75
+    docs = {
+        r.doc_id: r.text.lower().strip().split()
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {
+        t: sum(1 for toks in docs.values() if t in toks) for t in _BM25_TERMS
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        for t in _BM25_TERMS:
+            tf = toks.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if s > 0:
+            scores[d] = s
+    want = sorted(scores, key=lambda d: (-scores[d], d))[:20]
+    got = [r.doc_id for r in text_bm25_search_robertson(spark, sf_dir).collect()]
+    assert got == want
