@@ -1741,3 +1741,150 @@ def text_bm25_search_robertson(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring
+# ---------------------------------------------------------------------------
+
+_KN_ORACLE = (
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), ref_bg AS (
+      SELECT g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d WHERE lang = 'en'
+      )
+    ), cbg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM ref_bg GROUP BY w1, w2
+    ), cctx AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx,
+             CAST(COUNT(*) AS BIGINT) AS n1w1
+      FROM cbg GROUP BY w1
+    ), contw AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1w2 FROM cbg GROUP BY w2
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n1tot FROM cbg
+    ), bg AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d
+      )
+    ), inst AS (
+      SELECT bg.doc_id,
+             CAST(floor(
+               CASE WHEN cctx.c_ctx IS NOT NULL THEN
+                 greatest(COALESCE(cbg.c_bg, 0) - 0.75, 0.0) / cctx.c_ctx
+                 + ((0.75 * cctx.n1w1) / cctx.c_ctx)
+                   * (CAST(COALESCE(contw.n1w2, 0) AS DOUBLE) / tot.n1tot)
+               ELSE CAST(COALESCE(contw.n1w2, 0) AS DOUBLE) / tot.n1tot
+               END * 1099511627776.0) AS BIGINT) + 1 AS x
+      FROM bg
+      LEFT JOIN cbg ON bg.w1 = cbg.w1 AND bg.w2 = cbg.w2
+      LEFT JOIN cctx ON bg.w1 = cctx.w1
+      LEFT JOIN contw ON bg.w2 = contw.w2, tot
+    ), xvals AS (
+      SELECT DISTINCT x FROM inst
+    ),
+    """
+    + log2_lookup_cte("xvals", "kntab")
+    + r"""
+    SELECT inst.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bg,
+           CAST(SUM(kntab.lg - 671088640) AS BIGINT) AS lg_sum
+    FROM inst JOIN kntab ON inst.x = kntab.x
+    GROUP BY inst.doc_id
+"""
+)
+
+
+@query(
+    "text_kneser_ney_ppl",
+    oracle=_KN_ORACLE,
+    tags=("text", "lm", "quality", "kneser-ney", "perplexity"),
+)
+def text_kneser_ney_ppl(spark, sf_dir):
+    """KNESER-NEY smoothed bigram LM document scoring — the smoothing
+    family production LM filters actually use (KenLM's modified KN;
+    CCNet scores with a KN 5-gram). Interpolated bigram KN with fixed
+    discount D = 0.75:
+
+      P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                 + (D · N1+(w1,·)/c(w1)) · N1+(·,w2)/N1+(·,·)
+
+    where the continuation counts N1+ are DISTINCT-neighbor counts
+    over bigram TYPES — the insight that makes KN beat add-one: a word
+    seen after many different contexts ("francisco" vs "york") gets
+    continuation mass proportional to its context diversity, not raw
+    frequency. Unseen w1 backs off to the continuation unigram alone.
+    Per doc: n_bg and lg_sum = Σ (L(x) − 40·2^24) with
+    x = floor(P · 2^40) + 1 — P is IEEE-exact (integer counts, D =
+    0.75 exactly representable, fixed op order), the power-of-two
+    scale is exact, and L is the quantized integer log2
+    (operators/intlog.py), so lg_sum is a BIGINT any engine
+    reproduces bit-for-bit. Float-KN fidelity pinned in
+    tests/test_intlog.py.
+
+    Scale shape: every model table (cbg, per-context totals+diversity,
+    per-word continuation, 1-row type total) is a bigram-TYPE-bounded
+    aggregate; the corpus instance stream pays three key-joins (AQE
+    skew-splits the Zipf head) and ONE codegen intlog application,
+    then a map-side-combined per-doc aggregate. No window, no collect."""
+    from minoan_athenaeum_spark.operators.dedup import normalized
+    from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
+        .localCheckpoint(eager=True)
+    )
+    withbg = d.withColumn("g", bigram_pairs("tk"))
+    ref_bg = (
+        withbg.filter(F.col("lang") == "en")
+        .select(F.explode("g").alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_bg"))
+    cctx = cbg.groupBy("w1").agg(
+        F.sum("c_bg").cast("bigint").alias("c_ctx"),
+        F.count("*").cast("bigint").alias("n1w1"),
+    )
+    contw = cbg.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1w2"))
+    tot = cbg.agg(F.count("*").cast("bigint").alias("n1tot"))
+    bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    pcont = F.coalesce(F.col("n1w2"), F.lit(0)).cast("double") / F.col("n1tot")
+    p = F.when(
+        F.col("c_ctx").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c_bg"), F.lit(0)) - F.lit(0.75), F.lit(0.0)
+        )
+        / F.col("c_ctx")
+        + ((F.lit(0.75) * F.col("n1w1")) / F.col("c_ctx")) * pcont,
+    ).otherwise(pcont)
+    inst = (
+        bg.join(cbg, ["w1", "w2"], "left")
+        .join(cctx, "w1", "left")
+        .join(contw, "w2", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "x", (F.floor(p * F.lit(float(1 << 40))).cast("long") + 1)
+        )
+    )
+    scored = with_log2_fixed(inst, "x", "lgp")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bg"),
+        F.sum(F.col("lgp") - F.lit(40 << 24)).cast("bigint").alias("lg_sum"),
+    )

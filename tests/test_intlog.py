@@ -184,3 +184,71 @@ def test_bm25_robertson_rank_matches_float_ln(spark, sf_dir):
     want = sorted(scores, key=lambda d: (-scores[d], d))[:20]
     got = [r.doc_id for r in text_bm25_search_robertson(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_kneser_ney_matches_float_reference(spark, tmp_path):
+    """Fidelity pin for the quantized-integer KN scorer: per-doc mean
+    log2 probability within 1e-5 of an independent float Kneser-Ney
+    implementation (same D=0.75, same backoff), and identical
+    per-doc ORDERING on a pinned mixed corpus."""
+    from minoan_athenaeum_spark.queries.text import text_kneser_ney_ppl
+
+    rng = random.Random(77)
+    common = ["the", "cat", "sat", "on", "mat", "dog", "ran", "fast", "a", "big"]
+    rare = ["zyx", "qqv", "wkj", "vrb", "xxo", "jjq"]
+    rows = []
+    for d in range(90):
+        pool = common if d % 3 == 0 else (common + rare if d % 3 == 1 else rare)
+        words = [rng.choice(pool) for _ in range(rng.randrange(8, 25))]
+        rows.append((d, " ".join(words), "en" if d % 2 == 0 else "xx"))
+    spark.createDataFrame(
+        [(d, txt, lang, "web") for d, txt, lang in rows],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # independent float KN
+    tok = {d: t.split() for d, t, _ in rows}
+    cbg: dict[tuple[str, str], int] = {}
+    for d, _, lang in rows:
+        if lang != "en":
+            continue
+        tk = tok[d]
+        for a, b in zip(tk, tk[1:]):
+            cbg[(a, b)] = cbg.get((a, b), 0) + 1
+    cctx: dict[str, int] = {}
+    n1w1: dict[str, int] = {}
+    n1w2: dict[str, int] = {}
+    for (a, b), c in cbg.items():
+        cctx[a] = cctx.get(a, 0) + c
+        n1w1[a] = n1w1.get(a, 0) + 1
+        n1w2[b] = n1w2.get(b, 0) + 1
+    n1tot = len(cbg)
+    D = 0.75
+    want = {}
+    for d, _, _ in rows:
+        tk = tok[d]
+        s, n = 0.0, 0
+        for a, b in zip(tk, tk[1:]):
+            pc = n1w2.get(b, 0) / n1tot
+            if a in cctx:
+                p = max(cbg.get((a, b), 0) - D, 0.0) / cctx[a] + (
+                    D * n1w1[a] / cctx[a]
+                ) * pc
+            else:
+                p = pc
+            p = max(p, 2.0 ** -40)  # the engine's floor(p*2^40)+1 clamp
+            s += math.log2(p)
+            n += 1
+        if n:
+            want[d] = s / n
+
+    got = {
+        r.doc_id: (r.lg_sum / (1 << 24)) / r.n_bg
+        for r in text_kneser_ney_ppl(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-5, (d, got[d], want[d])
+    rank_got = sorted(got, key=lambda d: (-got[d], d))
+    rank_want = sorted(want, key=lambda d: (-want[d], d))
+    assert rank_got == rank_want
