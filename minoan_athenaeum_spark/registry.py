@@ -157,9 +157,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     (selection-under-budget rep; decontaminate green r2-r6);
 #   pipeline_curation_v3 for pipeline_curation_v2 (strictly more
 #     stages: composes the TRAINED quality gate into the recipe).
-# Remaining documented candidates for r8: sketch_count_min,
-# text_phrase_search, sim_jl_project_topk, pipeline_shuffle_shards,
-# ml_quality_filter / stream_quality_gate_exec, plus whatever r7 adds.
+# Remaining documented candidates for r8 (each oracle-verified at
+# sf0.001+sf0.01 when added): sketch_count_min, text_phrase_search,
+# sim_jl_project_topk, pipeline_shuffle_shards, ml_quality_filter /
+# stream_quality_gate_exec, and the r7 session's additions —
+# text_ccnet_ppl_buckets_log (like-for-like for text_ccnet's family
+# once one is in window, or for the ratio variant if it rotates in),
+# text_kneser_ney_ppl (LM-quality family), text_bm25_index_append
+# (for text_bm25_search_indexed — maintenance ⊃ serve),
+# stream_minhash_dedup_exec (for stream_dedup_exec — index-gated ⊃
+# watermark dedup), text_bm25_search_robertson (rank-faithful idf),
+# and text_suffix_array_sharded (for text_suffix_array — the bounded
+# production form; the global doubling stays pytest-oracled).
 CURATED_PREFIX = [
     # SURVEY §2 parity + the reference's one optimization
     "parity_f1_filter_ops",
