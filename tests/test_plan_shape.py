@@ -471,3 +471,39 @@ def test_minhash_incremental_serves_from_index(spark, sf_dir):
     ]
     for ln in doc_scan_lines:
         assert "doc_id" in p, "batch split must push down"
+
+
+def test_bm25_append_serves_from_pruned_segments(spark, sf_dir):
+    """The append-then-serve path keeps the indexed-serving plan shape:
+    term IN-filter pushed into the (base + delta) posting segments, no
+    Generate at serve time (the batch tokenize happened inside the
+    append, not in this plan), top-20 via TakeOrdered."""
+    p = plan_of(spark, sf_dir, "text_bm25_index_append")
+    assert "In(term" in p, "term IN-filter not pushed to the posting scan"
+    assert "Generate" not in p, "serve plan must not tokenize/explode"
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_kneser_ney_no_global_window_no_cartesian(spark, sf_dir):
+    """The KN scorer is joins + one map-side-combined aggregate: no
+    window at all, no CartesianProduct (the 1-row type total rides a
+    broadcast nested loop), count tables joined by key."""
+    p = plan_of(spark, sf_dir, "text_kneser_ney_ppl")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_ccnet_log_single_lookup_no_cartesian(spark, sf_dir):
+    """The log-domain CCNet plan carries ONE fixed-point-log2 lookup
+    chain (the shiftright squaring recurrence appears once per L
+    application on the distinct-count union, not once per count
+    table) and never degenerates to a CartesianProduct."""
+    p = plan_of(spark, sf_dir, "text_ccnet_ppl_buckets_log")
+    assert "CartesianProduct" not in p
+    # the recurrence's first squaring step is a unique fingerprint;
+    # with the shared lookup the full 24-step chain is planned once
+    # per lgtab CONSUMER (<= 3 reuses of one subtree), never 3
+    # independent 24-step chains over different tables
+    assert p.count("shiftright") <= 40, "log2 recurrence duplicated per table"
