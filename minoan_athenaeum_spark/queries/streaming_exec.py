@@ -690,3 +690,88 @@ def stream_minhash_dedup_exec(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out).select("doc_id", "n_dups", "max_jacc", "status")
+
+
+def _bm25_full_oracle():
+    from minoan_athenaeum_spark.queries.text import _bm25_oracle
+
+    return _bm25_oracle()
+
+
+@query(
+    "stream_bm25_index_append_exec",
+    oracle=_bm25_full_oracle(),
+    tags=("streaming", "text", "bm25", "index", "incremental", "exec"),
+)
+def stream_bm25_index_append_exec(spark, sf_dir):
+    """STREAMING SEARCH-INDEX MAINTENANCE: the arriving document batch
+    (doc_id % 10 == 0) flows through the file-source stream
+    (availableNow) and each micro-batch is folded into a scratch copy
+    of the persisted BM25 base index via `append_to_bm25_index` inside
+    foreachBatch — delta posting segments + exact stats merge per
+    batch, the LSM ingest loop on the live path (the BM25 sibling of
+    stream_minhash_dedup_exec's gate). After the drain the standard
+    _BM25_TERMS query is served from the appended index; the oracle is
+    the FULL-corpus BM25 twin, so a green row proves
+    stream-append-then-serve ≡ batch-rebuild-then-serve even when the
+    appends arrive as independent micro-batches (segment generations
+    and stats merges commute — addition is associative and the posting
+    sets are disjoint by doc).
+
+    Replay safety note: the memory-batch appends here are idempotent
+    per run (fresh scratch copy each execution); a production sink
+    would key delta segment directories by batch_id exactly like
+    idempotent_parquet_writer to make checkpoint replays overwrite
+    rather than double-append."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries.text import (
+        _BM25_TERMS,
+        _bm25_rank_per_doc,
+    )
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        append_to_bm25_index,
+        ensure_bm25_index,
+    )
+    from minoan_athenaeum_spark.streaming.ops import read_documents_stream
+
+    base = ensure_bm25_index(spark, sf_dir, slice_="existing")
+    work = base + "_streamwork"
+    for d in (work, work + "_ckpt"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # stale checkpoint would skip the replayed batch
+    shutil.copytree(base, work)
+
+    def fold(batch_df, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id") % 10 == 0)
+        if batch.isEmpty():
+            return
+        append_to_bm25_index(spark, work, batch)
+
+    stream = read_documents_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", work + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    p = spark.read.parquet(os.path.join(work, "postings")).where(
+        F.col("term").isin(*_BM25_TERMS)
+    )
+    stats = spark.read.parquet(os.path.join(work, "stats")).select(
+        "n_docs", "avgdl"
+    )
+    tf = p.select("doc_id", "term", F.col("tf").cast("double").alias("tf"), "dl")
+    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
+    return (
+        _bm25_rank_per_doc(scored)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(20)
+    )
