@@ -1583,7 +1583,25 @@ def pipeline_curation_v3(spark, sf_dir):
         token_count,
     )
 
-    b, cap, binsz = _V2_BUDGET, _V2_CAP, _V2_BIN
+    return _curation_downstream(_perceptron_gated(spark, sf_dir))
+
+
+def _perceptron_gated(spark, sf_dir):
+    """(doc_id, source, fp, n_tokens) rows passing the trained
+    averaged-perceptron quality gate — ONE map-only corpus scan
+    computing fingerprints, token counts, and the integer logit
+    together (shared by curation v3 and v4)."""
+    from minoan_athenaeum_spark.operators.text import (
+        char_count,
+        punct_count,
+        token_count,
+    )
+    from minoan_athenaeum_spark.queries.classifier import (
+        _RULES,
+        averaged_weights,
+        logit_expr,
+    )
+
     w = averaged_weights(spark, sf_dir)
     d = t(spark, sf_dir, "documents")
     # ONE scan: gate features + curation columns together
@@ -1600,9 +1618,23 @@ def pipeline_curation_v3(spark, sf_dir):
         F.expr(cond).cast("long").alias(f"x{i + 1}")
         for i, (_, cond) in enumerate(_RULES)
     ]
-    gated = base.select("doc_id", "source", "fp", "n_tokens", *xcols).where(
+    return base.select("doc_id", "source", "fp", "n_tokens", *xcols).where(
         logit_expr(w) > 0
     )
+
+
+def _curation_downstream(gated):
+    """Shared v2-stage pipeline downstream of a quality gate: duplicate
+    capping (<= _V2_CAP per fingerprint cluster), largest-remainder
+    source quotas over the _V2_BUDGET, deterministic hash pick,
+    _V2_BIN-token packing, per-source summary. Input: (doc_id, source,
+    fp, n_tokens, ...). Used by curation v3 (perceptron gate) and v4
+    (perceptron AND log-perplexity gates)."""
+    from pyspark.sql import Window as W
+
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    b, cap, binsz = _V2_BUDGET, _V2_CAP, _V2_BIN
     capped = (
         gated.withColumn(
             "dup_rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
@@ -1665,3 +1697,68 @@ def pipeline_curation_v3(spark, sf_dir):
             F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
         )
     )
+
+
+def _v4_oracle() -> str:
+    """v3's oracle with the log-perplexity tail gate spliced in: the
+    CCNet log-domain tercile CTEs (prefixed cl*, shared generator with
+    text_ccnet_ppl_buckets_log's oracle) join the gate, and documents
+    in the 'tail' bucket are dropped before capping. Documents with no
+    bigram (absent from clbuckets) pass — fluency is undefined there."""
+    from minoan_athenaeum_spark.queries.text import ccnet_log_bucket_cte
+
+    v3 = _v3_oracle()
+    marker_final = "\n    , final AS ("
+    assert v3.count(marker_final) == 1
+    v4 = v3.replace(
+        marker_final,
+        "\n    , " + ccnet_log_bucket_cte("cl") + marker_final,
+        1,
+    )
+    assert v4.count("SELECT doc_id FROM (") == 1
+    v4 = v4.replace("SELECT doc_id FROM (", "SELECT fx.doc_id FROM (", 1)
+    marker_gate = ") fx, final\n      WHERE "
+    assert v4.count(marker_gate) == 1
+    v4 = v4.replace(
+        marker_gate,
+        ") fx CROSS JOIN final"
+        " LEFT JOIN clbuckets cb ON cb.doc_id = fx.doc_id\n      WHERE"
+        " (cb.bucket IS NULL OR cb.bucket != 'tail') AND ",
+        1,
+    )
+    return v4
+
+
+@query(
+    "pipeline_curation_v4",
+    oracle=_v4_oracle(),
+    tags=("pipeline", "capstone", "ml", "lm"),
+)
+def pipeline_curation_v4(spark, sf_dir):
+    """CURATION CAPSTONE v4 — v3's learned perceptron gate composed
+    with the round's LM-fluency gate: documents landing in the 'tail'
+    tercile of the log-domain CCNet perplexity buckets
+    (text_ccnet_ppl_buckets_log — exact fixed-point integer log2) are
+    dropped before duplicate capping; the standard CCNet curation
+    policy (keep head, inspect middle, drop tail) applied inside the
+    full recipe. Documents with fewer than two tokens have no defined
+    fluency and pass the LM gate (left-anti against the tail set —
+    mirrored in the oracle's LEFT JOIN ... IS NULL branch). Downstream
+    stages are byte-for-byte the v2/v3 stages via the shared
+    _curation_downstream, so this row gates the perceptron trainer,
+    the integer-log LM scorer, tercile assignment, AND every curation
+    stage in one hash.
+
+    Scale shape: the two gates compose as one map-only scan
+    (perceptron logit) anti-joined with a doc-keyed tail set (the LM
+    side is the ccnet-log plan — count tables broadcast, two-phase
+    rank); everything downstream is the proven v2 shape."""
+    from minoan_athenaeum_spark.queries.text import text_ccnet_ppl_buckets_log
+
+    gated = _perceptron_gated(spark, sf_dir)
+    tail = (
+        text_ccnet_ppl_buckets_log(spark, sf_dir)
+        .where(F.col("bucket") == "tail")
+        .select("doc_id")
+    )
+    return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))

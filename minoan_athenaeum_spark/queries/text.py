@@ -1294,77 +1294,91 @@ from minoan_athenaeum_spark.operators.intlog import (  # noqa: E402
     with_log2_fixed,
 )
 
-_CCNET_LOG_ORACLE = (
-    r"""
-    WITH d AS (
+def ccnet_log_bucket_cte(prefix: str = "cl") -> str:
+    """WITH-body CTE chain (no leading WITH) ending in
+    ``{prefix}buckets(doc_id, n_bg, lg_sum, bucket)`` — the log-domain
+    CCNet tercile assignment as a composable SQL fragment, shared by
+    text_ccnet_ppl_buckets_log's oracle and the curation-v4 capstone
+    oracle (every CTE name carries ``prefix`` to avoid collisions with
+    the host query's CTEs)."""
+    p = prefix
+    return (
+        rf"""{p}d AS (
       SELECT doc_id, lang,
              string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
       FROM documents
-    ), ref_bg AS (
+    ), {p}ref_bg AS (
       SELECT g.w1 AS w1, g.w2 AS w2
       FROM (
         SELECT UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
                  range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
                ELSE [] END) AS g
-        FROM d WHERE lang = 'en'
+        FROM {p}d WHERE lang = 'en'
       )
-    ), cbg AS (
-      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM ref_bg GROUP BY w1, w2
-    ), cctx AS (
-      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM cbg GROUP BY w1
-    ), vocab AS (
+    ), {p}cbg AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_bg FROM {p}ref_bg GROUP BY w1, w2
+    ), {p}cctx AS (
+      SELECT w1, CAST(SUM(c_bg) AS BIGINT) AS c_ctx FROM {p}cbg GROUP BY w1
+    ), {p}vocab AS (
       SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
-      FROM (SELECT UNNEST(tk) AS w FROM d WHERE lang = 'en')
-    ), xvals AS (
-      SELECT DISTINCT c_bg + 1 AS x FROM cbg
+      FROM (SELECT UNNEST(tk) AS w FROM {p}d WHERE lang = 'en')
+    ), {p}xvals AS (
+      SELECT DISTINCT c_bg + 1 AS x FROM {p}cbg
       UNION
-      SELECT DISTINCT cctx.c_ctx + vocab.v AS x FROM cctx, vocab
+      SELECT DISTINCT {p}cctx.c_ctx + {p}vocab.v AS x FROM {p}cctx, {p}vocab
       UNION
-      SELECT v AS x FROM vocab
+      SELECT v AS x FROM {p}vocab
     ),
     """
-    + log2_lookup_cte("xvals", "lgtab")
-    + r""",
-    lgv AS (
-      SELECT lgtab.lg AS lgv FROM lgtab JOIN vocab ON lgtab.x = vocab.v
-    ), cbg2 AS (
-      SELECT cbg.w1, cbg.w2, lgtab.lg AS lg_bg
-      FROM cbg JOIN lgtab ON lgtab.x = cbg.c_bg + 1
-    ), cctx2 AS (
-      SELECT cctx.w1, lgtab.lg AS lg_ctx
-      FROM cctx, vocab
-      JOIN lgtab ON lgtab.x = cctx.c_ctx + vocab.v
-    ), bg AS (
+        + log2_lookup_cte(f"{p}xvals", f"{p}lgtab")
+        + rf""",
+    {p}lgv AS (
+      SELECT {p}lgtab.lg AS lgv FROM {p}lgtab JOIN {p}vocab ON {p}lgtab.x = {p}vocab.v
+    ), {p}cbg2 AS (
+      SELECT {p}cbg.w1, {p}cbg.w2, {p}lgtab.lg AS lg_bg
+      FROM {p}cbg JOIN {p}lgtab ON {p}lgtab.x = {p}cbg.c_bg + 1
+    ), {p}cctx2 AS (
+      SELECT {p}cctx.w1, {p}lgtab.lg AS lg_ctx
+      FROM {p}cctx, {p}vocab
+      JOIN {p}lgtab ON {p}lgtab.x = {p}cctx.c_ctx + {p}vocab.v
+    ), {p}bg AS (
       SELECT doc_id, g.w1 AS w1, g.w2 AS w2
       FROM (
         SELECT doc_id,
                UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
                  range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
                ELSE [] END) AS g
-        FROM d
+        FROM {p}d
       )
-    ), sc AS (
-      SELECT bg.doc_id,
+    ), {p}sc AS (
+      SELECT {p}bg.doc_id,
              CAST(COUNT(*) AS BIGINT) AS n_bg,
-             CAST(SUM(COALESCE(cbg2.lg_bg, 0)
-                      - COALESCE(cctx2.lg_ctx, lgv.lgv)) AS BIGINT) AS lg_sum
-      FROM bg
-      LEFT JOIN cbg2 ON bg.w1 = cbg2.w1 AND bg.w2 = cbg2.w2
-      LEFT JOIN cctx2 ON bg.w1 = cctx2.w1, lgv
-      GROUP BY bg.doc_id
-    ), ranked AS (
+             CAST(SUM(COALESCE({p}cbg2.lg_bg, 0)
+                      - COALESCE({p}cctx2.lg_ctx, {p}lgv.lgv)) AS BIGINT) AS lg_sum
+      FROM {p}bg
+      LEFT JOIN {p}cbg2 ON {p}bg.w1 = {p}cbg2.w1 AND {p}bg.w2 = {p}cbg2.w2
+      LEFT JOIN {p}cctx2 ON {p}bg.w1 = {p}cctx2.w1, {p}lgv
+      GROUP BY {p}bg.doc_id
+    ), {p}ranked AS (
       SELECT *,
              ROW_NUMBER() OVER (
                ORDER BY CAST(lg_sum AS DOUBLE) / n_bg DESC, doc_id) AS rn,
              COUNT(*) OVER () AS n
-      FROM sc
+      FROM {p}sc
+    ), {p}buckets AS (
+      SELECT doc_id, n_bg, lg_sum,
+             CASE WHEN (rn - 1) * 3 < n THEN 'head'
+                  WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM {p}ranked
+    )"""
     )
-    SELECT doc_id, n_bg, lg_sum,
-           CASE WHEN (rn - 1) * 3 < n THEN 'head'
-                WHEN (rn - 1) * 3 < 2 * n THEN 'middle'
-                ELSE 'tail' END AS bucket
-    FROM ranked
-"""
+
+
+_CCNET_LOG_ORACLE = (
+    "\n    WITH "
+    + ccnet_log_bucket_cte("cl")
+    + "\n    SELECT doc_id, n_bg, lg_sum, bucket FROM clbuckets\n"
 )
 
 
