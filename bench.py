@@ -74,6 +74,10 @@ HEADLINE = [
     "text_ccnet_ppl_buckets_log",
     "pipeline_curation_v3",
     "pipeline_token_budget_head",
+    # late-r7 additions: Kneser-Ney LM scoring and the v4 capstone
+    # (perceptron gate + log-perplexity tail drop)
+    "text_kneser_ney_ppl",
+    "pipeline_curation_v4",
 ]
 
 

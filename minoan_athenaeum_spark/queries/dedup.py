@@ -708,3 +708,132 @@ def dedup_minhash_incremental(spark, sf_dir):
     )
     j = jaccard(F.col("a_sh"), F.col("b_sh"))
     return verified.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+
+
+_SEMDEDUP_INC_ORACLE = r"""
+    WITH src AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 20 = 0 AND d.embedding IS NOT NULL
+                  THEN d.embedding ELSE e.embedding END AS embedding
+      FROM embeddings e
+      LEFT JOIN embeddings d ON d.vec_id = e.vec_id + 1
+    ), v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS q
+      FROM src
+    ), n AS (
+      SELECT vec_id, q,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), cents AS (
+      SELECT vec_id AS cell, q AS cq,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS cnrm
+      FROM v WHERE vec_id % 10 != 0 ORDER BY vec_id LIMIT 8
+    ), exa AS (
+      SELECT vec_id, q, nrm, cell FROM (
+        SELECT n.vec_id, n.q, n.nrm, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                                       i -> n.q[i] * c.cq[i])) AS DOUBLE)
+                          / (n.nrm * c.cnrm) DESC, c.cell) AS rn
+        FROM n, cents c WHERE n.vec_id % 10 != 0
+      ) WHERE rn = 1
+    ), ba AS (
+      SELECT vec_id, q, nrm, cell FROM (
+        SELECT n.vec_id, n.q, n.nrm, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY CAST(list_sum(list_transform(range(1, len(n.q) + 1),
+                                                       i -> n.q[i] * c.cq[i])) AS DOUBLE)
+                          / (n.nrm * c.cnrm) DESC, c.cell) AS rn
+        FROM n, cents c WHERE n.vec_id % 10 = 0
+      ) WHERE rn = 1
+    )
+    SELECT e.vec_id AS a, b.vec_id AS b,
+           CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                                        i -> e.q[i] * b.q[i])) AS DOUBLE)
+             / (e.nrm * b.nrm) AS csim
+    FROM exa e JOIN ba b USING (cell)
+    WHERE CAST(list_sum(list_transform(range(1, len(e.q) + 1),
+                                       i -> e.q[i] * b.q[i])) AS DOUBLE)
+            / (e.nrm * b.nrm) >= 0.9
+"""
+
+
+@query(
+    "dedup_semdedup_incremental",
+    oracle=_SEMDEDUP_INC_ORACLE,
+    tags=("dedup", "semantic", "ivf", "incremental"),
+)
+def dedup_semdedup_incremental(spark, sf_dir):
+    """INCREMENTAL SEMANTIC dedup against a persisted IVF cell index —
+    the embedding-space member of the persisted-index trilogy
+    (MinHash bands: sources/lsh_index.py; BM25 postings:
+    sources/posting_sink.py; IVF cells: sources/ivf_index.py). The
+    existing corpus (vec_id % 10 != 0) is quantized, assigned to its
+    nearest codebook cell, and persisted ONCE per corpus fingerprint as
+    (cell, vec_id, q) member rows co-located by cell; the arriving
+    batch (vec_id % 10 == 0) is assigned MAP-ONLY against the broadcast
+    codebook and joined against the members ON CELL — the SemDedup
+    within-cluster comparison (Abbas et al. 2023), served without
+    re-embedding or re-assigning the corpus. Same-cell candidates
+    verify by exact integer cosine ≥ 0.9; output (a existing, b new,
+    csim). The synthetic corpus carries no natural semantic dups, so
+    deterministic witnesses are planted (batch vec_id % 20 == 0 copies
+    the embedding of existing vec_id + 1) and the oracle replays the
+    construction — a green row proves the index finds EXACTLY the
+    planted cross-generation duplicates. Near-boundary pairs split across cells are the standard IVF
+    recall trade — SemDedup itself only compares within a cluster.
+
+    Oracle: the full-recompute twin (codebook, both assignments with
+    the (csim DESC, cell) tie rule, and the verify cosine re-derived
+    from scratch in DuckDB) — a green row proves the persisted index
+    serves exactly the pairs a from-scratch run finds.
+
+    Scale shape: batch work is O(batch × n_cells) map-only; corpus
+    work is ONE pruned scan of the matched cells' member rows; the
+    verify join is candidate-sized. `append_to_ivf_index` folds an
+    admitted batch into the members table (assignment against the
+    FIXED codebook — centroid retraining is the compaction event),
+    pinned append-equals-rebuild in tests/test_dedup_similarity.py."""
+    import os
+
+    from minoan_athenaeum_spark.operators.similarity import cosine_q
+    from minoan_athenaeum_spark.sources.ivf_index import (
+        _assigned,
+        _quantized,
+        ensure_ivf_index,
+    )
+
+    idx = ensure_ivf_index(spark, sf_dir)
+    members = spark.read.parquet(os.path.join(idx, "members"))
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    # planted witnesses (the dedup_substring_spans pattern): the raw
+    # synthetic embeddings are near-random (max cross-generation cosine
+    # ~0.49), so batch vectors with vec_id % 20 == 0 take the embedding
+    # of vec_id + 1 — an EXISTING vector — making them exact semantic
+    # dups the pipeline must find; the oracle replays the construction
+    e = t(spark, sf_dir, "embeddings")
+    donor = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("demb")
+    )
+    derived = e.join(donor, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 20 == 0) & F.col("demb").isNotNull(),
+            F.col("demb"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    batch = _quantized(derived.filter(F.col("vec_id") % 10 == 0))
+    ba = _assigned(batch, cents).select(
+        F.col("vec_id").alias("b"), F.col("q").alias("bq"), "cell"
+    )
+    cand = members.join(F.broadcast(ba), "cell")
+    csim = cosine_q(F.col("q"), F.col("bq"))
+    return (
+        cand.select(F.col("vec_id").alias("a"), "b", csim.alias("csim"))
+        .filter(F.col("csim") >= 0.9)
+    )

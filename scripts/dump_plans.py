@@ -121,6 +121,16 @@ EXTRA = [
     "stream_quality_gate_exec",
     "pipeline_curation_v3",
     "text_ccnet_ppl_buckets",
+    # r7 additions
+    "text_ccnet_ppl_buckets_log",
+    "text_kneser_ney_ppl",
+    "text_bm25_search_robertson",
+    "text_bm25_index_append",
+    "text_suffix_array_sharded",
+    "stream_minhash_dedup_exec",
+    "stream_bm25_index_append_exec",
+    "pipeline_curation_v4",
+    "dedup_semdedup_incremental",
 ]
 
 

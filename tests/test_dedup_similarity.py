@@ -467,3 +467,44 @@ def test_append_to_index_equals_rebuild(spark, sf_dir, tmp_path):
     got_sh = spark.read.parquet(os.path.join(work, "shingles"))
     assert got_sh.count() == all_docs.count()
     assert got_sh.select("doc_id").distinct().count() == all_docs.count()
+
+
+def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """IVF index maintenance contract (mirror of the LSH and BM25
+    pins): ensure(existing) + append(batch) holds the same
+    (cell, vec_id) member set as assigning existing+batch against the
+    SAME codebook from scratch — centroids are fixed between
+    compactions, so append ≡ rebuild exactly."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.ivf_index import (
+        _assigned,
+        _quantized,
+        append_to_ivf_index,
+        ensure_ivf_index,
+    )
+
+    base = ensure_ivf_index(spark, sf_dir)
+    work = str(tmp_path / "ivfidx")
+    shutil.copytree(base, work)
+    batch = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    append_to_ivf_index(spark, work, batch)
+
+    cents = spark.read.parquet(os.path.join(work, "centroids"))
+    want = {
+        (r.cell, r.vec_id)
+        for r in _assigned(
+            _quantized(load_table(spark, sf_dir, "embeddings")), cents
+        ).collect()
+    }
+    got = {
+        (r.cell, r.vec_id)
+        for r in spark.read.parquet(os.path.join(work, "members")).collect()
+    }
+    assert got == want
