@@ -1902,3 +1902,133 @@ def text_kneser_ney_ppl(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_bg"),
         F.sum(F.col("lgp") - F.lit(40 << 24)).cast("bigint").alias("lg_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality filters (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = sql_list(STOPWORDS["en"])
+
+_GOPHER_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT) AS sum_word_chars,
+             CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_filter(tk, w -> list_contains({_GOPHER_STOPS}, w))) AS BIGINT) AS n_stop_hits
+      FROM d
+    ), bg AS (
+      SELECT doc_id, g.w1 AS w1, g.w2 AS w2
+      FROM (
+        SELECT doc_id,
+               UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+                 range(1, len(tk)), i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))
+               ELSE [] END) AS g
+        FROM d
+      )
+    ), bgc AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bg GROUP BY doc_id, w1, w2
+    ), rep AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams,
+             CAST(MAX(c) AS BIGINT) AS top_bigram_count
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_words, b.sum_word_chars, b.n_alpha_words,
+           b.n_stop_hits,
+           COALESCE(r.n_bigrams, 0) AS n_bigrams,
+           COALESCE(r.top_bigram_count, 0) AS top_bigram_count,
+           CAST(CASE WHEN b.n_words >= 50 AND b.n_words <= 100000
+                      AND 3 * b.n_words <= b.sum_word_chars
+                      AND b.sum_word_chars <= 10 * b.n_words
+                      AND 5 * b.n_alpha_words >= 4 * b.n_words
+                      AND b.n_stop_hits >= 2
+                      AND 100 * COALESCE(r.top_bigram_count, 0)
+                          <= 18 * COALESCE(r.n_bigrams, 0)
+                THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM base b LEFT JOIN rep r ON b.doc_id = r.doc_id
+"""
+
+
+@query(
+    "text_gopher_quality_filters",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality", "gopher", "pipeline"),
+)
+def text_gopher_quality_filters(spark, sf_dir):
+    """GOPHER-RULE document quality filters (Rae et al. 2021, public —
+    the heuristic filter battery most LLM data pipelines start from),
+    the rules meaningful on a single-line corpus: word count in
+    [50, 100000]; mean word length in [3, 10]; ≥80% of words contain
+    an alphabetic character; ≥2 English stopword hits (the "symbol
+    soup" screen); and the REPETITION rule — the most frequent 2-gram
+    must account for ≤18% of the document's 2-grams (Gopher's
+    top-2-gram fraction, the signal that catches boilerplate loops).
+
+    Exactness: every verdict is INTEGER arithmetic — mean-length
+    bounds as 3n ≤ Σchars ≤ 10n, the alpha fraction as 5·n_alpha ≥
+    4·n, the repetition bound as 100·top ≤ 18·total — so there is no
+    division anywhere and the oracle is bit-trivially portable.
+
+    Scale shape: four of the five signals are MAP-ONLY array
+    expressions over the token split (zero shuffle); the repetition
+    signal is one doc-keyed aggregate pair (per-doc bigram counts →
+    per-doc max, both map-side combined — a doc's bigrams colocate by
+    the doc_id key, so no skew beyond document length). Output is one
+    row per document with raw counts + the composite pass flag."""
+    stops = spark_array(STOPWORDS["en"])
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("tk"))
+    base = d.select(
+        "doc_id",
+        F.size("tk").cast("bigint").alias("n_words"),
+        F.expr("CAST(aggregate(transform(tk, w -> length(w)), 0L, (a, x) -> a + x) AS BIGINT)").alias(
+            "sum_word_chars"
+        ),
+        F.expr("CAST(size(filter(tk, w -> w rlike '[a-z]')) AS BIGINT)").alias(
+            "n_alpha_words"
+        ),
+        F.expr(f"CAST(size(filter(tk, w -> array_contains({stops}, w))) AS BIGINT)").alias(
+            "n_stop_hits"
+        ),
+    )
+    bg = (
+        d.withColumn("g", bigram_pairs("tk"))
+        .select("doc_id", F.explode("g").alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    rep = (
+        bg.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.max("c").cast("bigint").alias("top_bigram_count"),
+        )
+    )
+    j = base.join(rep, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "sum_word_chars",
+        "n_alpha_words",
+        "n_stop_hits",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0))
+        .cast("bigint")
+        .alias("top_bigram_count"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100000)
+        & (3 * F.col("n_words") <= F.col("sum_word_chars"))
+        & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+        & (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        & (F.col("n_stop_hits") >= 2)
+        & (100 * F.col("top_bigram_count") <= 18 * F.col("n_bigrams"))
+    )
+    return j.withColumn("passes", passes.cast("bigint"))
