@@ -1987,7 +1987,9 @@ def text_gopher_quality_filters(spark, sf_dir):
     base = d.select(
         "doc_id",
         F.size("tk").cast("bigint").alias("n_words"),
-        F.expr("CAST(aggregate(transform(tk, w -> length(w)), 0L, (a, x) -> a + x) AS BIGINT)").alias(
+        # Σ len(w) == len(concat of tokens) — one codegen string op
+        # instead of an interpreted per-token higher-order fold
+        F.length(F.concat_ws("", F.col("tk"))).cast("bigint").alias(
             "sum_word_chars"
         ),
         F.expr("CAST(size(filter(tk, w -> w rlike '[a-z]')) AS BIGINT)").alias(

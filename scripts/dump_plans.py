@@ -131,6 +131,7 @@ EXTRA = [
     "stream_bm25_index_append_exec",
     "pipeline_curation_v4",
     "dedup_semdedup_incremental",
+    "text_gopher_quality_filters",
 ]
 
 
