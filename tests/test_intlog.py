@@ -252,3 +252,26 @@ def test_kneser_ney_matches_float_reference(spark, tmp_path):
     rank_got = sorted(got, key=lambda d: (-got[d], d))
     rank_want = sorted(want, key=lambda d: (-want[d], d))
     assert rank_got == rank_want
+
+
+def test_intlog_property_accuracy_and_order():
+    """Hypothesis sweep over the full int64 domain: quantized log2
+    stays within 1e-6 of math.log2 and preserves <= ordering (the
+    operator contract the bucketing/ranking queries rely on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=1, max_value=(1 << 63) - 1),
+        st.integers(min_value=1, max_value=(1 << 63) - 1),
+    )
+    @settings(max_examples=1500, deadline=None)
+    def check(a: int, b: int):
+        la, lb = log2_fixed_int(a), log2_fixed_int(b)
+        assert abs(la / (1 << 24) - math.log2(a)) < 1e-6
+        if a <= b:
+            assert la <= lb
+        else:
+            assert la >= lb
+
+    check()
