@@ -78,11 +78,28 @@ def with_log2_fixed(
     rather than exponentially duplicated). All steps are int64
     codegen expressions — apply to DISTINCT-key count tables, not the
     instance stream, and the cost is per distinct value.
+
+    Domain: ``x_col`` ≥ 1, same as :func:`log2_fixed_int`. The
+    recurrence is only defined there, so a row with x < 1 raises at
+    execution time (one cheap guard branch per row — a caller that
+    forgets the +1 offset on a count fails loudly instead of getting
+    plausible-but-wrong scores like L(0) = -2^24).
     """
     y, m = "_il_y", "_il_m"
-    d = df.withColumn(y, F.col(x_col).cast("long")).withColumn(
-        m, F.lit(0).cast("long")
-    )
+    d = df.withColumn(
+        y,
+        F.when(
+            F.col(x_col) < 1,
+            F.raise_error(
+                F.format_string(
+                    "log2_fixed domain is x >= 1, got %s",
+                    F.col(x_col).cast("string"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col(x_col))
+        .cast("long"),
+    ).withColumn(m, F.lit(0).cast("long"))
     for s in _DOWN:
         hit = F.col(y) >= F.lit(1 << (Q + s)).cast("long")
         d = d.withColumn(

@@ -321,14 +321,24 @@ def sharded_suffix_ranks(
     chars, so ~1 GB text per 16 GB task); enforce it with the layout,
     not the operator. Cross-shard duplicate detection remains
     dedup_substring_spans' fixed-L gram job — per-shard arrays answer
-    within-shard substring/repetition queries exactly."""
+    within-shard substring/repetition queries exactly.
+
+    Input contract (production corpora are messy, so both are handled
+    here rather than assumed): null-text rows are DROPPED before the
+    shard concatenation (a null contributes no suffixes), and text is
+    encoded as UTF-8 — suffix order is therefore UTF-8 BYTE order,
+    which equals Unicode code-point order (UTF-8 is order-preserving
+    by construction) and matches DuckDB's binary string collation, so
+    the oracle twin stays exact on non-ASCII corpora. Positions index
+    BYTES of the concatenation, not characters; for ASCII the two
+    coincide."""
     import pandas as pd
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = pdf[shard_col].iloc[0]
         pdf = pdf.sort_values(id_col)
         corpus = sep.join(pdf[text_col].tolist()) + sep
-        ranks = np_inverse_suffix_array(corpus.encode("ascii"))
+        ranks = np_inverse_suffix_array(corpus.encode("utf-8"))
         return pd.DataFrame(
             {
                 "shard": shard,
@@ -339,6 +349,7 @@ def sharded_suffix_ranks(
 
     return (
         docs.select(shard_col, id_col, text_col)
+        .filter(F.col(text_col).isNotNull())
         .groupBy(shard_col)
         .applyInPandas(build, "shard string, pos long, rank long")
     )

@@ -1762,3 +1762,123 @@ def pipeline_curation_v4(spark, sf_dir):
         .select("doc_id")
     )
     return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))
+
+
+def _v5_oracle() -> str:
+    """v4's oracle with the Gopher battery spliced in front of the
+    gate: the gopher CTE chain (queries/text.py::gopher_cte, shared
+    generator with text_gopher_quality_filters' oracle) joins the gate
+    on passes = 1, so the gate set is gopher ∩ perceptron ∩ ¬tail —
+    the same intersection the engine computes."""
+    from minoan_athenaeum_spark.queries.text import gopher_cte
+
+    v4 = _v4_oracle()
+    marker_final = "\n    , final AS ("
+    assert v4.count(marker_final) == 1
+    v5 = v4.replace(
+        marker_final,
+        "\n    , " + gopher_cte() + marker_final,
+        1,
+    )
+    marker_cb = " LEFT JOIN clbuckets cb ON cb.doc_id = fx.doc_id"
+    assert v5.count(marker_cb) == 1
+    v5 = v5.replace(
+        marker_cb,
+        marker_cb + " JOIN gverdict gv ON gv.doc_id = fx.doc_id AND gv.passes = 1",
+        1,
+    )
+    return v5
+
+
+@query(
+    "pipeline_curation_v5",
+    oracle=_v5_oracle(),
+    tags=("pipeline", "capstone", "ml", "lm", "gopher"),
+)
+def pipeline_curation_v5(spark, sf_dir):
+    """CURATION CAPSTONE v5 — the realistic public-pipeline gate
+    order: Gopher heuristics first (cheap integer rules), learned
+    perceptron gate second, CCNet LM tail-drop third (VERDICT r7 #5),
+    then the proven v2 downstream (duplicate capping, largest-
+    remainder quotas, hash pick, token packing). The three gates are
+    pure per-document predicates, so their composition is a set
+    intersection; the staging order is the COST order that matters in
+    production (each later, costlier gate scores fewer documents).
+
+    One-scan featurize: the four map-only Gopher signals
+    (word/char/alpha/stopword counts) ride the SAME corpus projection
+    that computes the perceptron features and curation columns —
+    text_gopher_quality_filters' signal exprs reused verbatim on the
+    shared token split, no second tokenize. The repetition signal is
+    its doc-keyed bigram aggregate branch, and the LM gate is the
+    ccnet-log plan (broadcast count tables, two-phase rank), each
+    joined back on doc_id — exactly the anti-join shape v4 proved.
+
+    Oracle: v4's full training-replay + ccnet-log CTE chain with the
+    gopher verdict CTEs spliced into the gate (all three chains are
+    shared generators with their standalone queries' oracles)."""
+    from minoan_athenaeum_spark.operators.text import (
+        char_count,
+        punct_count,
+        stopword_hits,
+        token_count,
+        tokens,
+    )
+    from minoan_athenaeum_spark.queries.classifier import (
+        _RULES,
+        averaged_weights,
+        logit_expr,
+    )
+    from minoan_athenaeum_spark.queries.text import (
+        gopher_base_cols,
+        gopher_passes_expr,
+        gopher_rep_agg,
+        text_ccnet_ppl_buckets_log,
+    )
+
+    w = averaged_weights(spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    # ONE scan: perceptron gate features + curation columns + the
+    # map-only Gopher signals, all over one shared token split
+    base = d.select(
+        "doc_id",
+        "source",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fp"),
+        char_count().cast("long").alias("n_chars"),
+        token_count().cast("long").alias("n_tokens"),
+        punct_count().cast("long").alias("n_punct"),
+        stopword_hits("text", "en").cast("long").alias("n_stop"),
+        tokens().alias("tk"),
+    )
+    base = base.select("*", *gopher_base_cols()).drop("tk")
+    rep = gopher_rep_agg(d.select("doc_id", tokens().alias("tk")))
+    sig = base.join(rep, "doc_id", "left").withColumn(
+        "top_bigram_chars",
+        F.coalesce(F.col("top_bigram_chars"), F.lit(0)).cast("bigint"),
+    )
+    xcols = [F.lit(1).cast("long").alias("x0")] + [
+        F.expr(cond).cast("long").alias(f"x{i + 1}")
+        for i, (_, cond) in enumerate(_RULES)
+    ]
+    gated = (
+        sig.select(
+            "doc_id",
+            "source",
+            "fp",
+            "n_tokens",
+            "n_words",
+            "sum_word_chars",
+            "n_alpha_words",
+            "n_gopher_stops",
+            "top_bigram_chars",
+            *xcols,
+        )
+        .where(gopher_passes_expr() & (logit_expr(w) > 0))
+        .select("doc_id", "source", "fp", "n_tokens")
+    )
+    tail = (
+        text_ccnet_ppl_buckets_log(spark, sf_dir)
+        .where(F.col("bucket") == "tail")
+        .select("doc_id")
+    )
+    return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))

@@ -608,7 +608,7 @@ def stream_minhash_dedup_exec(spark, sf_dir):
     live ingest path. At 100 TB each arriving batch pays O(batch +
     matched index buckets); the corpus is never re-shingled."""
     import os
-    import tempfile
+    import shutil
 
     from pyspark.sql import functions as F
 
@@ -624,7 +624,14 @@ def stream_minhash_dedup_exec(spark, sf_dir):
     idx_bands = spark.read.parquet(os.path.join(idx_path, "bands"))
     idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
 
-    base = tempfile.mkdtemp(prefix="mas_minhash_gate_")
+    # Deterministic scratch next to the index, wiped at query start
+    # (same discipline as stream_bm25_index_append_exec's _streamwork
+    # dir) — repeated bench/test runs reuse one directory instead of
+    # accumulating mkdtemp leftovers in /tmp. The wipe also clears the
+    # checkpoint, so the availableNow drain always replays the batch.
+    base = idx_path + "_gatework"
+    if os.path.isdir(base):
+        shutil.rmtree(base)
     out, ckpt = f"{base}/out", f"{base}/ckpt"
 
     def gate(batch_df, batch_id: int) -> None:
@@ -728,10 +735,7 @@ def stream_bm25_index_append_exec(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from minoan_athenaeum_spark.queries.text import (
-        _BM25_TERMS,
-        _bm25_rank_per_doc,
-    )
+    from minoan_athenaeum_spark.queries.text import bm25_serve_from_index
     from minoan_athenaeum_spark.sources.posting_sink import (
         append_to_bm25_index,
         ensure_bm25_index,
@@ -760,18 +764,4 @@ def stream_bm25_index_append_exec(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-
-    p = spark.read.parquet(os.path.join(work, "postings")).where(
-        F.col("term").isin(*_BM25_TERMS)
-    )
-    stats = spark.read.parquet(os.path.join(work, "stats")).select(
-        "n_docs", "avgdl"
-    )
-    tf = p.select("doc_id", "term", F.col("tf").cast("double").alias("tf"), "dl")
-    df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))
-    return (
-        _bm25_rank_per_doc(scored)
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(20)
-    )
+    return bm25_serve_from_index(spark, work)

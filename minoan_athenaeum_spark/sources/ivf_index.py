@@ -109,6 +109,35 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def compact_ivf_members(spark: SparkSession, path: str) -> None:
+    """Rewrite the accumulated member generations (base files + one
+    file per appended batch) back into N_CELLS cell-partitioned files
+    — the same LSM compaction contract as
+    posting_sink.compact_bm25_index: rows unchanged by construction
+    (one repartition-by-cell rewrite), swapped in by directory rename
+    so a reader never sees a half-written index. Centroids are
+    untouched (retraining the codebook is a model event, not a
+    layout event). Pinned by tests/test_dedup_similarity.py::
+    test_ivf_compact_preserves_members_and_layout."""
+    import os
+    import shutil
+
+    mdir = os.path.join(path, "members")
+    tmp, old = mdir + "_compacting", mdir + "_old"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    (
+        spark.read.parquet(mdir)
+        .repartition(N_CELLS, F.col("cell"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.rename(mdir, old)
+    os.rename(tmp, mdir)
+    shutil.rmtree(old)
+
+
 def append_to_ivf_index(
     spark: SparkSession, path: str, new_vectors: DataFrame
 ) -> None:

@@ -99,7 +99,14 @@ def doc_postings(docs: DataFrame) -> DataFrame:
 
 
 def _write_stats(dl_stats_row, path: str, spark: SparkSession) -> None:
-    n, s = float(dl_stats_row["n_docs"]), float(dl_stats_row["sum_dl"])
+    n = float(dl_stats_row["n_docs"])
+    if n == 0:
+        raise ValueError(
+            "BM25 index stats over an empty documents slice (n_docs=0): "
+            "refusing to write a 0-doc index — check the slice filter / "
+            "source path"
+        )
+    s = float(dl_stats_row["sum_dl"])
     spark.createDataFrame(
         [(n, s / n, s)], "n_docs double, avgdl double, sum_dl double"
     ).coalesce(1).write.mode("overwrite").parquet(path)
@@ -152,10 +159,50 @@ def _dl_stats(docs: DataFrame):
         docs.select(F.size(tokens()).cast("double").alias("dl"))
         .agg(
             F.count("*").cast("double").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
+            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
         )
         .collect()[0]
     )
+
+
+def compact_bm25_index(
+    spark: SparkSession, path: str, num_segments: int = 8
+) -> None:
+    """Rewrite the accumulated posting generations (base segments +
+    any number of appended delta files) into ``num_segments`` fresh
+    term-range-sorted segments — the LSM compaction step that caps
+    read amplification on a long-lived ingest path.
+
+    Every appended generation adds one-or-more delta files a term
+    lookup must consult (row-group pruning keeps each touch cheap,
+    but the FILE count grows linearly with generations); compaction
+    restores the one-base-segment-per-term layout at the cost of one
+    full index rewrite. Correctness is definitional: the posting ROWS
+    are unchanged, only re-partitioned/re-sorted through the same
+    write_posting_segments the full build uses, so compacted ≡
+    appended ≡ rebuilt (pinned by
+    tests/test_text_ops.py::test_bm25_compact_equals_append_equals_rebuild
+    and by text_bm25_index_compact's full-rebuild oracle). Stats are
+    untouched — append already merged them exactly.
+
+    The rewrite lands in a sibling directory and is swapped in with
+    two renames (old → .old, new → live), so a reader never sees a
+    half-written index directory; the .old generation is removed
+    last."""
+    import os
+    import shutil
+
+    pdir = os.path.join(path, "postings")
+    tmp, old = pdir + "_compacting", pdir + "_old"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    write_posting_segments(
+        spark.read.parquet(pdir), tmp, num_segments=num_segments
+    )
+    os.rename(pdir, old)
+    os.rename(tmp, pdir)
+    shutil.rmtree(old)
 
 
 def append_to_bm25_index(

@@ -508,3 +508,65 @@ def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(work, "members")).collect()
     }
     assert got == want
+
+
+def test_ivf_compact_preserves_members_and_layout(spark, sf_dir, tmp_path):
+    """IVF compaction contract (VERDICT r7 #4, the IVF half of the
+    BM25 pin): three append generations accumulate one file each;
+    compact_ivf_members restores <= N_CELLS data files with the
+    member MULTISET and the centroids bit-unchanged."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.ivf_index import (
+        N_CELLS,
+        append_to_ivf_index,
+        compact_ivf_members,
+        ensure_ivf_index,
+    )
+
+    def data_files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    base = ensure_ivf_index(spark, sf_dir)
+    work = str(tmp_path / "ivfidx_compact")
+    shutil.copytree(base, work)
+    mdir = os.path.join(work, "members")
+    n0 = len(data_files(mdir))
+
+    batch = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    for r in (0, 10, 20):
+        append_to_ivf_index(spark, work, batch.filter(F.col("vec_id") % 30 == r))
+    assert len(data_files(mdir)) > n0
+
+    def members_multiset(p):
+        out = {}
+        for r in spark.read.parquet(p).collect():
+            k = (r.cell, r.vec_id, tuple(r.q))
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    pre = members_multiset(mdir)
+    cents_pre = sorted(
+        (r.cell, tuple(r.cq))
+        for r in spark.read.parquet(os.path.join(work, "centroids")).collect()
+    )
+
+    compact_ivf_members(spark, work)
+    assert len(data_files(mdir)) <= N_CELLS
+    assert members_multiset(mdir) == pre
+    cents_post = sorted(
+        (r.cell, tuple(r.cq))
+        for r in spark.read.parquet(os.path.join(work, "centroids")).collect()
+    )
+    assert cents_post == cents_pre

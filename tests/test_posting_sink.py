@@ -126,3 +126,86 @@ def test_bm25_append_equals_rebuild(spark, sf_dir, tmp_path):
         want_stats.avgdl,
         want_stats.sum_dl,
     )
+
+
+def test_bm25_compact_equals_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Compaction contract (VERDICT r7 #4): three append generations
+    accumulate delta files; compact_bm25_index rewrites them into
+    fresh segments with (1) the posting MULTISET unchanged and equal
+    to a full rebuild's, (2) the stats row untouched, and (3) the
+    data-file count restored to <= num_segments (the LSM
+    read-amplification fix, observable in the layout)."""
+    import glob
+    import shutil
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        append_to_bm25_index,
+        compact_bm25_index,
+        ensure_bm25_index,
+    )
+
+    def data_files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+            if not os.path.basename(f).startswith(("_", "."))
+        ]
+
+    base = ensure_bm25_index(spark, sf_dir, slice_="existing")
+    work = str(tmp_path / "bm25idx_compact")
+    shutil.copytree(base, work)
+    pdir = os.path.join(work, "postings")
+    n_base_files = len(data_files(pdir))
+
+    docs = load_table(spark, sf_dir, "documents")
+    arriving = docs.filter(F.col("doc_id") % 10 == 0)
+    for r in (0, 10, 20):
+        append_to_bm25_index(spark, work, arriving.filter(F.col("doc_id") % 30 == r))
+    n_after_appends = len(data_files(pdir))
+    assert n_after_appends > n_base_files  # generations visibly accumulate
+
+    def postings_multiset(p):
+        rows = spark.read.parquet(p).collect()
+        out = {}
+        for r in rows:
+            k = (r.term, r.doc_id, r.tf, r.dl)
+            out[k] = out.get(k, 0) + 1
+        return out
+
+    pre = postings_multiset(pdir)
+    stats_pre = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
+
+    compact_bm25_index(spark, work, num_segments=4)
+    assert len(data_files(pdir)) <= 4  # layout restored
+    assert postings_multiset(pdir) == pre  # rows unchanged
+
+    stats_post = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
+    assert tuple(stats_pre) == tuple(stats_post)
+
+    # and all of it equals the from-scratch full build
+    full = ensure_bm25_index(spark, sf_dir, slice_="full")
+    assert postings_multiset(os.path.join(full, "postings")) == pre
+    full_stats = spark.read.parquet(os.path.join(full, "stats")).collect()[0]
+    assert (stats_post.n_docs, stats_post.avgdl, stats_post.sum_dl) == (
+        full_stats.n_docs,
+        full_stats.avgdl,
+        full_stats.sum_dl,
+    )
+
+
+def test_bm25_index_empty_slice_raises(spark, sf_dir, tmp_path):
+    """ADVICE r7: an empty documents slice must fail loudly, not
+    ZeroDivisionError, and must not write a 0-doc stats table."""
+    import pytest
+
+    from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        _dl_stats,
+        _write_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 0)
+    row = _dl_stats(docs)
+    with pytest.raises(ValueError, match="empty documents slice"):
+        _write_stats(row, str(tmp_path / "stats"), spark)
