@@ -55,7 +55,13 @@ HEADLINE = [
     # round-3..5 representatives under the gate since r6
     "text_bm25_search",
     "text_bpe_train",
-    "text_suffix_array",
+    # r8: the bounded per-shard form replaces the global prefix
+    # doubling as the benched suffix-array member (VERDICT r7 #2 —
+    # the global form's O(log n) corpus shuffles made it the repo's
+    # one perf-weak operator; it stays pytest-oracled as the
+    # documented opt-in). Same indexed volume, zero corpus-wide
+    # shuffles.
+    "text_suffix_array_sharded",
     "dedup_substring_spans",
     "pipeline_curation_v2",
     "sketch_heavy_hitters",
@@ -78,6 +84,13 @@ HEADLINE = [
     # (perceptron gate + log-perplexity tail drop)
     "text_kneser_ney_ppl",
     "pipeline_curation_v4",
+    # r8: the Gopher heuristic battery and the v5 capstone that
+    # composes it in front of the learned + LM gates. (The BM25/IVF
+    # compaction paths are measured by scripts/compaction_probe.py's
+    # A/B, not the bench — their cost is an index rewrite, not a
+    # query.)
+    "text_gopher_quality_filters",
+    "pipeline_curation_v5",
 ]
 
 

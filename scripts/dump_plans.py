@@ -132,6 +132,9 @@ EXTRA = [
     "pipeline_curation_v4",
     "dedup_semdedup_incremental",
     "text_gopher_quality_filters",
+    # r8 additions
+    "pipeline_curation_v5",
+    "text_bm25_index_compact",
 ]
 
 

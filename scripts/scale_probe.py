@@ -127,8 +127,38 @@ def amplify(spark, src_sf: str, out_dir: str, times: int) -> None:
         out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
 
 
+def start_disk_guard(min_gb: float = 3.0) -> None:
+    """VERDICT r7 #8: big-shuffle probes used to die mid-stage with an
+    opaque executor IOException when Spark scratch exhausted the
+    shared /tmp device (the recorded 4096× DNFs). This guard turns
+    that into a CLEAN abort with a recorded boundary: a daemon thread
+    polls free space every 5 s and, under ``min_gb``, prints one JSON
+    boundary line and SIGTERMs the whole process group (python + the
+    local JVM) before the device hits zero — so the DNF row in
+    BASELINE.md carries the measured free-space floor instead of a
+    stack trace, and the box is left healthy (no full device)."""
+    import shutil as _sh
+    import signal
+    import threading
+
+    def watch() -> None:
+        while True:
+            free_gb = _sh.disk_usage("/tmp").free / 1e9
+            if free_gb < min_gb:
+                print(json.dumps({
+                    "metric": "scale_probe_aborted_disk",
+                    "free_gb": round(free_gb, 2),
+                    "limit_gb": min_gb,
+                }), flush=True)
+                os.killpg(os.getpgid(0), signal.SIGTERM)
+            time.sleep(5)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+
 def main() -> None:
     times = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    start_disk_guard(float(os.environ.get("SPARK_GRAFT_PROBE_MIN_FREE_GB", "3")))
     # Optional second arg: comma-separated query subset (the full
     # AMPLIFIED list at very large amplifications would take hours), or
     # "--amplify-only" to materialize the (possibly

@@ -13,51 +13,52 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
+# r8 rotation (registry.py's round-8 window policy): the r7 crop and
+# the r8 additions took their family slots; seven long-green rows
+# retired for never-checked queries under rule 2. Rotated-out members
+# stay pytest-oracled every round.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "theta_distinct_key_join": "theta",
     "agg_g1_groupby_count_sum": "G1",
     "agg_tpch_q1": "agg",
-    "tpch_q18_large_orders": "tpch",
+    "tpch_q9_product_profit": "tpch",
     "setop_intersect": "setop",
-    "win_time_range_moving_sum": "window",
-    # r7 rotation: heavy-hitters (green r6) handed its slot to HLL —
-    # the oldest never-driver-green query; the sketch cluster keeps two
-    # window members (KMV + HLL).
+    "win_grouped_topk_two_phase": "window",
     "sketch_hll_distinct": "sketch",
     "dedup_substring_spans": "substring",
-    "text_suffix_array": "suffix-array",
-    # r7 rotation: fn_string_basics (green r1-r6) handed its slot to
-    # the new ML-training family; fn_pandas_udf_vectorized carries the
-    # 'functions' tag too, so the scalar-function family keeps a rep.
-    "fn_pandas_udf_vectorized": "functions",
+    "text_suffix_array_sharded": "suffix-array",
+    "fn_python_udtf": "functions",
     "ml_perceptron_quality_train": "ml",
-    "graph_sssp_weighted": "graph",
-    # r6 rotation: SCD2/CDC (driver-green r4/r5, pytest-oracled since)
-    # handed their slots to the mining rep and the IVM maintenance rep;
-    # the merge/CDC/SCD2/IVM cluster keeps one window member.
+    "graph_pagerank_fixed_point": "graph",
     "misc_skyline_pareto": "mining",
-    "evt_sessionize": "events",
+    "evt_retention_cohorts": "events",
     "sketch_kmv_intersection": "sketch",
-    "misc_incremental_join_view": "maintenance",
-    # r7 rotation: skew_salted_agg (green r1-r6) handed its slot back
-    # to the stats family (GK-winsorize, the 100 TB default bounds).
+    # maintenance cluster: four incremental persisted-index members
+    # (BM25 append + compact, streaming BM25, incremental semdedup)
+    # plus the rollup refresh rep below.
+    "text_bm25_index_compact": "compaction",
     "stat_winsorize_approx": "stats",
     "mm_adpcm_audio_features": "compressed",
-    "dedup_exact": "dedup",
+    "dedup_sorted_neighborhood": "dedup",
     "dedup_minhash_incremental": "incremental",
     "sim_hybrid_rrf": "similarity",
     "sim_ann_pq_adc_topk": "pq",
     "sim_pca_covariance": "pca",
+    "dedup_semdedup_incremental": "semantic",
     "pipeline_pii_redact": "pii",
-    "text_bm25_search_indexed": "text",
+    "text_bm25_index_append": "text",
+    "text_ccnet_ppl_buckets_log": "lm",
+    "text_kneser_ney_ppl": "perplexity",
+    "text_gopher_quality_filters": "gopher",
     "ts_asof_join": "timeseries",
     "mm_jpeg_decode_stats": "multimodal",
-    "stream_dedup_exec": "streaming",
+    "stream_minhash_dedup_exec": "streaming",
+    "stream_bm25_index_append_exec": "exec",
     "rollup_incremental_refresh": "rollup",
     "bucketed_colocated_join": "bucketing",
-    "pipeline_curation_v3": "pipeline",
-    "pipeline_token_budget_head": "selection",
+    "pipeline_curation_v4": "pipeline",
+    "pipeline_curation_v5": "capstone",
 }
 
 
@@ -85,4 +86,25 @@ def test_window_is_fully_oracle_gated():
     no_oracle = [n for n in CURATED_PREFIX if not SPECS[n].oracle]
     assert not no_oracle, (
         f"rows-only queries in the driver window: {no_oracle}"
+    )
+
+
+def test_readme_query_count_is_current():
+    """The README's headline query count must equal the live registry
+    size (VERDICT r7 #7 — the count went stale twice; derive it)."""
+    import pathlib
+    import re
+
+    readme = (
+        pathlib.Path(__file__).resolve().parent.parent / "README.md"
+    ).read_text()
+    claimed = {
+        int(m) for m in re.findall(r"(\d+) registered queries", readme)
+    } | {
+        int(m)
+        for m in re.findall(r"every one of the (\d+) registered queries", readme)
+    }
+    assert claimed == {len(SPECS)}, (
+        f"README claims {sorted(claimed)} registered queries; registry has "
+        f"{len(SPECS)} — update README.md"
     )
