@@ -59,6 +59,24 @@ def bigram_pairs(tk_col: str = "tk") -> Column:
     )
 
 
+def ngram_structs(tk_col: str, n: int) -> Column:
+    """``array<struct<w0..w{n-1}>>`` of all length-``n`` token windows
+    from a token array column — the generalization of
+    :func:`bigram_pairs` to arbitrary n. Built as arrays_zip over n
+    shifted slices, so it stays pure codegen (O(n·L) per row, no
+    interpreted higher-order lambda — see the 13× measurement note on
+    bigram_pairs). Empty array when the document has fewer than ``n``
+    tokens."""
+    c = F.col(tk_col)
+    cnt = F.size(c) - (n - 1)
+    fields = ", ".join(f"w{i}:string" for i in range(n))
+    return F.when(
+        F.size(c) < n, F.array().cast(f"array<struct<{fields}>>")
+    ).otherwise(
+        F.arrays_zip(*[F.slice(c, i + 1, cnt).alias(f"w{i}") for i in range(n)])
+    )
+
+
 def char_count(col: str = "text") -> Column:
     return F.length(F.col(col))
 

@@ -1882,3 +1882,195 @@ def pipeline_curation_v5(spark, sf_dir):
         .select("doc_id")
     )
     return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))
+
+
+# --- DSIR: Data Selection via Importance Resampling (Xie et al. 2023,
+# public) -----------------------------------------------------------
+# Hashed-ngram importance weights: featurize every document into B
+# hash buckets over its unigrams+bigrams, fit add-1-smoothed bucket
+# distributions for a TARGET corpus slice and the RAW corpus, and
+# score each document by its log importance ratio
+# Σ_f c_f · (log p_target(f) − log p_raw(f)). The log is the exact
+# fixed-point integer log2 (operators/intlog.py), so the weights are
+# bit-identical across engines (log2 vs ln is a constant factor —
+# rank-identical). Selection is the deterministic top-K by weight
+# (the paper samples with Gumbel noise; top-k is the deterministic
+# variant, tie-broken by doc_id).
+_DSIR_B = 256  # hash buckets (paper: 10k; scaled to the test corpus)
+_DSIR_K = 200  # selected documents
+
+
+def _dsir_oracle() -> str:
+    from minoan_athenaeum_spark.operators.intlog import log2_lookup_cte
+
+    B, K = _DSIR_B, _DSIR_K
+    return (
+        rf"""
+    WITH dd AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_tgt,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), guni AS (
+      SELECT doc_id, is_tgt, UNNEST(tk) AS gram FROM dd
+    ), gbi AS (
+      SELECT doc_id, is_tgt,
+             UNNEST(CASE WHEN len(tk) >= 2 THEN list_transform(
+               range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])
+             ELSE [] END) AS gram
+      FROM dd
+    ), gall AS (
+      SELECT doc_id, is_tgt,
+             CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT) % {B} AS bucket
+      FROM (SELECT * FROM guni UNION ALL SELECT * FROM gbi)
+    ), docfeat AS (
+      SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS c,
+             MAX(is_tgt) AS is_tgt
+      FROM gall GROUP BY doc_id, bucket
+    ), bstats AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS cr0,
+             CAST(COALESCE(SUM(CASE WHEN is_tgt = 1 THEN c ELSE 0 END), 0)
+                  AS BIGINT) AS ct0
+      FROM docfeat GROUP BY bucket
+    ), tots AS (
+      SELECT CAST(SUM(ct0) + {B} AS BIGINT) AS xt,
+             CAST(SUM(cr0) + {B} AS BIGINT) AS xr
+      FROM bstats
+    ), dvals AS (
+      SELECT DISTINCT x FROM (
+        SELECT ct0 + 1 AS x FROM bstats
+        UNION ALL SELECT cr0 + 1 FROM bstats
+        UNION ALL SELECT xt FROM tots
+        UNION ALL SELECT xr FROM tots
+      )
+    ),
+    """
+        + log2_lookup_cte("dvals", "dlg")
+        + rf""",
+    bdelta AS (
+      SELECT b.bucket, lt.lg - lr.lg AS delta
+      FROM bstats b
+      JOIN dlg lt ON b.ct0 + 1 = lt.x
+      JOIN dlg lr ON b.cr0 + 1 = lr.x
+    ), nrm AS (
+      SELECT lt.lg - lr.lg AS norm
+      FROM tots
+      JOIN dlg lt ON tots.xt = lt.x
+      JOIN dlg lr ON tots.xr = lr.x
+    ), wts AS (
+      SELECT f.doc_id, CAST(SUM(f.c) AS BIGINT) AS n_grams,
+             CAST(SUM(f.c * d.delta) AS BIGINT) AS sdelta
+      FROM docfeat f JOIN bdelta d ON f.bucket = d.bucket
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_grams,
+           CAST(sdelta - n_grams * nrm.norm AS BIGINT) AS weight_q
+    FROM wts, nrm
+    ORDER BY weight_q DESC, doc_id
+    LIMIT {K}
+"""
+    )
+
+
+@query(
+    "pipeline_dsir_select",
+    oracle=_dsir_oracle(),
+    tags=("pipeline", "selection", "dsir", "intlog"),
+)
+def pipeline_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public): pick the
+    documents whose hashed-ngram distribution most resembles a TARGET
+    corpus. Features are unigrams + bigrams hashed into B = 256
+    buckets with the engine-portable 60-bit md5 hash; the target slice
+    here is the labeled-English documents (the stand-in for the
+    paper's high-quality target corpus — the mechanism is
+    target-agnostic). Each document's importance log-weight is
+    Σ_f c_f·Δ_f − c_tot·(L(CT+B) − L(CR+B)) with Δ_f = L(ct_f+1) −
+    L(cr_f+1), i.e. the add-1-smoothed log-likelihood ratio in the
+    exact fixed-point integer log2 (Q24) — bit-identical in Spark and
+    DuckDB, and rank-identical to the paper's ln form. Selection is
+    the deterministic top-K (paper: Gumbel-noise sampling; the
+    deterministic variant tie-breaks by doc_id).
+
+    Scale shape: featurization is one map-only explode (grams never
+    leave their doc's partition unkeyed — the only corpus shuffle is
+    the (doc_id, bucket) aggregate, map-side combined); the bucket
+    distribution tables are ≤ B rows, get the intlog recurrence
+    applied AFTER aggregation (per distinct bucket, not per gram
+    instance), and join back as BROADCASTS; the final top-K is
+    TakeOrderedAndProject (per-partition top-K + merge — no global
+    sort). At 100 TB the corpus pays exactly one featurize pass + one
+    doc-keyed aggregate, the same shape the paper's pipeline runs as
+    a streaming pass."""
+    from minoan_athenaeum_spark.operators.dedup import portable_hash60
+    from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
+    from minoan_athenaeum_spark.operators.text import bigram_pairs, tokens
+
+    B, K = _DSIR_B, _DSIR_K
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_tgt"),
+        tokens().alias("tk"),
+    )
+    uni = d.select("doc_id", "is_tgt", F.explode("tk").alias("gram"))
+    bi = (
+        d.withColumn("g", bigram_pairs("tk"))
+        .select("doc_id", "is_tgt", F.explode("g").alias("p"))
+        .select(
+            "doc_id",
+            "is_tgt",
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("gram"),
+        )
+    )
+    grams = uni.unionByName(bi).select(
+        "doc_id",
+        "is_tgt",
+        (portable_hash60(F.col("gram")) % B).alias("bucket"),
+    )
+    docfeat = grams.groupBy("doc_id", "bucket").agg(
+        F.count("*").cast("long").alias("c"),
+        F.max("is_tgt").alias("is_tgt"),
+    )
+    bstats = (
+        docfeat.groupBy("bucket")
+        .agg(
+            F.sum("c").cast("long").alias("cr0"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_tgt") == 1, F.col("c")).otherwise(F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("ct0"),
+        )
+        .withColumn("xt", F.col("ct0") + 1)
+        .withColumn("xr", F.col("cr0") + 1)
+    )
+    bstats = with_log2_fixed(bstats, "xt", "lg_t")
+    bstats = with_log2_fixed(bstats, "xr", "lg_r")
+    delta = bstats.select(
+        "bucket", (F.col("lg_t") - F.col("lg_r")).alias("delta")
+    )
+    tot = bstats.agg(
+        (F.sum("ct0") + B).cast("long").alias("xt"),
+        (F.sum("cr0") + B).cast("long").alias("xr"),
+    )
+    tot = with_log2_fixed(tot, "xt", "lg_t")
+    tot = with_log2_fixed(tot, "xr", "lg_r")
+    norm = tot.select((F.col("lg_t") - F.col("lg_r")).alias("norm"))
+    wts = (
+        docfeat.join(F.broadcast(delta), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("delta")).cast("long").alias("sdelta"),
+        )
+        .crossJoin(F.broadcast(norm))
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("sdelta") - F.col("n_grams") * F.col("norm"))
+            .cast("bigint")
+            .alias("weight_q"),
+        )
+    )
+    return wts.orderBy(F.desc("weight_q"), "doc_id").limit(K)

@@ -2165,3 +2165,221 @@ def text_gopher_quality_filters(spark, sf_dir):
         .alias("top_bigram_chars"),
     )
     return j.withColumn("passes", gopher_passes_expr().cast("bigint"))
+
+
+# --- Full Rae et al. repetition battery (Table A1, repetition rows) ---
+# Thresholds in PERCENT of the document's token characters: the top
+# (most frequent) n-gram's covered characters for n = 2..4, and the
+# characters covered by DUPLICATED n-grams (count >= 2) for n = 5..10.
+# These are the paper's published values; text_gopher_quality_filters
+# keeps its original single top-2-gram screen (18%) — this query is the
+# complete repetition section with per-paper per-n thresholds.
+_REP_TOP = {2: 20, 3: 18, 4: 16}
+_REP_DUP = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+_REP_NS = sorted(list(_REP_TOP) + list(_REP_DUP))
+
+
+def _rep_oracle() -> str:
+    ns_list = ", ".join(str(n) for n in _REP_NS)
+    tops = ",\n             ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN n = {n} THEN top_chars END), 0)"
+        f" AS BIGINT) AS top_{n}gram_chars"
+        for n in _REP_TOP
+    )
+    dups = ",\n             ".join(
+        f"CAST(COALESCE(MAX(CASE WHEN n = {n} THEN dup_chars END), 0)"
+        f" AS BIGINT) AS dup_{n}gram_chars"
+        for n in _REP_DUP
+    )
+    outs = ", ".join(
+        [f"COALESCE(w.top_{n}gram_chars, 0) AS top_{n}gram_chars" for n in _REP_TOP]
+        + [f"COALESCE(w.dup_{n}gram_chars, 0) AS dup_{n}gram_chars" for n in _REP_DUP]
+    )
+    conds = " AND ".join(
+        [
+            f"100 * COALESCE(w.top_{n}gram_chars, 0) <= {t} * b.sum_word_chars"
+            for n, t in _REP_TOP.items()
+        ]
+        + [
+            f"100 * COALESCE(w.dup_{n}gram_chars, 0) <= {t} * b.sum_word_chars"
+            for n, t in _REP_DUP.items()
+        ]
+    )
+    return rf"""
+    WITH rd AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), rbase AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(tk, w -> length(w))) AS BIGINT)
+               AS sum_word_chars
+      FROM rd
+    ), rgrams AS (
+      SELECT doc_id, n,
+             UNNEST(list_transform(range(1, len(tk) - n + 2),
+                                   i -> array_to_string(tk[i:i+n-1], ' ')))
+               AS gram
+      FROM rd CROSS JOIN (SELECT UNNEST([{ns_list}]) AS n) nn
+    ), rc AS (
+      SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+      FROM rgrams GROUP BY doc_id, n, gram
+    ), rcl AS (
+      SELECT doc_id, n, c,
+             CAST(length(gram) - (n - 1) AS BIGINT) AS glen
+      FROM rc
+    ), rtopc AS (
+      SELECT doc_id, n, MAX(c) AS top_c FROM rcl GROUP BY doc_id, n
+    ), rtop AS (
+      SELECT c.doc_id, c.n, t.top_c * MAX(c.glen) AS top_chars
+      FROM rcl c JOIN rtopc t
+        ON c.doc_id = t.doc_id AND c.n = t.n AND c.c = t.top_c
+      GROUP BY c.doc_id, c.n, t.top_c
+    ), rdup AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(CASE WHEN c >= 2 THEN c * glen END), 0)
+                  AS BIGINT) AS dup_chars
+      FROM rcl GROUP BY doc_id, n
+    ), rsig AS (
+      SELECT d.doc_id, d.n, COALESCE(t.top_chars, 0) AS top_chars,
+             d.dup_chars
+      FROM rdup d LEFT JOIN rtop t ON d.doc_id = t.doc_id AND d.n = t.n
+    ), rwide AS (
+      SELECT doc_id,
+             {tops},
+             {dups}
+      FROM rsig GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.sum_word_chars, {outs},
+           CAST(CASE WHEN {conds} THEN 1 ELSE 0 END AS BIGINT) AS passes
+    FROM rbase b LEFT JOIN rwide w ON b.doc_id = w.doc_id
+"""
+
+
+_REP_ORACLE = _rep_oracle()
+
+
+@query(
+    "text_repetition_filters",
+    oracle=_REP_ORACLE,
+    tags=("text", "quality", "gopher", "pipeline"),
+)
+def text_repetition_filters(spark, sf_dir):
+    """The COMPLETE Rae et al. 2021 repetition-removal battery (Table
+    A1, repetition rows; public): per document, the characters covered
+    by the single most frequent n-gram for n = 2, 3, 4 (thresholds
+    20/18/16 % of token characters) and the characters covered by
+    DUPLICATED n-grams — those occurring at least twice — for
+    n = 5..10 (thresholds 15/14/13/12/11/10 %). A document passes when
+    every signal is under its bound. This is the boilerplate-loop
+    screen most public LLM corpus pipelines (Gopher, MassiveText
+    descendants, Dolma) run after exact/near dedup;
+    text_gopher_quality_filters keeps the paper's OTHER rules and its
+    single top-2-gram screen — this query is the full repetition
+    section.
+
+    Semantics pinned exactly (and mirrored in the oracle): character
+    accounting is over token characters (n-gram char length = joined
+    string length minus separators; occurrences × length, overlaps not
+    deduplicated — stated, same simplification as the gopher screen);
+    count ties for the top n-gram break toward the LONGER n-gram (the
+    conservative direction). All verdicts are integer arithmetic
+    (100·chars ≤ T·Σchars), so the oracle is bit-trivially portable.
+
+    Scale shape: ngram generation is pure codegen (arrays_zip over n
+    shifted slices — no interpreted higher-order lambda), the nine
+    per-n streams union into ONE (doc_id, n, gram)-keyed aggregation
+    (map-side combined; a doc's grams colocate, so skew is bounded by
+    document length), then one (doc_id, n) rollup and one conditional-
+    aggregation pivot to the wide per-doc row. Exploded volume is
+    Σ_n (L−n+1) ≈ 9L grams per L-token doc — the same rows a
+    single-pass per-doc counter would touch; no corpus-wide shuffle,
+    no window, document text never moves (grams only)."""
+    from functools import reduce
+
+    from minoan_athenaeum_spark.operators.text import ngram_structs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("tk"))
+    base = d.select(
+        "doc_id",
+        F.length(F.concat_ws("", F.col("tk"))).cast("bigint").alias(
+            "sum_word_chars"
+        ),
+    )
+    streams = [
+        d.select("doc_id", F.explode(ngram_structs("tk", n)).alias("g")).select(
+            "doc_id",
+            F.lit(n).cast("int").alias("n"),
+            F.concat_ws(" ", *[F.col("g")[f"w{i}"] for i in range(n)]).alias(
+                "gram"
+            ),
+        )
+        for n in _REP_NS
+    ]
+    allg = reduce(lambda a, b: a.unionByName(b), streams)
+    rc = (
+        allg.groupBy("doc_id", "n", "gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .withColumn(
+            "glen", (F.length("gram") - (F.col("n") - 1)).cast("bigint")
+        )
+    )
+    pern = (
+        rc.groupBy("doc_id", "n")
+        .agg(
+            F.max(F.struct(F.col("c"), F.col("glen"))).alias("top"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c") * F.col("glen"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            (F.col("top.c") * F.col("top.glen")).alias("top_chars"),
+            "dup_chars",
+        )
+    )
+    aggs = [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias(f"top_{n}gram_chars")
+        for n in _REP_TOP
+    ] + [
+        F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias(f"dup_{n}gram_chars")
+        for n in _REP_DUP
+    ]
+    wide = pern.groupBy("doc_id").agg(*aggs)
+    j = base.join(wide, "doc_id", "left")
+    sig_cols = [
+        F.coalesce(F.col(f"top_{n}gram_chars"), F.lit(0))
+        .cast("bigint")
+        .alias(f"top_{n}gram_chars")
+        for n in _REP_TOP
+    ] + [
+        F.coalesce(F.col(f"dup_{n}gram_chars"), F.lit(0))
+        .cast("bigint")
+        .alias(f"dup_{n}gram_chars")
+        for n in _REP_DUP
+    ]
+    swc = F.col("sum_word_chars")
+    conds = [
+        100 * F.coalesce(F.col(f"top_{n}gram_chars"), F.lit(0)) <= thr * swc
+        for n, thr in _REP_TOP.items()
+    ] + [
+        100 * F.coalesce(F.col(f"dup_{n}gram_chars"), F.lit(0)) <= thr * swc
+        for n, thr in _REP_DUP.items()
+    ]
+    passes = conds[0]
+    for c in conds[1:]:
+        passes = passes & c
+    return j.select(
+        "doc_id",
+        "sum_word_chars",
+        *sig_cols,
+        passes.cast("bigint").alias("passes"),
+    )

@@ -1,0 +1,135 @@
+"""Round-8 operator pins on crafted inputs (the sf-data DuckDB twins
+live in tests/test_oracle_parity.py): the full Rae et al. repetition
+battery's signal arithmetic and tie-break, and a pure-Python DSIR
+weight reference (independent reimplementation over log2_fixed_int)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.queries.pipeline import (
+    _DSIR_B,
+    pipeline_dsir_select,
+)
+from minoan_athenaeum_spark.queries.text import text_repetition_filters
+
+
+def _write_docs(tmp_path, rows):
+    p = str(tmp_path)
+    pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"]).to_parquet(
+        f"{p}/documents.parquet", index=False
+    )
+    return p
+
+
+def test_repetition_signals_crafted(spark, tmp_path):
+    # doc 1: "x y" * 30 — top 2-gram "x y" x30, every 5..10-gram duplicated
+    # doc 2: 60 distinct tokens — every n-gram unique, passes everything
+    d1 = " ".join(["x", "y"] * 30)
+    d2 = " ".join(f"tok{i:02d}" for i in range(60))
+    sf = _write_docs(tmp_path, [(1, d1, "en", "a"), (2, d2, "en", "a")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_repetition_filters(spark, sf).collect()
+    }
+    r1, r2 = out[1], out[2]
+    # doc 1: 60 tokens of 1 char each
+    assert r1["sum_word_chars"] == 60
+    # "x y" occurs 30x, token chars per 2-gram = 2
+    assert r1["top_2gram_chars"] == 30 * 2
+    # alternating stream: 56 5-grams, 2 distinct (28 each), both dup
+    assert r1["dup_5gram_chars"] == 56 * 5
+    assert r1["passes"] == 0
+    # doc 2: all counts 1 -> dup signals exactly 0, top-2 = one 2-gram's chars
+    assert r2["dup_5gram_chars"] == 0 and r2["dup_10gram_chars"] == 0
+    assert r2["top_2gram_chars"] == 10  # two 5-char tokens
+    assert r2["passes"] == 1
+
+
+def test_repetition_tie_breaks_toward_longer_gram(spark, tmp_path):
+    # "aa b" and "cc ddd" both occur twice; the tie must break toward
+    # the LONGER 2-gram (5 token chars), the conservative direction.
+    txt = "aa b aa b cc ddd cc ddd"
+    sf = _write_docs(tmp_path, [(1, txt, "en", "a")])
+    r = text_repetition_filters(spark, sf).collect()[0]
+    assert r["top_2gram_chars"] == 2 * 5
+
+
+def test_repetition_short_docs_degenerate_cleanly(spark, tmp_path):
+    # 3 tokens: no 5..10-grams exist -> dup signals 0; 1 token: no
+    # 2-grams either -> every signal 0 and the doc passes trivially.
+    sf = _write_docs(tmp_path, [(1, "a b c", "en", "a"), (2, "z", "en", "a")])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in text_repetition_filters(spark, sf).collect()
+    }
+    assert out[1]["dup_5gram_chars"] == 0 and out[1]["top_2gram_chars"] == 2
+    assert out[2]["top_2gram_chars"] == 0 and out[2]["passes"] == 1
+    assert len(out) == 2
+
+
+def _dsir_reference(rows, B):
+    """Independent pure-Python DSIR weights: same smoothing, same
+    portable hash (md5 first 15 hex digits), same fixed-point log."""
+    import hashlib
+    from collections import Counter
+
+    from minoan_athenaeum_spark.operators.intlog import log2_fixed_int
+
+    def h60(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % B
+
+    docfeat, raw, tgt = {}, Counter(), Counter()
+    for doc_id, text, lang, _src in rows:
+        tk = text.strip().lower().split()
+        grams = list(tk) + [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+        c = Counter(h60(g) for g in grams)
+        docfeat[doc_id] = c
+        raw.update(c)
+        if lang == "en":
+            tgt.update(c)
+    CT, CR = sum(tgt.values()) + B, sum(raw.values()) + B
+    norm = log2_fixed_int(CT) - log2_fixed_int(CR)
+    out = {}
+    for doc_id, c in docfeat.items():
+        sdelta = sum(
+            n * (log2_fixed_int(tgt[f] + 1) - log2_fixed_int(raw[f] + 1))
+            for f, n in c.items()
+        )
+        out[doc_id] = sdelta - sum(c.values()) * norm
+    return out
+
+
+def test_dsir_weights_match_pure_python_reference(spark, tmp_path):
+    rows = [
+        (1, "the cat sat on the mat", "en", "a"),
+        (2, "der hund lief durch den wald", "de", "a"),
+        (3, "the dog ran through the park", "en", "a"),
+        (4, "le chat noir dort", "fr", "a"),
+        (5, "the the the cat cat", "en", "a"),
+        (6, "cat mat sat dog park", "de", "a"),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r["doc_id"]: r["weight_q"]
+        for r in pipeline_dsir_select(spark, sf).collect()
+    }
+    want = _dsir_reference(rows, _DSIR_B)
+    assert got == want  # K=200 > 6 docs, so all rows present
+    # docs sharing vocabulary with the en slice must outrank the
+    # non-en-vocabulary ones
+    assert want[2] < min(want[1], want[3], want[5])
+
+
+def test_dsir_plan_is_topk_and_broadcast(spark, sf_dir):
+    plan = (
+        pipeline_dsir_select(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-K
+    assert "CartesianProduct" not in plan
+    # the bucket-delta table joins back as a broadcast
+    assert "BroadcastHashJoin" in plan
