@@ -91,6 +91,11 @@ HEADLINE = [
     # query.)
     "text_gopher_quality_filters",
     "pipeline_curation_v5",
+    # late-r8 additions: the full repetition battery (9 n-gram signals,
+    # one doc-keyed aggregation) and DSIR importance-resampling
+    # selection (hashed-ngram log-likelihood-ratio weights, top-K)
+    "text_repetition_filters",
+    "pipeline_dsir_select",
 ]
 
 

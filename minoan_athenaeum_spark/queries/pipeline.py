@@ -1996,16 +1996,22 @@ def pipeline_dsir_select(spark, sf_dir):
     leave their doc's partition unkeyed — the only corpus shuffle is
     the (doc_id, bucket) aggregate, map-side combined); the bucket
     distribution tables are ≤ B rows, get the intlog recurrence
-    applied AFTER aggregation (per distinct bucket, not per gram
-    instance), and join back as BROADCASTS; the final top-K is
+    applied AFTER aggregation (per distinct bucket, driver-side via the
+    pinned pure-Python form), and join back as a BROADCAST literal
+    table; the final top-K is
     TakeOrderedAndProject (per-partition top-K + merge — no global
     sort). At 100 TB the corpus pays exactly one featurize pass + one
     doc-keyed aggregate, the same shape the paper's pipeline runs as
     a streaming pass."""
     from minoan_athenaeum_spark.operators.dedup import portable_hash60
-    from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
+    from minoan_athenaeum_spark.operators.intlog import log2_fixed_int
     from minoan_athenaeum_spark.operators.text import bigram_pairs, tokens
+    from minoan_athenaeum_spark.queries._util import (
+        persist_tracked,
+        release_tracked,
+    )
 
+    release_tracked()
     B, K = _DSIR_B, _DSIR_K
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
@@ -2027,9 +2033,14 @@ def pipeline_dsir_select(spark, sf_dir):
         "is_tgt",
         (portable_hash60(F.col("gram")) % B).alias("bucket"),
     )
-    docfeat = grams.groupBy("doc_id", "bucket").agg(
-        F.count("*").cast("long").alias("c"),
-        F.max("is_tgt").alias("is_tgt"),
+    # docfeat feeds BOTH the bucket-distribution fit and the per-doc
+    # weight sum; without a persist the featurize explode + md5 hash
+    # (the dominant cost) runs twice — measured 2× on the sf0.1 bench.
+    docfeat = persist_tracked(
+        grams.groupBy("doc_id", "bucket").agg(
+            F.count("*").cast("long").alias("c"),
+            F.max("is_tgt").alias("is_tgt"),
+        )
     )
     bstats = (
         docfeat.groupBy("bucket")
@@ -2045,18 +2056,27 @@ def pipeline_dsir_select(spark, sf_dir):
         .withColumn("xt", F.col("ct0") + 1)
         .withColumn("xr", F.col("cr0") + 1)
     )
-    bstats = with_log2_fixed(bstats, "xt", "lg_t")
-    bstats = with_log2_fixed(bstats, "xr", "lg_r")
-    delta = bstats.select(
-        "bucket", (F.col("lg_t") - F.col("lg_r")).alias("delta")
+    # The bucket-distribution fit is a ≤ B-row model artifact (the
+    # same convention as the perceptron's d+2-longs-per-round
+    # collect), so it is computed DRIVER-side with the pure-Python
+    # log2_fixed_int — pinned bit-identical to the Spark codegen and
+    # DuckDB CTE forms in tests/test_intlog.py, so the oracle is
+    # unchanged. The first form instead applied with_log2_fixed
+    # inside the broadcast-exchange subplans, which compiled the
+    # 59-projection recurrence four times (~2 s Janino each) and ran
+    # a chain of broadcast-build jobs — ~25 s of fixed overhead at
+    # any SF. This way the corpus pays exactly one featurize pass +
+    # one doc-keyed aggregate + one broadcast join, and the only
+    # other cluster work is collecting ≤ B aggregate rows.
+    brows = bstats.collect()  # ≤ B rows — bounded by construction
+    L = log2_fixed_int
+    delta_rows = [
+        (int(r["bucket"]), L(int(r["xt"])) - L(int(r["xr"]))) for r in brows
+    ]
+    norm_v = L(sum(int(r["ct0"]) for r in brows) + B) - L(
+        sum(int(r["cr0"]) for r in brows) + B
     )
-    tot = bstats.agg(
-        (F.sum("ct0") + B).cast("long").alias("xt"),
-        (F.sum("cr0") + B).cast("long").alias("xr"),
-    )
-    tot = with_log2_fixed(tot, "xt", "lg_t")
-    tot = with_log2_fixed(tot, "xr", "lg_r")
-    norm = tot.select((F.col("lg_t") - F.col("lg_r")).alias("norm"))
+    delta = spark.createDataFrame(delta_rows, "bucket long, delta long")
     wts = (
         docfeat.join(F.broadcast(delta), "bucket")
         .groupBy("doc_id")
@@ -2064,11 +2084,10 @@ def pipeline_dsir_select(spark, sf_dir):
             F.sum("c").cast("long").alias("n_grams"),
             F.sum(F.col("c") * F.col("delta")).cast("long").alias("sdelta"),
         )
-        .crossJoin(F.broadcast(norm))
         .select(
             "doc_id",
             "n_grams",
-            (F.col("sdelta") - F.col("n_grams") * F.col("norm"))
+            (F.col("sdelta") - F.col("n_grams") * F.lit(norm_v))
             .cast("bigint")
             .alias("weight_q"),
         )

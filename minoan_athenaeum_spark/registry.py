@@ -207,6 +207,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # misc_fuzzy_join_dist1 for misc_incremental_join_view,
 # graph_pagerank_fixed_point for graph_sssp_weighted,
 # dedup_sorted_neighborhood for dedup_exact).
+# Late round-8: the session's two NEW operators enter under rule 3
+# (both verified green vs their DuckDB oracles at sf0.001 AND sf0.01
+# this session before the swap): text_repetition_filters (the full
+# Rae et al. repetition battery) for agg_tpch_q1 (green r1/3/5/6/7;
+# the aggregate family keeps q3_top10, q9 and g1), and
+# pipeline_dsir_select (hashed-ngram importance resampling) for
+# dedup_embedding_cosine_lsh (green r2/3/5/6/7; the dedup family
+# keeps five window reps). Both outgoing members stay pytest-oracled
+# every round.
 # Remaining documented candidates for r9+: sketch_count_min,
 # text_phrase_search, sim_jl_project_topk, pipeline_shuffle_shards,
 # ml_quality_filter / stream_quality_gate_exec,
@@ -224,7 +233,7 @@ CURATED_PREFIX = [
     "theta_distinct_key_join",
     # aggregate / TPC-H / set-op / window / stats
     "agg_g1_groupby_count_sum",
-    "agg_tpch_q1",
+    "text_repetition_filters",
     "agg_tpch_q3_top10",
     "tpch_q9_product_profit",
     "setop_intersect",
@@ -244,7 +253,7 @@ CURATED_PREFIX = [
     "dedup_sorted_neighborhood",
     "dedup_minhash_incremental",
     "dedup_substring_spans",
-    "dedup_embedding_cosine_lsh",
+    "pipeline_dsir_select",
     "dedup_components_star",
     "sim_hybrid_rrf",
     "sim_ann_pq_adc_topk",

@@ -135,6 +135,8 @@ EXTRA = [
     # r8 additions
     "pipeline_curation_v5",
     "text_bm25_index_compact",
+    "text_repetition_filters",
+    "pipeline_dsir_select",
 ]
 
 

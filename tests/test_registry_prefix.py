@@ -21,7 +21,11 @@ FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "theta_distinct_key_join": "theta",
     "agg_g1_groupby_count_sum": "G1",
-    "agg_tpch_q1": "agg",
+    # late r8: agg_tpch_q1 retired (green r1/3/5/6/7) for the new
+    # repetition battery; q3 carries the agg-family slot.
+    "agg_tpch_q3_top10": "agg",
+    "text_repetition_filters": "quality",
+    "pipeline_dsir_select": "dsir",
     "tpch_q9_product_profit": "tpch",
     "setop_intersect": "setop",
     "win_grouped_topk_two_phase": "window",
