@@ -96,6 +96,11 @@ HEADLINE = [
     # selection (hashed-ngram log-likelihood-ratio weights, top-K)
     "text_repetition_filters",
     "pipeline_dsir_select",
+    # final r8 trio: marginal-novelty curve, temperature-scaled domain
+    # mixture (exact isqrt), prefix-dim screen + exact rerank ANN
+    "text_ngram_novelty",
+    "pipeline_mixture_temperature",
+    "sim_ann_prefix_rerank",
 ]
 
 

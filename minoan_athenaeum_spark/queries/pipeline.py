@@ -2093,3 +2093,158 @@ def pipeline_dsir_select(spark, sf_dir):
         )
     )
     return wts.orderBy(F.desc("weight_q"), "doc_id").limit(K)
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture allocation (alpha = 0.5 via exact isqrt)
+# ---------------------------------------------------------------------------
+
+_TMIX_BUDGET = 400  # global sample budget (docs), same as the linear mix
+
+_TMIX_ORACLE = f"""
+    WITH src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), wsrc AS (
+      SELECT source, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+             + CASE WHEN (CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) + 1)
+                         * (CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT) + 1)
+                         <= n_docs THEN 1 ELSE 0 END
+             - CASE WHEN CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                         * CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE))) AS BIGINT)
+                         > n_docs THEN 1 ELSE 0 END AS w
+      FROM src
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS wsum FROM wsrc
+    ), quota0 AS (
+      SELECT source, n_docs, w,
+             ({_TMIX_BUDGET} * w) // tot.wsum AS floor_q,
+             ({_TMIX_BUDGET} * w) % tot.wsum AS rem
+      FROM wsrc, tot
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT {_TMIX_BUDGET} - sum(floor_q) FROM quota0) AS leftover
+      FROM quota0
+    ), quota AS (
+      SELECT source, n_docs, w,
+             floor_q + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS quota
+      FROM ranked
+    ), hashed AS (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('tmix:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS hr
+      FROM documents
+    ), picked AS (
+      SELECT h.source, h.doc_id
+      FROM hashed h JOIN quota q ON q.source = h.source AND h.hr <= q.quota
+    )
+    SELECT q.source, q.n_docs, CAST(q.w AS BIGINT) AS weight,
+           CAST(q.quota AS BIGINT) AS quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_selected,
+           CAST(coalesce(bit_xor(p.doc_id), 0) AS BIGINT) AS sel_xor
+    FROM quota q LEFT JOIN picked p ON p.source = q.source
+    GROUP BY q.source, q.n_docs, q.w, q.quota
+"""
+
+
+@query(
+    "pipeline_mixture_temperature",
+    oracle=_TMIX_ORACLE,
+    tags=("pipeline", "mixing", "temperature"),
+)
+def pipeline_mixture_temperature(spark, sf_dir):
+    """TEMPERATURE-scaled dataset mixing: allocate the global budget of
+    ``_TMIX_BUDGET`` docs across sources proportionally to n_docs^alpha
+    with alpha = 1/2 — the standard up-weighting of small domains that
+    multilingual / multi-domain training mixes apply (sampling
+    temperature, as popularized by multilingual BERT/XLM-R's alpha-
+    scaled sampling and the GLaM/PaLM mixture recipes — all public) —
+    instead of ``pipeline_mixing_allocation``'s purely linear shares.
+
+    Exactness: n^0.5 is irrational, but its INTEGER part is not —
+    weight = isqrt(n_docs), computed as floor(sqrt(double)) followed by
+    a +/-1 Newton correction, which yields the exact integer square
+    root on any engine (IEEE-754 sqrt is correctly rounded, and the
+    correction absorbs the rounding either way — pinned in
+    tests/test_r8_ops.py against math.isqrt). Quotas then use the same
+    largest-remainder (Hamilton) rounding as the linear allocator:
+    exact integer arithmetic, tie-break on source name, sum(quota) ==
+    budget exactly. A tiny source's quota may exceed its n_docs (the
+    up-weighting working as intended); the pick then takes the whole
+    source and reports n_selected < quota — production mixes repeat
+    such domains across epochs, which is a reader concern, not a
+    selection concern (documented shortfall, pinned in the test).
+
+    Scale shape: identical to the linear allocator — source sizes are
+    one tiny groupBy, the quota table is source-cardinality and
+    BROADCAST, the per-source deterministic hash-order pick runs
+    through grouped_topk_two_phase so a giant source never sorts on a
+    single reducer, and document text never shuffles (only (source,
+    doc_id, hash) triples move)."""
+    from pyspark.sql import Window as W
+
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+
+    b = _TMIX_BUDGET
+    docs = t(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    s0 = F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint")
+    wsrc = src.select(
+        "source",
+        "n_docs",
+        (
+            s0
+            + F.when((s0 + 1) * (s0 + 1) <= F.col("n_docs"), 1).otherwise(0)
+            - F.when(s0 * s0 > F.col("n_docs"), 1).otherwise(0)
+        ).alias("w"),
+    )
+    tot = wsrc.agg(F.sum("w").cast("bigint").alias("wsum"))
+    quota0 = wsrc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"({b} * w) div wsum").alias("floor_q"),
+        (F.lit(b) * F.col("w") % F.col("wsum")).alias("rem"),
+    )
+    leftover = quota0.agg((F.lit(b) - F.sum("floor_q")).alias("leftover"))
+    # source-cardinality table: a driver-tiny unpartitioned window is
+    # the honest plan (same note as the linear allocator)
+    ranked = quota0.crossJoin(F.broadcast(leftover)).withColumn(
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    )
+    quota = ranked.select(
+        "source",
+        "n_docs",
+        "w",
+        (
+            F.col("floor_q")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("quota"),
+    )
+    hashed = docs.select(
+        "source",
+        "doc_id",
+        F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    ranked_docs = grouped_topk_two_phase(
+        hashed, ["source"], ["h", "doc_id"], k=b, num_partitions=None
+    ).withColumnRenamed("rn", "hr")
+    picked = ranked_docs.join(F.broadcast(quota), "source").where(
+        F.col("hr") <= F.col("quota")
+    )
+    counts = picked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected"),
+        F.expr("CAST(bit_xor(doc_id) AS BIGINT)").alias("sel_xor"),
+    )
+    return quota.join(counts, "source", "left").select(
+        "source",
+        "n_docs",
+        F.col("w").cast("bigint").alias("weight"),
+        F.col("quota").cast("bigint").alias("quota"),
+        F.coalesce(F.col("n_selected"), F.lit(0).cast("bigint")).alias(
+            "n_selected"
+        ),
+        F.coalesce(F.col("sel_xor"), F.lit(0).cast("bigint")).alias("sel_xor"),
+    )

@@ -1143,3 +1143,104 @@ def sim_jl_project_topk(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-dimension screen + exact rerank (Matryoshka-style two-stage ANN)
+# ---------------------------------------------------------------------------
+
+_PFX_DIMS = 16   # screening prefix length (of 64 dims)
+_PFX_CAND = 100  # candidates surviving the screen
+
+_PFX_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), p AS (
+      SELECT vec_id, q, q[1:{_PFX_DIMS}] AS pq,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qv AS (
+      SELECT q AS q0, pq AS pq0, nrm AS nrm0 FROM p WHERE vec_id = 0
+    ), scored AS (
+      SELECT p.vec_id, p.q, p.nrm, qv.q0, qv.nrm0,
+             CAST(list_sum(list_transform(range(1, {_PFX_DIMS} + 1),
+                                          i -> p.pq[i] * qv.pq0[i])) AS BIGINT)
+               AS prefix_dot
+      FROM p, qv WHERE p.vec_id != 0
+    ), cand AS (
+      SELECT * FROM scored ORDER BY prefix_dot DESC, vec_id LIMIT {_PFX_CAND}
+    )
+    SELECT vec_id AS nn_id, prefix_dot,
+           CAST(list_sum(list_transform(range(1, len(q) + 1),
+                                        i -> q[i] * q0[i])) AS DOUBLE)
+             / (nrm * nrm0) AS cos_sim
+    FROM cand
+    ORDER BY cos_sim DESC, nn_id
+    LIMIT 10
+"""
+
+
+@query(
+    "sim_ann_prefix_rerank",
+    oracle=_PFX_ORACLE,
+    tags=("similarity", "ann", "prefix", "rerank"),
+)
+def sim_ann_prefix_rerank(spark, sf_dir):
+    """Two-stage ANN via PREFIX-dimension screening: rank the whole
+    corpus by the exact integer dot product of only the FIRST
+    ``_PFX_DIMS`` (16 of 64) quantized dimensions, keep the top
+    ``_PFX_CAND`` (100) candidates, then rerank those exactly with the
+    full-dimension cosine. This is the retrieval pattern
+    Matryoshka-style embeddings are trained for (Kusupati et al. 2022,
+    public): leading dimensions carry the coarse signal, so a
+    prefix-only scan buys a large bandwidth/compute cut and a small
+    exact rerank restores precision. Both stages are deterministic
+    integer/IEEE arithmetic with total-order tie-breaks, so the DuckDB
+    twin is bit-exact — the gate covers the screen AND the rerank
+    (prefix_dot is projected out precisely so the oracle pins the
+    candidate stage, not just the final list).
+
+    Scale shape: the screen is an embarrassingly-parallel map over the
+    corpus + TakeOrderedAndProject (per-partition top-C, merge of
+    C-sized lists — no corpus shuffle, no window); the rerank touches C
+    rows. On a real deployment the prefix lives as its own (4x
+    narrower) column/file so the screen's scan I/O drops
+    proportionally — here the slice happens in-plan, which still cuts
+    the dot-product work 4x while the exact baseline
+    (sim_knn_cosine_brute) pays full width on every row. The JL
+    variant (sim_jl_project_topk) solves the same problem for
+    embeddings WITHOUT prefix-ordered training; this one is the
+    cheaper screen when the embedding family guarantees it."""
+    e = t(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", quantize(F.col("embedding")).alias("q"))
+    p = v.select(
+        "vec_id",
+        "q",
+        F.slice(F.col("q"), 1, _PFX_DIMS).alias("pq"),
+    )
+    qv = p.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("q0"), F.col("pq").alias("pq0")
+    )
+    from minoan_athenaeum_spark.operators.similarity import dot_int
+
+    cand = (
+        p.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "q",
+            "q0",
+            dot_int(F.col("pq"), F.col("pq0")).alias("prefix_dot"),
+        )
+        .orderBy(F.col("prefix_dot").desc(), F.col("vec_id"))
+        .limit(_PFX_CAND)
+    )
+    return (
+        cand.select(
+            F.col("vec_id").alias("nn_id"),
+            "prefix_dot",
+            cosine_q(F.col("q"), F.col("q0")).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
+        .limit(10)
+    )

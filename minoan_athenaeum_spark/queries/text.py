@@ -2383,3 +2383,123 @@ def text_repetition_filters(spark, sf_dir):
         *sig_cols,
         passes.cast("bigint").alias("passes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve (marginal data value per document)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 5  # window length: the usual contamination/novelty unit
+
+_NOVELTY_ORACLE = rf"""
+    WITH rd AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) - {_NOVELTY_N} + 2),
+                                   i -> array_to_string(tk[i:i+{_NOVELTY_N - 1}], ' ')))
+               AS gram
+      FROM rd
+    ), pairs AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_grams
+      FROM pairs GROUP BY 1
+    ), firsts AS (
+      SELECT gram, min(doc_id) AS first_doc FROM pairs GROUP BY 1
+    ), novel AS (
+      SELECT first_doc, CAST(count(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_distinct, 0) AS n_distinct_grams,
+           COALESCE(v.n_novel, 0) AS n_novel_grams,
+           CASE WHEN COALESCE(p.n_distinct, 0) > 0
+                THEN (100 * COALESCE(v.n_novel, 0)) // p.n_distinct
+                ELSE 0 END AS novel_pct
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    LEFT JOIN novel v ON v.first_doc = d.doc_id
+"""
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=_NOVELTY_ORACLE,
+    tags=("text", "novelty", "dedup", "pipeline"),
+)
+def text_ngram_novelty(spark, sf_dir):
+    """MARGINAL-NOVELTY curve: for every document, how many of its
+    distinct 5-grams (``_NOVELTY_N``) appear for the FIRST time in the corpus
+    scanned in doc_id (ingest) order — i.e. the n-gram mass this
+    document contributes that no earlier document already supplied.
+    This is the standard way a data-curation team prices an incremental
+    crawl slice (diminishing-novelty curves; the per-window unit is the
+    same n-gram the decontamination and substring-dedup passes use):
+    near-zero novel_pct means the document is informationally redundant
+    even when no single earlier document is a near-duplicate —
+    boilerplate spread across MANY documents, invisible to pairwise
+    dedup, shows up here as first-occurrence mass concentrated in the
+    earliest docs.
+
+    "First" is min(doc_id) over each gram — exact, order-deterministic,
+    engine-portable (no hashing at all). Output: per-doc totals,
+    distinct-gram count, novel-gram count, and the integer-percent
+    novelty ratio (0 for gramless docs, i.e. fewer than N tokens).
+
+    Scale shape: gram generation is pure codegen (arrays_zip slices);
+    then THREE map-side-combinable aggregates — (doc_id, gram) counts
+    (doc-colocated, skew bounded by document length), gram-keyed
+    min(doc_id) (Zipf-head grams combine map-side; AQE splits any
+    residual hot key), and first_doc counts — plus two doc-keyed
+    broadcast-or-shuffle joins back to the documents spine. No window,
+    no corpus-wide sort; document text never moves (grams only)."""
+    from minoan_athenaeum_spark.operators.text import ngram_structs, tokens
+
+    n = _NOVELTY_N
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens().alias("tk"))
+    grams = d.select(
+        "doc_id", F.explode(ngram_structs("tk", n)).alias("g")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"g.w{i}") for i in range(n)]).alias("gram"),
+    )
+    pairs = grams.groupBy("doc_id", "gram").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+    )
+    firsts = pairs.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy("first_doc").agg(
+        F.count("*").cast("bigint").alias("n_novel")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(novel, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_distinct"), F.lit(0)) > 0,
+                F.expr("(100 * COALESCE(n_novel, 0)) div n_distinct"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("novel_pct"),
+        )
+    )

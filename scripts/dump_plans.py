@@ -137,6 +137,9 @@ EXTRA = [
     "text_bm25_index_compact",
     "text_repetition_filters",
     "pipeline_dsir_select",
+    "text_ngram_novelty",
+    "pipeline_mixture_temperature",
+    "sim_ann_prefix_rerank",
 ]
 
 

@@ -133,3 +133,87 @@ def test_dsir_plan_is_topk_and_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the bucket-delta table joins back as a broadcast
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Late-r8 crop: temperature mixture / ngram novelty / prefix rerank
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_temperature_isqrt_and_quota_invariants(spark, tmp_path):
+    import math
+
+    from minoan_athenaeum_spark.queries.pipeline import (
+        _TMIX_BUDGET,
+        pipeline_mixture_temperature,
+    )
+
+    # sources with adversarial sizes around perfect squares (the +/-1
+    # correction boundary) plus one giant and one singleton
+    sizes = {"s01": 1, "s02": 3, "s03": 4, "s04": 8, "s05": 9,
+             "s06": 10, "s07": 15, "s08": 16, "s09": 17, "s10": 120}
+    rows, did = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((did, f"tok{did} filler text", "en", src))
+            did += 1
+    sf = _write_docs(tmp_path, rows)
+    out = {r["source"]: r.asDict()
+           for r in pipeline_mixture_temperature(spark, sf).collect()}
+    assert set(out) == set(sizes)
+    for src, n in sizes.items():
+        assert out[src]["weight"] == math.isqrt(n), src
+    # Hamilton invariant: quotas sum EXACTLY to the budget
+    assert sum(r["quota"] for r in out.values()) == _TMIX_BUDGET
+    # budget 400 >> corpus: every source picked fully, shortfall
+    # reported as n_selected == n_docs < quota for upweighted sources
+    for src, n in sizes.items():
+        assert out[src]["n_selected"] == min(n, out[src]["quota"]), src
+    assert out["s01"]["quota"] > 1  # the singleton got upweighted
+    # temperature flattens: the giant's quota share must be well under
+    # its linear share (120/203 of 400 = 236)
+    assert out["s10"]["quota"] < 160
+
+
+def test_ngram_novelty_crafted(spark, tmp_path):
+    from minoan_athenaeum_spark.queries.text import text_ngram_novelty
+
+    seq = " ".join(f"w{i}" for i in range(10))  # 6 distinct 5-grams
+    rows = [
+        (1, seq, "en", "a"),            # all 6 grams novel
+        (2, seq, "en", "a"),            # exact dup: zero novelty
+        (3, seq + " w10", "en", "a"),   # one new gram (w6..w10)
+        (4, "a b c", "en", "a"),        # <5 tokens: no grams at all
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r.asDict()
+           for r in text_ngram_novelty(spark, sf).collect()}
+    assert out[1]["n_distinct_grams"] == 6 and out[1]["n_novel_grams"] == 6
+    assert out[1]["novel_pct"] == 100
+    assert out[2]["n_distinct_grams"] == 6 and out[2]["n_novel_grams"] == 0
+    assert out[2]["novel_pct"] == 0
+    assert out[3]["n_distinct_grams"] == 7 and out[3]["n_novel_grams"] == 1
+    assert out[3]["novel_pct"] == 100 // 7
+    assert out[4]["n_grams"] == 0 and out[4]["novel_pct"] == 0
+    assert len(out) == 4
+
+
+def test_prefix_rerank_plan_and_recall(spark, sf_dir):
+    from minoan_athenaeum_spark.queries.similarity import (
+        sim_ann_prefix_rerank,
+        sim_knn_cosine_brute,
+    )
+
+    df = sim_ann_prefix_rerank(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # screen must be per-partition top-C + merge, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    got = [r["nn_id"] for r in df.collect()]
+    brute = [r["nn_id"] for r in sim_knn_cosine_brute(spark, sf_dir).collect()]
+    # deterministic corpus + deterministic screen => recall is a fixed
+    # number; require the screen to be a useful ANN (>= 7/10 here) and
+    # the rerank ordering to agree with brute on the intersection
+    inter = [x for x in got if x in brute]
+    assert len(inter) >= 7
+    assert [x for x in brute if x in inter] == inter
