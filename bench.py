@@ -101,6 +101,9 @@ HEADLINE = [
     "text_ngram_novelty",
     "pipeline_mixture_temperature",
     "sim_ann_prefix_rerank",
+    # fifth persisted-index family: incremental novelty served from the
+    # first-occurrence gram index (warm serve after the one-time build)
+    "text_novelty_incremental",
 ]
 
 

@@ -2503,3 +2503,144 @@ def text_ngram_novelty(spark, sf_dir):
             .alias("novel_pct"),
         )
     )
+
+
+_NOVELTY_INC_ORACLE = rf"""
+    WITH rd AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS tk
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) - {_NOVELTY_N} + 2),
+                                   i -> array_to_string(tk[i:i+{_NOVELTY_N - 1}], ' ')))
+               AS gram
+      FROM rd
+    ), pairs AS (
+      SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+      FROM g GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n_grams
+      FROM pairs WHERE doc_id % 10 = 0 GROUP BY 1
+    ), firsts AS (
+      SELECT gram, min(doc_id) AS first_doc FROM pairs GROUP BY 1
+    ), novel AS (
+      SELECT first_doc, CAST(count(*) AS BIGINT) AS n_novel
+      FROM firsts WHERE first_doc % 10 = 0 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_distinct, 0) AS n_distinct_grams,
+           COALESCE(v.n_novel, 0) AS n_novel_grams,
+           CASE WHEN COALESCE(p.n_distinct, 0) > 0
+                THEN (100 * COALESCE(v.n_novel, 0)) // p.n_distinct
+                ELSE 0 END AS novel_pct
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    LEFT JOIN novel v ON v.first_doc = d.doc_id
+    WHERE d.doc_id % 10 = 0
+"""
+
+
+@query(
+    "text_novelty_incremental",
+    oracle=_NOVELTY_INC_ORACLE,
+    tags=("text", "novelty", "incremental", "pipeline"),
+)
+def text_novelty_incremental(spark, sf_dir):
+    """INCREMENTAL marginal novelty: score the arriving batch
+    (doc_id % 10 == 0) against the persisted first-occurrence gram
+    index of the existing corpus (sources/gram_index.py — the fifth
+    persisted-index family) WITHOUT re-gramming the corpus. Per batch
+    document: how many of its distinct 5-grams no document — existing
+    corpus OR earlier batch doc — already contains. The batch form of
+    text_ngram_novelty, and the production way a curation team prices
+    each crawl slice as it arrives.
+
+    Serve shape: batch pairs and per-gram batch minima are map-only
+    over the BATCH; the corpus side is ONE map-only scan of the lean
+    (gram, first_doc) index probed by the BROADCAST batch-gram set
+    (inner hash probe — matched rows are candidate-sized, and the
+    min-merge across any append generations happens in that
+    candidate-sized aggregate). A batch gram is novel iff it misses
+    the index entirely or the batch minimum beats the indexed
+    first_doc — exact under arbitrary doc_id interleaving, which the
+    crafted pins exercise. No corpus re-tokenize, no corpus shuffle,
+    no window.
+
+    Oracle: the full-recompute twin — first occurrences re-derived
+    from scratch over the WHOLE corpus in DuckDB, restricted to batch
+    docs — proving the persisted index serves exactly what a
+    from-scratch run computes."""
+    from minoan_athenaeum_spark.sources.gram_index import (
+        ensure_gram_index,
+    )
+
+    n = _NOVELTY_N
+    idx_path = ensure_gram_index(spark, sf_dir, n)
+    import os
+
+    from minoan_athenaeum_spark.operators.text import ngram_structs, tokens
+    from minoan_athenaeum_spark.queries._util import (
+        persist_tracked,
+        release_tracked,
+    )
+
+    idx = spark.read.parquet(os.path.join(idx_path, "grams"))
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    d = docs.select("doc_id", tokens().alias("tk"))
+    grams = d.select(
+        "doc_id", F.explode(ngram_structs("tk", n)).alias("g")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"g.w{i}") for i in range(n)]).alias("gram"),
+    )
+    release_tracked()
+    # feeds the per-doc stats AND the per-gram minima AND the index
+    # probe — one batch featurize, persisted
+    bpairs = persist_tracked(
+        grams.groupBy("doc_id", "gram").agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+    )
+    bper = bpairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+    )
+    bmins = bpairs.groupBy("gram").agg(F.min("doc_id").alias("bmin"))
+    # ONE map-only index scan, broadcast-probed by the batch grams;
+    # the min-merge over delta generations is candidate-sized
+    matched = (
+        idx.join(F.broadcast(bmins), "gram")
+        .groupBy("gram")
+        .agg(F.min("first_doc").alias("idx_first"), F.min("bmin").alias("bmin"))
+    )
+    suppressed = matched.where(F.col("idx_first") <= F.col("bmin")).select("gram")
+    novel = (
+        bmins.join(suppressed, "gram", "left_anti")
+        .groupBy(F.col("bmin").alias("first_doc"))
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(bper, "doc_id", "left")
+        .join(novel, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_distinct"), F.lit(0)) > 0,
+                F.expr("(100 * COALESCE(n_novel, 0)) div n_distinct"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("novel_pct"),
+        )
+    )

@@ -220,9 +220,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # text_phrase_search, sim_jl_project_topk, pipeline_shuffle_shards,
 # ml_quality_filter / stream_quality_gate_exec,
 # text_bm25_search_robertson (rank-faithful idf), the src_* source
-# formats, the zero-history tpch_q* rows, and the final-r8 trio
+# formats, the zero-history tpch_q* rows, and the final-r8 quartet
 # (text_ngram_novelty, pipeline_mixture_temperature,
-# sim_ann_prefix_rerank — all oracle-verified ×2 SFs at birth).
+# sim_ann_prefix_rerank, text_novelty_incremental — all
+# oracle-verified ×2 SFs at birth).
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",

@@ -140,6 +140,7 @@ EXTRA = [
     "text_ngram_novelty",
     "pipeline_mixture_temperature",
     "sim_ann_prefix_rerank",
+    "text_novelty_incremental",
 ]
 
 

@@ -217,3 +217,93 @@ def test_prefix_rerank_plan_and_recall(spark, sf_dir):
     inter = [x for x in got if x in brute]
     assert len(inter) >= 7
     assert [x for x in brute if x in inter] == inter
+
+
+# ---------------------------------------------------------------------------
+# Persisted first-occurrence gram index (the fifth index family)
+# ---------------------------------------------------------------------------
+
+
+def test_novelty_incremental_crafted_cross_generation(spark, tmp_path):
+    from minoan_athenaeum_spark.queries.text import text_novelty_incremental
+
+    seq = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    rows = [
+        # existing corpus (doc_id % 10 != 0)
+        (3, seq(0, 10), "en", "a"),     # owns grams g0..g5 (w0..w9)
+        (7, seq(100, 105), "en", "a"),  # exactly one gram (w100..w104)
+        # batch (doc_id % 10 == 0), ids interleaved around existing
+        (0, seq(0, 5) + " " + seq(200, 204), "en", "a"),
+        # doc 0 < 3: its gram "w0..w4" BEATS existing doc 3 -> novel
+        (10, seq(100, 105), "en", "a"),  # loses to existing doc 7
+        (20, seq(200, 209), "en", "a"),  # novel except where doc 0 won
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r.asDict()
+           for r in text_novelty_incremental(spark, sf).collect()}
+    assert set(out) == {0, 10, 20}
+    # doc 0 tokens: w0..w4 w200..w203 -> 5 distinct 5-grams; the
+    # "w0 w1 w2 w3 w4" gram beats existing doc 3 (0 < 3) -> all novel
+    assert out[0]["n_distinct_grams"] == 5 and out[0]["n_novel_grams"] == 5
+    # doc 10's only gram is owned by existing doc 7 (7 < 10)
+    assert out[10]["n_distinct_grams"] == 1 and out[10]["n_novel_grams"] == 0
+    # doc 20: grams over w200..w208 = 5 grams, all unseen (doc 0's
+    # tail "w1..w4 w200" mixes ranges, so no collision) -> all novel
+    assert out[20]["n_distinct_grams"] == 5 and out[20]["n_novel_grams"] == 5
+
+
+def test_gram_index_append_equals_rebuild_and_compaction(spark, tmp_path):
+    import glob
+    import os
+
+    import pandas as pd
+
+    from minoan_athenaeum_spark.sources.gram_index import (
+        append_to_gram_index,
+        compact_gram_index,
+        ensure_gram_index,
+        gram_rows,
+    )
+
+    seq = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    corpus = [(3, seq(0, 10), "en", "a"), (7, seq(50, 60), "en", "a")]
+    gen1 = [(12, seq(5, 15), "en", "a")]   # overlaps doc 3's tail grams
+    gen2 = [(2, seq(0, 8), "en", "a")]     # id 2 < 3: min must MOVE back
+    sf = _write_docs(tmp_path, corpus)
+    idx = ensure_gram_index(spark, sf)
+    gdir = os.path.join(idx, "grams")
+
+    def batch_df(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+        )
+
+    append_to_gram_index(spark, idx, batch_df(gen1))
+    append_to_gram_index(spark, idx, batch_df(gen2))
+    merged = {
+        (r["gram"], r["first_doc"])
+        for r in spark.read.parquet(gdir)
+        .groupBy("gram")
+        .agg(F.min("first_doc").alias("first_doc"))
+        .collect()
+    }
+    rebuilt = {
+        (r["gram"], r["first_doc"])
+        for r in gram_rows(batch_df(corpus + gen1 + gen2)).collect()
+    }
+    assert merged == rebuilt  # min-over-generations == rebuild-from-union
+    # gen2's doc 2 must have stolen ownership of the w0.. grams from 3
+    owners = dict(merged)
+    assert owners[" ".join(f"w{i}" for i in range(0, 5))] == 2
+
+    files_before = len(glob.glob(os.path.join(gdir, "*.parquet")))
+    compact_gram_index(spark, idx)
+    files_after = len(glob.glob(os.path.join(gdir, "*.parquet")))
+    compacted = {
+        (r["gram"], r["first_doc"])
+        for r in spark.read.parquet(gdir).collect()
+    }
+    assert compacted == rebuilt      # compaction applied the min-merge
+    assert files_after <= files_before  # and collapsed the generations
+    # post-compaction each gram appears exactly once
+    assert len(compacted) == spark.read.parquet(gdir).count()
