@@ -216,8 +216,18 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # dedup_embedding_cosine_lsh (green r2/3/5/6/7; the dedup family
 # keeps five window reps). Both outgoing members stay pytest-oracled
 # every round.
-# Remaining documented candidates for r9+: sketch_count_min,
-# text_phrase_search, sim_jl_project_topk, pipeline_shuffle_shards,
+# Late round-8 backlog burn (rule 2 — retire the longest-green rows
+# for never-checked ones; each incoming verified green vs its DuckDB
+# oracle at sf0.001 AND sf0.01 this session before the swap):
+# src_csv_events_agg for setop_intersect (green r1..r7 — the source-
+# format connectors get their first external row; setops remain
+# Catalyst built-ins pytest-oracled every round), sketch_count_min for
+# misc_skyline_pareto (green r6/r7; the mining family's other window
+# rep is misc_fuzzy_join_dist1), text_phrase_search for
+# mm_adpcm_audio_features (green r5..r7; the multimodal family keeps
+# mm_jpeg_decode_stats, the harder codec path).
+# Remaining documented candidates for r9+: sim_jl_project_topk,
+# pipeline_shuffle_shards,
 # ml_quality_filter / stream_quality_gate_exec,
 # text_bm25_search_robertson (rank-faithful idf), the src_* source
 # formats, the zero-history tpch_q* rows, and the final-r8 quartet
@@ -239,19 +249,19 @@ CURATED_PREFIX = [
     "text_repetition_filters",
     "agg_tpch_q3_top10",
     "tpch_q9_product_profit",
-    "setop_intersect",
+    "src_csv_events_agg",
     "win_grouped_topk_two_phase",
     "sketch_hll_distinct",
     # ML / graph / Python-UDF paths / mining / events
     "ml_perceptron_quality_train",
     "graph_pagerank_fixed_point",
     "fn_python_udtf",
-    "misc_skyline_pareto",
+    "sketch_count_min",
     "evt_retention_cohorts",
     "sketch_kmv_intersection",
     "misc_fuzzy_join_dist1",
     "stat_winsorize_approx",
-    "mm_adpcm_audio_features",
+    "text_phrase_search",
     # training-data extensions: dedup / similarity / text
     "dedup_sorted_neighborhood",
     "dedup_minhash_incremental",

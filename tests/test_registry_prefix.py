@@ -27,7 +27,13 @@ FAMILY_REPRESENTATIVES = {
     "text_repetition_filters": "quality",
     "pipeline_dsir_select": "dsir",
     "tpch_q9_product_profit": "tpch",
-    "setop_intersect": "setop",
+    # late r8 backlog burn: setop_intersect (green r1..r7) retired for
+    # the never-checked CSV source connector; misc_skyline_pareto
+    # (green r6/r7) for the never-checked count-min sketch;
+    # mm_adpcm_audio_features (green r5..r7) for the never-checked
+    # positional phrase search. All three incoming verified green vs
+    # their DuckDB oracles at sf0.001 AND sf0.01 before the swap.
+    "src_csv_events_agg": "source",
     "win_grouped_topk_two_phase": "window",
     "sketch_hll_distinct": "sketch",
     "dedup_substring_spans": "substring",
@@ -35,7 +41,7 @@ FAMILY_REPRESENTATIVES = {
     "fn_python_udtf": "functions",
     "ml_perceptron_quality_train": "ml",
     "graph_pagerank_fixed_point": "graph",
-    "misc_skyline_pareto": "mining",
+    "sketch_count_min": "count-min",
     "evt_retention_cohorts": "events",
     "sketch_kmv_intersection": "sketch",
     # maintenance cluster: four incremental persisted-index members
@@ -43,7 +49,7 @@ FAMILY_REPRESENTATIVES = {
     # plus the rollup refresh rep below.
     "text_bm25_index_compact": "compaction",
     "stat_winsorize_approx": "stats",
-    "mm_adpcm_audio_features": "compressed",
+    "text_phrase_search": "phrase",
     "dedup_sorted_neighborhood": "dedup",
     "dedup_minhash_incremental": "incremental",
     "sim_hybrid_rrf": "similarity",
