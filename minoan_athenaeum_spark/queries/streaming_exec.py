@@ -765,3 +765,135 @@ def stream_bm25_index_append_exec(spark, sf_dir):
     )
     q.awaitTermination()
     return bm25_serve_from_index(spark, work)
+
+
+def _novelty_stream_oracle() -> str:
+    from minoan_athenaeum_spark.queries.text import _NOVELTY_INC_ORACLE
+
+    return _NOVELTY_INC_ORACLE
+
+
+@query(
+    "stream_novelty_gate_exec",
+    oracle=_novelty_stream_oracle(),
+    tags=("streaming", "novelty", "incremental", "exec"),
+)
+def stream_novelty_gate_exec(spark, sf_dir):
+    """STREAMING NOVELTY-INDEX MAINTENANCE: the arriving batch
+    (doc_id % 10 == 0) flows through the file-source stream
+    (availableNow) and each micro-batch folds its (gram, batch_min)
+    rows into a scratch copy of the persisted first-occurrence gram
+    index via `append_to_gram_index` inside foreachBatch — the fifth
+    index family's live ingest loop (sibling of
+    stream_bm25_index_append_exec). After the drain, per-doc novelty
+    is served from the MIN-MERGED index: a gram belongs to the batch
+    doc that owns its corpus-wide first occurrence, so
+    n_novel(d) = |{grams : min-merged first_doc = d}|.
+
+    Order independence is DEFINITIONAL here: first-occurrence is a
+    MIN, and min is associative and commutative, so any micro-batch
+    arrival order — including doc_ids interleaved across batches,
+    where an "is it novel right now" gate would answer
+    order-dependently — min-merges to exactly the rebuilt-from-union
+    table. That is why the oracle can be the same FULL-recompute twin
+    text_novelty_incremental uses: stream-fold-then-serve ≡
+    batch-rebuild, proven by one green row.
+
+    Replay safety note: the scratch copy is rebuilt per run, so the
+    appends are idempotent per execution; a production sink keys
+    delta generation directories by batch_id (the
+    idempotent_parquet_writer pattern) so checkpoint replays
+    overwrite rather than double-append."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.text import ngram_structs, tokens
+    from minoan_athenaeum_spark.queries._util import t
+    from minoan_athenaeum_spark.sources.gram_index import (
+        GRAM_N,
+        append_to_gram_index,
+        ensure_gram_index,
+    )
+    from minoan_athenaeum_spark.streaming.ops import read_documents_stream
+
+    base = ensure_gram_index(spark, sf_dir)
+    work = base + "_streamwork"
+    for d in (work, work + "_ckpt"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)  # stale checkpoint would skip the replayed batch
+    shutil.copytree(base, work)
+
+    def fold(batch_df, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id") % 10 == 0)
+        if batch.isEmpty():
+            return
+        append_to_gram_index(spark, work, batch)
+
+    stream = read_documents_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", work + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Serve from the min-merged index: novel-gram counts per batch doc
+    # are one lean index aggregate; per-doc totals are a batch-only
+    # featurize. Same output contract (and oracle) as
+    # text_novelty_incremental.
+    merged = (
+        spark.read.parquet(os.path.join(work, "grams"))
+        .groupBy("gram")
+        .agg(F.min("first_doc").alias("first_doc"))
+    )
+    novel = (
+        merged.where(F.col("first_doc") % 10 == 0)
+        .groupBy("first_doc")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    n = GRAM_N
+    bpairs = (
+        docs.select("doc_id", tokens().alias("tk"))
+        .select("doc_id", F.explode(ngram_structs("tk", n)).alias("g"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"g.w{i}") for i in range(n)]).alias(
+                "gram"
+            ),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    bper = bpairs.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum("c").cast("bigint").alias("n_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(bper, "doc_id", "left")
+        .join(novel, F.col("doc_id") == F.col("first_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_distinct"), F.lit(0).cast("bigint")).alias(
+                "n_distinct_grams"
+            ),
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias(
+                "n_novel_grams"
+            ),
+            F.when(
+                F.coalesce(F.col("n_distinct"), F.lit(0)) > 0,
+                F.expr("(100 * COALESCE(n_novel, 0)) div n_distinct"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("novel_pct"),
+        )
+    )

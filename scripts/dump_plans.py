@@ -141,6 +141,7 @@ EXTRA = [
     "pipeline_mixture_temperature",
     "sim_ann_prefix_rerank",
     "text_novelty_incremental",
+    "stream_novelty_gate_exec",
 ]
 
 

@@ -307,3 +307,45 @@ def test_gram_index_append_equals_rebuild_and_compaction(spark, tmp_path):
     assert files_after <= files_before  # and collapsed the generations
     # post-compaction each gram appears exactly once
     assert len(compacted) == spark.read.parquet(gdir).count()
+
+
+def test_gram_index_append_order_commutes(spark, tmp_path):
+    import os
+
+    import pandas as pd
+
+    from minoan_athenaeum_spark.sources.gram_index import (
+        append_to_gram_index,
+        ensure_gram_index,
+    )
+
+    seq = lambda a, b: " ".join(f"w{i}" for i in range(a, b))  # noqa: E731
+    corpus = [(3, seq(0, 10), "en", "a")]
+    gen1 = [(12, seq(5, 15), "en", "a")]
+    gen2 = [(2, seq(0, 8), "en", "a")]
+
+    def build(order, sub):
+        sf = _write_docs(tmp_path / sub, corpus)
+        idx = ensure_gram_index(spark, sf)
+        for rows in order:
+            append_to_gram_index(
+                spark,
+                idx,
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        rows, columns=["doc_id", "text", "lang", "source"]
+                    )
+                ),
+            )
+        return {
+            (r["gram"], r["first_doc"])
+            for r in spark.read.parquet(os.path.join(idx, "grams"))
+            .groupBy("gram")
+            .agg(F.min("first_doc").alias("first_doc"))
+            .collect()
+        }
+
+    (tmp_path / "a").mkdir()
+    (tmp_path / "b").mkdir()
+    # arrival order must not matter: min is associative + commutative
+    assert build([gen1, gen2], "a") == build([gen2, gen1], "b")
