@@ -104,7 +104,33 @@ HEADLINE = [
     # fifth persisted-index family: incremental novelty served from the
     # first-occurrence gram index (warm serve after the one-time build)
     "text_novelty_incremental",
+    # r9: the fourth index-backed serve path joins the gate (same-cell
+    # SemDedup verify against the persisted IVF index)
+    "dedup_semdedup_incremental",
 ]
+
+
+def _index_builders():
+    """Explicit index-materialization step per index-backed query
+    (VERDICT r8 #4). The bench times this ensure_* call separately as
+    ``build_sec`` — pay-once per source fingerprint, ~0 when the
+    warehouse artifact is warm — so the gated per-query number is pure
+    SERVE latency and a cold-artifact run can't masquerade as a serve
+    regression."""
+    from minoan_athenaeum_spark.queries.text import _NOVELTY_N
+    from minoan_athenaeum_spark.sources.gram_index import ensure_gram_index
+    from minoan_athenaeum_spark.sources.ivf_index import ensure_ivf_index
+    from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
+    from minoan_athenaeum_spark.sources.posting_sink import ensure_bm25_index
+
+    return {
+        "dedup_minhash_incremental": ensure_minhash_index,
+        "text_bm25_search_indexed": ensure_bm25_index,
+        "text_novelty_incremental": lambda s, d: ensure_gram_index(
+            s, d, _NOVELTY_N
+        ),
+        "dedup_semdedup_incremental": ensure_ivf_index,
+    }
 
 
 def main() -> None:
@@ -117,9 +143,15 @@ def main() -> None:
     # Warm the JVM / file listing outside the timed region.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    builders = _index_builders()
     timings: dict[str, float] = {}
+    builds: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].fn
+        if name in builders:
+            t0 = time.perf_counter()
+            builders[name](spark, sf_dir)
+            builds[name] = round(time.perf_counter() - t0, 4)
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
@@ -137,6 +169,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # one-time index materialization (pay-once per source
+                # fingerprint), reported separately from serve latency
+                "index_build_sec": builds,
                 "sf": sf_val,
             }
         )

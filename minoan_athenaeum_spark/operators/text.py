@@ -66,7 +66,15 @@ def ngram_structs(tk_col: str, n: int) -> Column:
     shifted slices, so it stays pure codegen (O(n·L) per row, no
     interpreted higher-order lambda — see the 13× measurement note on
     bigram_pairs). Empty array when the document has fewer than ``n``
-    tokens."""
+    tokens.
+
+    NAMING TRAP (ADVICE r8): these struct fields are ZERO-based
+    (``w0..w{n-1}``), while :func:`bigram_pairs` above predates this
+    function and is ONE-based (``w1``/``w2``). Call sites that mix the
+    two (pipeline.py does) must not assume ``w1`` means the same slot
+    in both. New code should prefer this function's 0-based fields;
+    bigram_pairs keeps its names because its w1/w2 appear verbatim in
+    registered DuckDB oracle strings."""
     c = F.col(tk_col)
     cnt = F.size(c) - (n - 1)
     fields = ", ".join(f"w{i}:string" for i in range(n))

@@ -2002,7 +2002,16 @@ def pipeline_dsir_select(spark, sf_dir):
     TakeOrderedAndProject (per-partition top-K + merge — no global
     sort). At 100 TB the corpus pays exactly one featurize pass + one
     doc-keyed aggregate, the same shape the paper's pipeline runs as
-    a streaming pass."""
+    a streaming pass.
+
+    NOTE (ADVICE r8): unlike every other query builder, CONSTRUCTING
+    this DataFrame already runs the featurize+aggregate job — the
+    ≤B-row bucket fit is collected driver-side below and baked into
+    the plan as a broadcast literal. Callers that only want the plan
+    (dump_plans, plan-shape tests) pay that one job; that is the
+    documented price of keeping the 59-projection intlog recurrence
+    out of the broadcast subplans (~25 s codegen overhead
+    otherwise)."""
     from minoan_athenaeum_spark.operators.dedup import portable_hash60
     from minoan_athenaeum_spark.operators.intlog import log2_fixed_int
     from minoan_athenaeum_spark.operators.text import bigram_pairs, tokens

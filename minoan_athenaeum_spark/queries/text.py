@@ -375,8 +375,20 @@ _SUFFIX_ARRAY_ORACLE = r"""
 
 @query("text_suffix_array", oracle=_SUFFIX_ARRAY_ORACLE, tags=("text", "suffix-array"))
 def text_suffix_array(spark, sf_dir):
-    """DISTRIBUTED SUFFIX ARRAY by prefix doubling (Manber-Myers) —
-    the index structure under full substring search and
+    """GLOBAL suffix array by prefix doubling (Manber-Myers) — OPT-IN.
+
+    **Default to** :func:`text_suffix_array_sharded` instead: the
+    global doubling form below runs O(log n) corpus-wide shuffles and
+    has a measured scratch-disk ceiling (~15M corpus chars on this
+    box, BASELINE.md), so at 100 TB it is a scale-killer. The sharded
+    form indexes the same volume with zero corpus-wide shuffles
+    (measured 103× its throughput at the 1024× probe) and is the
+    registered production operator; this global form is retained as
+    the definitional oracle twin (exact global ranks across shard
+    boundaries) and for corpora that genuinely need one total suffix
+    order.
+
+    The index structure under full substring search and
     all-repeated-substrings dedup (Lee et al.'s substring dedup is
     built on exactly this). The corpus is the doc_id-ordered
     concatenation of normalized doc texts (docs < 40, '|'-terminated so

@@ -226,72 +226,108 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # rep is misc_fuzzy_join_dist1), text_phrase_search for
 # mm_adpcm_audio_features (green r5..r7; the multimodal family keeps
 # mm_jpeg_decode_stats, the harder codec path).
-# Remaining documented candidates for r9+: sim_jl_project_topk,
-# pipeline_shuffle_shards,
-# ml_quality_filter / stream_quality_gate_exec,
-# text_bm25_search_robertson (rank-faithful idf), the src_* source
-# formats, the zero-history tpch_q* rows, and the final-r8 quartet
-# (text_ngram_novelty, pipeline_mixture_temperature,
-# sim_ann_prefix_rerank, text_novelty_incremental — all
-# oracle-verified ×2 SFs at birth).
+# Round-9 WINDOW (VERDICT r8 #1 — a verification-debt burn round).
+# The judge's top directive: shrink the parity sentinels to ~5 slots
+# and rotate 15+ never-driver-checked rows in, prioritizing the
+# zero-history families (mm_/evt_/misc_/tpch_/sim_/stream_/src_).
+# Twenty swaps executed (every incoming query verified green vs its
+# DuckDB oracle — or rows-stable for the no-oracle stream execs — at
+# sf0.001 AND sf0.01 via scripts/window_sim.py this session BEFORE the
+# swap landed; every outgoing member was driver-green in r8 and stays
+# pytest-oracled every round):
+#   Parity sentinels 8 → 5 (keep f1 filters, j1 equijoin, j3 theta
+#   self-join, j9 multiway, theta_distinct_key_join — the reference's
+#   one optimization; retire j4/x1/j10, each with 4-round streaks and
+#   plan shapes subsumed by the keepers).
+#   Rule-2 retirements (streak >= 3): agg_g1_groupby_count_sum,
+#   agg_tpch_q3_top10 (still the entry() flagship — smoke-checked
+#   every round by the driver's entry contract even out of window),
+#   sketch_kmv_intersection, dedup_substring_spans,
+#   dedup_components_star, sim_hybrid_rrf, sim_ann_pq_adc_topk,
+#   pipeline_pii_redact, rollup_incremental_refresh, ts_asof_join,
+#   mm_jpeg_decode_stats, stream_stream_left_join_exec,
+#   bucketed_colocated_join, text_bpe_tokenize.
+#   Like-for-like single-green swaps (r8-green outgoing, precedent
+#   from every prior round): stream_minhash_dedup_exec →
+#   stream_novelty_gate_exec (streaming ingest-gate family; VERDICT
+#   #5), text_bm25_index_append → text_bm25_search_robertson (BM25
+#   family keeps compact, which replays append generations),
+#   evt_retention_cohorts → evt_funnel_stages (events family).
+#   Incoming (all never externally checked): mm_png_decode_stats,
+#   mm_wav_audio_features, mm_video_frame_sample, evt_funnel_stages,
+#   evt_markov_transitions, misc_entity_resolution,
+#   tpch_q2_best_supplier, tpch_q7_volume_shipping,
+#   tpch_q8_market_share, tpch_q21_waiting_suppliers,
+#   sim_ann_ivfadc_topk, sim_ann_prefix_rerank,
+#   stream_novelty_gate_exec, stream_quality_gate_exec,
+#   text_novelty_incremental, src_jsonl_events_agg,
+#   src_orc_events_agg, text_bm25_search_robertson,
+#   pipeline_mixture_temperature, ml_quality_filter.
+# Expected backlog after the r9 driver run: 94 - 20 = 74 (< 75, the
+# VERDICT target). Remaining documented candidates for r10+:
+# sim_jl_project_topk, pipeline_shuffle_shards, text_ngram_novelty
+# (batch twin of the in-window incremental), the remaining tpch_q*
+# zero-history rows (q10/q11/q13-q17/q19/q20/q22), the stat_* exact
+# quantile family, win_lag_lead/win_rank_dense_ntile, and the
+# remaining mm_ rows (ppm/g711/ms_adpcm/quarantine).
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
     "parity_j1_equijoin",
     "parity_j3_theta_self_join",
-    "parity_j4_range_join_ge",
     "parity_j9_multiway_join",
-    "parity_x1_cross_join",
-    "parity_j10_self_equijoin_alias",
     "theta_distinct_key_join",
-    # aggregate / TPC-H / set-op / window / stats
-    "agg_g1_groupby_count_sum",
+    # aggregate / TPC-H / source connectors / window / stats
     "text_repetition_filters",
-    "agg_tpch_q3_top10",
     "tpch_q9_product_profit",
+    "tpch_q2_best_supplier",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q21_waiting_suppliers",
     "src_csv_events_agg",
+    "src_jsonl_events_agg",
+    "src_orc_events_agg",
     "win_grouped_topk_two_phase",
     "sketch_hll_distinct",
+    "sketch_count_min",
+    "stat_winsorize_approx",
     # ML / graph / Python-UDF paths / mining / events
     "ml_perceptron_quality_train",
+    "ml_quality_filter",
     "graph_pagerank_fixed_point",
     "fn_python_udtf",
-    "sketch_count_min",
-    "evt_retention_cohorts",
-    "sketch_kmv_intersection",
+    "evt_funnel_stages",
+    "evt_markov_transitions",
     "misc_fuzzy_join_dist1",
-    "stat_winsorize_approx",
+    "misc_entity_resolution",
     "text_phrase_search",
     # training-data extensions: dedup / similarity / text
     "dedup_sorted_neighborhood",
     "dedup_minhash_incremental",
-    "dedup_substring_spans",
     "pipeline_dsir_select",
-    "dedup_components_star",
-    "sim_hybrid_rrf",
-    "sim_ann_pq_adc_topk",
+    "pipeline_mixture_temperature",
     "sim_pca_covariance",
+    "sim_ann_ivfadc_topk",
+    "sim_ann_prefix_rerank",
     "dedup_semdedup_incremental",
-    "pipeline_pii_redact",
-    "text_bm25_index_append",
     "text_bm25_index_compact",
-    "rollup_incremental_refresh",
+    "text_bm25_search_robertson",
+    "text_novelty_incremental",
     # LM-quality / text-index family (r7 crop)
     "text_ccnet_ppl_buckets_log",
     "text_kneser_ney_ppl",
     "text_gopher_quality_filters",
     "text_suffix_array_sharded",
-    # time-series / multimodal / streaming / bucketing
-    "ts_asof_join",
-    "mm_jpeg_decode_stats",
-    "stream_minhash_dedup_exec",
+    # multimodal / streaming
+    "mm_png_decode_stats",
+    "mm_wav_audio_features",
+    "mm_video_frame_sample",
+    "stream_novelty_gate_exec",
+    "stream_quality_gate_exec",
     "stream_bm25_index_append_exec",
-    "stream_stream_left_join_exec",
-    "bucketed_colocated_join",
     # pipeline capstones
     "pipeline_curation_v4",
     "pipeline_curation_v5",
-    "text_bpe_tokenize",
 ]
 
 

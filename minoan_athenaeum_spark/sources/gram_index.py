@@ -34,9 +34,15 @@ from pyspark.sql import functions as F
 GRAM_N = 5  # the novelty unit, same as text_ngram_novelty
 
 
-def gram_index_path(spark: SparkSession, sf_dir: str) -> str | None:
+def gram_index_path(
+    spark: SparkSession, sf_dir: str, n: int = GRAM_N
+) -> str | None:
     """Warehouse directory for the documents table's first-occurrence
-    gram index — None when the warehouse isn't a local filesystem."""
+    gram index — None when the warehouse isn't a local filesystem.
+    The gram length ``n`` is part of the cache key (directory name), so
+    an index built for one gram length can never be served or extended
+    for another (ADVICE r8: previously only sf_dir + source fingerprint
+    keyed the cache)."""
     import hashlib
     import os
 
@@ -49,7 +55,7 @@ def gram_index_path(spark: SparkSession, sf_dir: str) -> str | None:
         return None
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    return os.path.join(wh, f"mas_gramidx_{tag}_{fresh}")
+    return os.path.join(wh, f"mas_gramidx_{tag}_n{n}_{fresh}")
 
 
 def gram_rows(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
@@ -78,9 +84,12 @@ def ensure_gram_index(
     fingerprint."""
     import os
 
-    path = gram_index_path(spark, sf_dir)
+    from minoan_athenaeum_spark.sources.swap import recover_swap
+
+    path = gram_index_path(spark, sf_dir, n)
     if path is None:
         raise RuntimeError("gram index needs a local warehouse dir")
+    recover_swap(os.path.join(path, "grams"))
     if os.path.isfile(os.path.join(path, "grams", "_SUCCESS")):
         return path
     from minoan_athenaeum_spark.catalog import load_table
@@ -125,24 +134,25 @@ def compact_gram_index(
     gram-partitioned files with the min-merge APPLIED (one row per
     gram again) — the LSM compaction step. Lands in a sibling dir,
     swapped live by two renames so a reader never sees a half-written
-    index; the old generation is removed last (the
-    compact_bm25_index contract)."""
+    index; the old generation is removed last, and any state an
+    interrupted prior swap left behind is repaired first
+    (sources/swap.py — pinned by tests/test_crash_safety.py)."""
     import os
-    import shutil
+
+    from minoan_athenaeum_spark.sources.swap import (
+        recover_swap,
+        swap_live,
+        swap_paths,
+    )
 
     gdir = os.path.join(path, "grams")
-    tmp, old = gdir + "_compacting", gdir + "_old"
-    for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    recover_swap(gdir)
     (
         spark.read.parquet(gdir)
         .groupBy("gram")
         .agg(F.min("first_doc").alias("first_doc"))
         .repartition(n_files, F.col("gram"))
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(swap_paths(gdir)[0])
     )
-    os.rename(gdir, old)
-    os.rename(tmp, gdir)
-    shutil.rmtree(old)
+    swap_live(gdir)

@@ -78,9 +78,12 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
 
     from minoan_athenaeum_spark.catalog import load_table
 
+    from minoan_athenaeum_spark.sources.swap import recover_swap
+
     path = ivf_index_path(spark, sf_dir)
     if path is None:
         raise RuntimeError("IVF index needs a local warehouse dir")
+    recover_swap(os.path.join(path, "members"))
     if os.path.isfile(
         os.path.join(path, "centroids", "_SUCCESS")
     ) and os.path.isfile(os.path.join(path, "members", "_SUCCESS")):
@@ -118,24 +121,25 @@ def compact_ivf_members(spark: SparkSession, path: str) -> None:
     so a reader never sees a half-written index. Centroids are
     untouched (retraining the codebook is a model event, not a
     layout event). Pinned by tests/test_dedup_similarity.py::
-    test_ivf_compact_preserves_members_and_layout."""
+    test_ivf_compact_preserves_members_and_layout; crash states of the
+    swap itself by tests/test_crash_safety.py."""
     import os
-    import shutil
+
+    from minoan_athenaeum_spark.sources.swap import (
+        recover_swap,
+        swap_live,
+        swap_paths,
+    )
 
     mdir = os.path.join(path, "members")
-    tmp, old = mdir + "_compacting", mdir + "_old"
-    for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    recover_swap(mdir)
     (
         spark.read.parquet(mdir)
         .repartition(N_CELLS, F.col("cell"))
         .write.mode("overwrite")
-        .parquet(tmp)
+        .parquet(swap_paths(mdir)[0])
     )
-    os.rename(mdir, old)
-    os.rename(tmp, mdir)
-    shutil.rmtree(old)
+    swap_live(mdir)
 
 
 def append_to_ivf_index(

@@ -131,9 +131,12 @@ def ensure_bm25_index(
 
     from minoan_athenaeum_spark.catalog import load_table
 
+    from minoan_athenaeum_spark.sources.swap import recover_swap
+
     path = bm25_index_path(spark, sf_dir, slice_)
     if path is None:
         raise RuntimeError("BM25 index needs a local warehouse dir")
+    recover_swap(os.path.join(path, "postings"))
     if os.path.isfile(os.path.join(path, "postings", "_SUCCESS")) and os.path.isfile(
         os.path.join(path, "stats", "_SUCCESS")
     ):
@@ -188,21 +191,23 @@ def compact_bm25_index(
     The rewrite lands in a sibling directory and is swapped in with
     two renames (old → .old, new → live), so a reader never sees a
     half-written index directory; the .old generation is removed
-    last."""
+    last, and any state an interrupted prior swap left behind is
+    repaired first (sources/swap.py — pinned by
+    tests/test_crash_safety.py)."""
     import os
-    import shutil
+
+    from minoan_athenaeum_spark.sources.swap import (
+        recover_swap,
+        swap_live,
+        swap_paths,
+    )
 
     pdir = os.path.join(path, "postings")
-    tmp, old = pdir + "_compacting", pdir + "_old"
-    for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
+    recover_swap(pdir)
     write_posting_segments(
-        spark.read.parquet(pdir), tmp, num_segments=num_segments
+        spark.read.parquet(pdir), swap_paths(pdir)[0], num_segments=num_segments
     )
-    os.rename(pdir, old)
-    os.rename(tmp, pdir)
-    shutil.rmtree(old)
+    swap_live(pdir)
 
 
 def append_to_bm25_index(
