@@ -268,8 +268,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # sim_jl_project_topk, pipeline_shuffle_shards, text_ngram_novelty
 # (batch twin of the in-window incremental), the remaining tpch_q*
 # zero-history rows (q10/q11/q13-q17/q19/q20/q22), the stat_* exact
-# quantile family, win_lag_lead/win_rank_dense_ntile, and the
-# remaining mm_ rows (ppm/g711/ms_adpcm/quarantine).
+# quantile family, win_lag_lead/win_rank_dense_ntile, the
+# remaining mm_ rows (ppm/g711/ms_adpcm/quarantine), and the r9 crop
+# (dedup_lines_global, dedup_cluster_keep_best — oracle-verified ×2
+# SFs at birth).
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",

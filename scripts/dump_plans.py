@@ -142,6 +142,9 @@ EXTRA = [
     "sim_ann_prefix_rerank",
     "text_novelty_incremental",
     "stream_novelty_gate_exec",
+    # r9 additions
+    "dedup_lines_global",
+    "dedup_cluster_keep_best",
 ]
 
 
