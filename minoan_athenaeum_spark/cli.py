@@ -29,6 +29,51 @@ import json
 import sys
 
 
+def _debug_dump(path: str, table_file_name: str) -> None:
+    """-d debug dump of the load internals, mirroring the reference's
+    DEBUG block (database.py:973-989): green Loaded banner, then the
+    per-column metadata (ordinal, type, max value width), the columnar
+    (value, row_id) data, the distinct-value sets, and the key-sorted
+    value→row_ids reverse index — each long structure shortened to one
+    70-char line like the reference's write_debug_short. Unpinned by
+    goldens (the reference ships no -d .out files), so this renders the
+    same structures with the same labels rather than byte-exact text."""
+    import textwrap
+
+    short = lambda x: textwrap.shorten(str(x), width=70)  # noqa: E731
+    raw = json.load(open(path))
+    header, rows = raw[0], raw[1:]
+    names = [c[0] for c in header]
+    types = [c[1] for c in header]
+    metadata = {
+        n: (i, types[i], max((len(str(r[i])) for r in rows), default=0))
+        for i, n in enumerate(names)
+    }
+    columns = [[(r[i], rid) for rid, r in enumerate(rows)] for i in range(len(names))]
+    column_sets = [sorted({r[i] for r in rows}, key=str) for i in range(len(names))]
+    reverse = []
+    for i in range(len(names)):
+        idx: dict = {}
+        for rid, r in enumerate(rows):
+            idx.setdefault(r[i], []).append(rid)
+        reverse.append({k: idx[k] for k in sorted(idx, key=str)})
+    print(f'\x1b[92mLoaded "{table_file_name}"\x1b[0m')
+    print()
+    print("- metadata")
+    print(metadata)
+    print()
+    print("- data colums")  # sic — the reference's label, database.py:979
+    for column in columns:
+        print(short(column))
+    print()
+    print("- data column_sets")
+    print(short(column_sets))
+    print()
+    print("- data sorted_column_reverse_index")
+    print(short(reverse))
+    print()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="minoan-athenaeum-spark")
     ap.add_argument("query_file")
@@ -39,6 +84,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="parse the SQL and print the reference-shape JSON AST "
         "(the sql-to-json stage of the reference pipe), then exit",
+    )
+    ap.add_argument(
+        "-d",
+        action="store_true",
+        dest="debug",
+        help="debug mode: dump per-table load internals (metadata, "
+        "column data, distinct sets, reverse index) before the Loaded "
+        "line — the reference's -d flag (database.py:27-45,973-989). "
+        "The reference's debug output is not pinned by any golden, so "
+        "this prints the same structures in the same order/labels "
+        "rather than byte-identical text",
     )
     args = ap.parse_args(argv)
 
@@ -111,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             df, n_rows = load_table_json(spark, path, tref.name)
             if f"{tref.name}.table.json" not in loaded_files:
                 loaded_files.add(f"{tref.name}.table.json")
+                if args.debug:
+                    _debug_dump(path, f"{tref.name}.table.json")
                 print(f'- Loaded "{tref.name}.table.json", {n_rows} rows.')
             tables[tref.effective_name] = df
         result = Executor(tables).plan(q)

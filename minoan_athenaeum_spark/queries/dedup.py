@@ -698,9 +698,16 @@ def dedup_minhash_incremental(spark, sf_dir):
         .select(F.col("doc_id").alias("a"), "b")
         .dropDuplicates(["a", "b"])
     )
-    verified = cand.join(
-        idx_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")), "a"
-    ).join(
+    # Verify with the CANDIDATE list as the broadcast/build side: the
+    # corpus shingle table is scanned map-only and probed by the
+    # candidate-pair hash, so its array<string> payloads are never
+    # broadcast or shuffled. (The first cut joined cand→idx_sh, which
+    # Catalyst answered by broadcasting the CORPUS-sized shingle table —
+    # 17.4 s warm serve at sf0.1, and an OOM shape at 100 TB; the
+    # same-day A/B for this orientation is in BASELINE.md r9.)
+    verified = idx_sh.select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")
+    ).join(F.broadcast(cand), "a").join(
         F.broadcast(
             batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh"))
         ),

@@ -1244,3 +1244,129 @@ def sim_ann_prefix_rerank(spark, sf_dir):
         .orderBy(F.col("cos_sim").desc(), F.col("nn_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# r9: ANN quality evaluation harness — recall@k of the prefix-screen
+# ANN against the exact ground truth, per query vector. The missing
+# piece between "we have five ANN variants" and "we can certify one
+# for a corpus": production retrieval teams run exactly this join
+# after any index/screen parameter change.
+
+_RECALL_Q = 8    # query vectors (vec_id < _RECALL_Q)
+_RECALL_K = 10   # recall@k
+
+_RECALL_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, {_QUANT} AS q FROM embeddings
+    ), p AS (
+      SELECT vec_id, q, q[1:{{pfx}}] AS pq,
+             sqrt(CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)) AS nrm
+      FROM v
+    ), qs AS (
+      SELECT vec_id AS qid, q AS q0, pq AS pq0, nrm AS nrm0
+      FROM p WHERE vec_id < {{nq}}
+    ), scored AS (
+      SELECT s.qid, p.vec_id,
+             CAST(list_sum(list_transform(range(1, {{pfx}} + 1),
+                                          i -> p.pq[i] * s.pq0[i])) AS BIGINT) AS prefix_dot,
+             CAST(list_sum(list_transform(range(1, len(p.q) + 1),
+                                          i -> p.q[i] * s.q0[i])) AS DOUBLE)
+               / (p.nrm * s.nrm0) AS cos
+      FROM p, qs s WHERE p.vec_id != s.qid
+    ), exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {{k}}
+    ), cand AS (
+      SELECT qid, vec_id, cos FROM (
+        SELECT qid, vec_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY prefix_dot DESC, vec_id) AS rn
+        FROM scored) WHERE rn <= {{cand}}
+    ), approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+        FROM cand) WHERE rn <= {{k}}
+    )
+    SELECT e.qid AS query_id,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / {{k}}.0 AS recall_at_k
+    FROM exact e LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """.format(nq=_RECALL_Q, k=_RECALL_K, cand=_PFX_CAND, pfx=_PFX_DIMS)
+
+
+@query(
+    "sim_ann_recall_eval",
+    oracle=_RECALL_ORACLE,
+    tags=("similarity", "ann", "evaluation", "recall"),
+)
+def sim_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the prefix-screen ANN (sim_ann_prefix_rerank's
+    16-of-64-dim screen, top-100 candidates, exact rerank) against the
+    exact cosine top-10, per query vector — the evaluation join a
+    retrieval team runs to certify an ANN configuration on THEIR
+    corpus before serving it. One row per query: (query_id, n_hits,
+    recall_at_k). Both rankings use total-order tie-breaks and
+    quantized-int math, so the whole evaluation is bit-exact vs the
+    DuckDB twin — including the recall fractions (n/10 is exact in
+    IEEE).
+
+    Scale shape: the scored pairs are ONE map pass over the corpus
+    with the Q=8 query block broadcast (evaluation needs exact ground
+    truth, so the full-width cosine per (query, vector) pair is
+    inherent to the task, not overhead); both top-k extractions go
+    through grouped_topk_two_phase (per-partition local top-k, global
+    pass over <= k*P survivors — no corpus-sized window partition even
+    when Q is small and groups are huge); the hit join touches Q*k
+    rows. At 100 TB with Q queries this is Q broadcast-multiplied map
+    passes fused into one scan — the same cost as the exact baseline
+    it certifies, which is the floor for any evaluation that reports
+    TRUE recall."""
+    from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+    from minoan_athenaeum_spark.operators.similarity import dot_int
+
+    k, nq = _RECALL_K, _RECALL_Q
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    p = v.select("vec_id", "q", F.slice(F.col("q"), 1, _PFX_DIMS).alias("pq"))
+    qs = p.filter(F.col("vec_id") < nq).select(
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("q0"),
+        F.col("pq").alias("pq0"),
+    )
+    release_tracked()
+    scored = persist_tracked(
+        p.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dot_int(F.col("pq"), F.col("pq0")).alias("prefix_dot"),
+            cosine_q(F.col("q"), F.col("q0")).alias("cos"),
+        )
+    )
+    exact = grouped_topk_two_phase(
+        scored, ["qid"], [F.col("cos").desc(), "vec_id"], k
+    ).select("qid", "vec_id")
+    cand = grouped_topk_two_phase(
+        scored, ["qid"], [F.col("prefix_dot").desc(), "vec_id"], _PFX_CAND
+    ).select("qid", "vec_id", "cos")
+    approx = grouped_topk_two_phase(
+        cand, ["qid"], [F.col("cos").desc(), "vec_id"], k
+    ).select("qid", "vec_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(approx, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("double") / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )

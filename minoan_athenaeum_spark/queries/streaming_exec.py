@@ -646,10 +646,13 @@ def stream_minhash_dedup_exec(spark, sf_dir):
                 .select(F.col("doc_id").alias("a"), "b")
                 .dropDuplicates(["a", "b"])
             )
-            ver = cand.join(
-                idx_sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")),
-                "a",
-            ).join(
+            # candidate list is the broadcast/build side — the corpus
+            # shingle table is probed map-only, its array payloads
+            # never broadcast (same orientation fix as
+            # dedup_minhash_incremental, BASELINE.md r9)
+            ver = idx_sh.select(
+                F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")
+            ).join(F.broadcast(cand), "a").join(
                 F.broadcast(
                     batch_sh.select(
                         F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")

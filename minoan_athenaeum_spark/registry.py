@@ -270,8 +270,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # zero-history rows (q10/q11/q13-q17/q19/q20/q22), the stat_* exact
 # quantile family, win_lag_lead/win_rank_dense_ntile, the
 # remaining mm_ rows (ppm/g711/ms_adpcm/quarantine), and the r9 crop
-# (dedup_lines_global, dedup_cluster_keep_best — oracle-verified ×2
-# SFs at birth).
+# (dedup_lines_global, dedup_cluster_keep_best, sim_ann_recall_eval —
+# oracle-verified ×2 SFs at birth).
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",

@@ -145,6 +145,7 @@ EXTRA = [
     # r9 additions
     "dedup_lines_global",
     "dedup_cluster_keep_best",
+    "sim_ann_recall_eval",
 ]
 
 

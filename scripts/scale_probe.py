@@ -183,7 +183,13 @@ def main() -> None:
               file=sys.stderr)
 
     specs = load_all()
-    spark.read.parquet(f"{out_dir}/lineitem.parquet").count()  # warm listing
+    # warm the listing against a table that exists (a
+    # SPARK_GRAFT_AMPLIFY_TABLES-subset run may not have lineitem)
+    warm_tbl = next(
+        t for t in ("lineitem", "documents", "embeddings", "events")
+        if os.path.exists(f"{out_dir}/{t}.parquet")
+    )
+    spark.read.parquet(f"{out_dir}/{warm_tbl}.parquet").count()
     timings = {}
     # Default measurement is .count() (comparable with all prior rounds).
     # SPARK_GRAFT_PROBE_CHECKSUM=1 instead aggregates a bit_xor checksum
@@ -203,14 +209,14 @@ def main() -> None:
         else:
             df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
-    n_li = spark.read.parquet(f"{out_dir}/lineitem.parquet").count()
+    n_warm = spark.read.parquet(f"{out_dir}/{warm_tbl}.parquet").count()
     spark.stop()
     print(json.dumps({
         "metric": "scale_probe_total_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "lineitem_rows": n_li,
+        f"{warm_tbl}_rows": n_warm,
         "amplification": times,
     }))
 

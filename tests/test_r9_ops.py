@@ -117,3 +117,87 @@ def test_oracles_match_at_sf0001(spark):
         )
         assert sorted(odf.column_names) == cols, name
         assert srows == orows, name
+
+
+def _expected_recall(vecs, nq=8, k=10, pfx=16, cand=100):
+    """Pure-Python replica of the recall harness (quantize + total-order
+    tie-breaks), independent of both engines."""
+    import math
+
+    q = {i: [round(x * 10000) for x in v] for i, v in vecs}
+    nrm = {i: math.sqrt(sum(x * x for x in qq)) for i, qq in q.items()}
+    out = {}
+    for qid in range(nq):
+        if qid not in q:
+            continue
+        scored = []
+        for i, qq in q.items():
+            if i == qid:
+                continue
+            dot = sum(a * b for a, b in zip(qq, q[qid]))
+            pdot = sum(a * b for a, b in zip(qq[:pfx], q[qid][:pfx]))
+            cos = dot / (nrm[i] * nrm[qid])
+            scored.append((i, pdot, cos))
+        exact = {i for i, _, _ in sorted(scored, key=lambda t: (-t[2], t[0]))[:k]}
+        screen = sorted(scored, key=lambda t: (-t[1], t[0]))[:cand]
+        approx = {i for i, _, _ in sorted(screen, key=lambda t: (-t[2], t[0]))[:k]}
+        out[qid] = len(exact & approx)
+    return out
+
+
+def test_ann_recall_eval_adversarial_tail(spark, tmp_path):
+    """Corpus built so the 16-dim prefix DISAGREES with the full cosine
+    for some neighbors (decoys: aligned prefix, opposed tail). The
+    harness must report exactly the recall the pure-Python replica
+    computes — including values < 1 when the screen genuinely misses."""
+    import pandas as pd
+
+    rng_vecs = []
+    # 8 query vectors: prefix signal on dim qid, strong tail on 40+qid
+    for qid in range(8):
+        v = [0.0] * 64
+        v[qid] = 1.0
+        v[40 + qid] = 0.8
+        rng_vecs.append((qid, v))
+    # per query: 6 EASY true neighbors (prefix+tail aligned -> survive
+    # the screen) and 6 HIDDEN true neighbors (tail-only: cos ~0.62 but
+    # prefix_dot == 0, so >=100 prefix-positive fillers crowd them out
+    # of the top-100 screen) -> expected recall 6/10 per query
+    nid = 100
+    for qid in range(8):
+        for _ in range(6):
+            v = [0.0] * 64
+            v[qid] = 1.0
+            v[40 + qid] = 0.8
+            rng_vecs.append((nid, v)); nid += 1
+        for _ in range(6):
+            v = [0.0] * 64
+            v[40 + qid] = 1.0
+            rng_vecs.append((nid, v)); nid += 1
+    # 110 fillers: tiny positive prefix overlap with EVERY query (so
+    # their prefix_dot beats the hidden neighbors' zero), negligible cos
+    for j in range(110):
+        v = [0.0] * 64
+        for d in range(8):
+            v[d] = 0.01
+        v[17 + (j % 20)] = 1.0
+        rng_vecs.append((nid, v)); nid += 1
+    pd.DataFrame(
+        [(i, v, 0) for i, v in rng_vecs],
+        columns=["vec_id", "embedding", "label"],
+    ).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+
+    from minoan_athenaeum_spark.queries.similarity import sim_ann_recall_eval
+
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall_at_k"])
+        for r in sim_ann_recall_eval(spark, str(tmp_path)).collect()
+    }
+    want = _expected_recall(rng_vecs)
+    assert set(got) == set(want)
+    for qid, hits in want.items():
+        assert got[qid] == (hits, hits / 10.0), (qid, got[qid], hits)
+    # the corpus is adversarial by construction: at least one query must
+    # see a genuine screen miss, else the pin proves nothing
+    assert any(h < 10 for h, _ in got.values())
+    assert any(h > 0 for h, _ in got.values())

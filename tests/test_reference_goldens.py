@@ -373,3 +373,26 @@ def test_malformed_query_json_rejected(bad):
 
     with pytest.raises(DialectError):
         from_reference_ast(bad)
+
+
+def test_debug_flag_dump(capsys):
+    """-d parity (reference database.py:27-45,973-989): the debug dump
+    prints the load internals with the reference's section labels
+    (including its 'data colums' typo) BEFORE the Loaded line, and the
+    structures reflect the actual table file."""
+    from minoan_athenaeum_spark.cli import _debug_dump
+
+    _debug_dump(f"{REF}/cities.table.json", "cities.table.json")
+    out = capsys.readouterr().out
+    assert 'Loaded "cities.table.json"' in out
+    for label in (
+        "- metadata",
+        "- data colums",
+        "- data column_sets",
+        "- data sorted_column_reverse_index",
+    ):
+        assert label in out, label
+    # metadata carries (ordinal, type, max value width) per column
+    assert "'population': (2, 'int'" in out
+    # column data is (value, row_id) in row order
+    assert "('New York', 0)" in out
