@@ -13,60 +13,61 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
-# r8 rotation (registry.py's round-8 window policy): the r7 crop and
-# the r8 additions took their family slots; seven long-green rows
-# retired for never-checked queries under rule 2. Rotated-out members
-# stay pytest-oracled every round.
+# r9 rotation (registry.py's round-9 window note — the VERDICT r8 #1
+# verification-debt burn): parity sentinels shrank 8 → 5, twenty
+# never-checked queries rotated in, so several families hand their
+# slot to a different member (agg → the G1 math inside the TPC-H
+# shapes; time-series/multimodal/bucketing reps retired under rule 2
+# after 4-green streaks — those FAMILIES remain covered by the local
+# oracle sweep every round, and rule 2 allows any 3+-streak retirement
+# in favor of never-checked rows). Rotated-out members stay
+# pytest-oracled every round.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "theta_distinct_key_join": "theta",
-    "agg_g1_groupby_count_sum": "G1",
-    # late r8: agg_tpch_q1 retired (green r1/3/5/6/7) for the new
-    # repetition battery; q3 carries the agg-family slot.
-    "agg_tpch_q3_top10": "agg",
     "text_repetition_filters": "quality",
     "pipeline_dsir_select": "dsir",
     "tpch_q9_product_profit": "tpch",
-    # late r8 backlog burn: setop_intersect (green r1..r7) retired for
-    # the never-checked CSV source connector; misc_skyline_pareto
-    # (green r6/r7) for the never-checked count-min sketch;
-    # mm_adpcm_audio_features (green r5..r7) for the never-checked
-    # positional phrase search. All three incoming verified green vs
-    # their DuckDB oracles at sf0.001 AND sf0.01 before the swap.
+    "tpch_q2_best_supplier": "tpch",
+    "tpch_q7_volume_shipping": "tpch",
+    "tpch_q8_market_share": "tpch",
+    "tpch_q21_waiting_suppliers": "tpch",
     "src_csv_events_agg": "source",
+    "src_jsonl_events_agg": "source",
+    "src_orc_events_agg": "source",
     "win_grouped_topk_two_phase": "window",
     "sketch_hll_distinct": "sketch",
-    "dedup_substring_spans": "substring",
     "text_suffix_array_sharded": "suffix-array",
     "fn_python_udtf": "functions",
     "ml_perceptron_quality_train": "ml",
+    "ml_quality_filter": "ml",
     "graph_pagerank_fixed_point": "graph",
     "sketch_count_min": "count-min",
-    "evt_retention_cohorts": "events",
-    "sketch_kmv_intersection": "sketch",
-    # maintenance cluster: four incremental persisted-index members
-    # (BM25 append + compact, streaming BM25, incremental semdedup)
-    # plus the rollup refresh rep below.
+    "evt_funnel_stages": "events",
+    "evt_markov_transitions": "events",
+    "misc_fuzzy_join_dist1": "fuzzy",
+    "misc_entity_resolution": "entity",
     "text_bm25_index_compact": "compaction",
+    "text_bm25_search_robertson": "bm25",
     "stat_winsorize_approx": "stats",
     "text_phrase_search": "phrase",
     "dedup_sorted_neighborhood": "dedup",
     "dedup_minhash_incremental": "incremental",
-    "sim_hybrid_rrf": "similarity",
-    "sim_ann_pq_adc_topk": "pq",
     "sim_pca_covariance": "pca",
+    "sim_ann_ivfadc_topk": "ann",
+    "sim_ann_prefix_rerank": "ann",
     "dedup_semdedup_incremental": "semantic",
-    "pipeline_pii_redact": "pii",
-    "text_bm25_index_append": "text",
+    "text_novelty_incremental": "novelty",
     "text_ccnet_ppl_buckets_log": "lm",
     "text_kneser_ney_ppl": "perplexity",
     "text_gopher_quality_filters": "gopher",
-    "ts_asof_join": "timeseries",
-    "mm_jpeg_decode_stats": "multimodal",
-    "stream_minhash_dedup_exec": "streaming",
+    "mm_png_decode_stats": "multimodal",
+    "mm_wav_audio_features": "audio",
+    "mm_video_frame_sample": "video",
+    "stream_novelty_gate_exec": "streaming",
+    "stream_quality_gate_exec": "streaming",
     "stream_bm25_index_append_exec": "exec",
-    "rollup_incremental_refresh": "rollup",
-    "bucketed_colocated_join": "bucketing",
+    "pipeline_mixture_temperature": "temperature",
     "pipeline_curation_v4": "pipeline",
     "pipeline_curation_v5": "capstone",
 }
