@@ -1026,3 +1026,124 @@ def dedup_cluster_keep_best(spark, sf_dir):
         "quality",
         (F.col("doc_id") == F.col("keeper")).alias("keep"),
     )
+
+
+_LINES_INC_ORACLE = r"""
+    WITH tk AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS tk
+      FROM documents
+    ), lines0 AS (
+      SELECT doc_id,
+             UNNEST(list_transform(
+               range(1, CAST(ceil(len(tk) / 10.0) AS BIGINT) + 1),
+               i -> struct_pack(
+                 line_no := CAST(i - 1 AS BIGINT),
+                 line := array_to_string(list_slice(tk, (i-1)*10 + 1, i*10), ' ')))) AS l
+      FROM tk
+    ), lines AS (
+      SELECT doc_id, l.line_no AS line_no, l.line AS line FROM lines0
+    ), owned AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY md5(line)
+                                ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(line, ' '))
+                         ELSE 0 END) AS BIGINT) AS kept_tokens
+    FROM owned WHERE doc_id % 10 = 0 GROUP BY doc_id
+    """
+
+
+@query(
+    "dedup_lines_incremental",
+    oracle=_LINES_INC_ORACLE,
+    tags=("dedup", "lines", "incremental", "pipeline"),
+)
+def dedup_lines_incremental(spark, sf_dir):
+    """INCREMENTAL line-level dedup: score the arriving batch
+    (doc_id % 10 == 0) against the persisted first-occurrence LINE
+    index of the existing corpus (sources/line_index.py — the SIXTH
+    persisted-index family) WITHOUT re-chunking or re-hashing the
+    corpus. Per batch document: of its lines, how many are the GLOBAL
+    first occurrence over corpus ∪ batch (ownership can point either
+    way — a batch doc_id smaller than a corpus doc_id steals the line,
+    exactly like the gram index's interleaving semantics) and how many
+    tokens survive. The incremental form of ``dedup_lines_global``,
+    and the production way a C4/CCNet-style line filter prices each
+    crawl slice as it arrives.
+
+    Serve shape: batch lines and per-fp batch minima are map-only over
+    the BATCH; the corpus side is ONE map-only scan of the lean
+    (fp, first_doc, first_line) index probed by the BROADCAST batch-fp
+    set (matched rows are candidate-sized; the min-merge across any
+    append generations happens in that candidate-sized aggregate); the
+    merged owner joins back broadcast. A batch line is kept iff its
+    (doc_id, line_no) equals the merged owner. No corpus re-chunk, no
+    corpus shuffle, no window.
+
+    Oracle: the full-recompute twin — global ownership re-derived from
+    scratch over ALL documents in DuckDB, output restricted to batch
+    docs — proving the persisted index serves exactly what a
+    from-scratch run computes."""
+    import os
+
+    from minoan_athenaeum_spark.sources.line_index import (
+        doc_lines,
+        ensure_line_index,
+    )
+
+    idx_path = ensure_line_index(spark, sf_dir)
+    owners_idx = spark.read.parquet(os.path.join(idx_path, "lines"))
+    release_tracked()
+    bl = persist_tracked(
+        doc_lines(
+            t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+        )
+    )
+    bmin = bl.groupBy("fp").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("bown")
+    )
+    matched = (
+        owners_idx.join(F.broadcast(bmin.select("fp")), "fp")
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("first_doc").alias("doc_id"),
+                    F.col("first_line").alias("line_no"),
+                )
+            ).alias("iown")
+        )
+    )
+    own = bmin.join(F.broadcast(matched), "fp", "left").select(
+        "fp",
+        F.when(
+            F.col("iown").isNull() | (F.col("bown") < F.col("iown")),
+            F.col("bown"),
+        )
+        .otherwise(F.col("iown"))
+        .alias("own"),
+    )
+    return (
+        bl.join(F.broadcast(own), "fp")
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                (F.col("doc_id") == F.col("own.doc_id"))
+                & (F.col("line_no") == F.col("own.line_no"))
+            ).alias("kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -900,3 +900,114 @@ def stream_novelty_gate_exec(spark, sf_dir):
             .alias("novel_pct"),
         )
     )
+
+
+def _lines_stream_oracle() -> str:
+    from minoan_athenaeum_spark.queries.dedup import _LINES_INC_ORACLE
+
+    return _LINES_INC_ORACLE
+
+
+@query(
+    "stream_lines_gate_exec",
+    oracle=_lines_stream_oracle(),
+    tags=("streaming", "lines", "incremental", "exec"),
+)
+def stream_lines_gate_exec(spark, sf_dir):
+    """STREAMING LINE-INDEX MAINTENANCE: the arriving batch
+    (doc_id % 10 == 0) flows through the file-source stream
+    (availableNow) and each micro-batch folds its per-fingerprint
+    (fp, batch-min owner) rows into a scratch copy of the persisted
+    first-occurrence LINE index via `append_to_line_index` inside
+    foreachBatch — the sixth index family's live ingest loop (sibling
+    of stream_novelty_gate_exec). After the drain, per-doc line
+    retention is served from the MIN-MERGED index: a batch line is
+    kept iff its (doc_id, line_no) owns the line's corpus-wide first
+    occurrence.
+
+    Order independence is definitional: first-occurrence over the
+    (doc_id, line_no) struct is a MIN, associative and commutative, so
+    any micro-batch arrival order min-merges to exactly the
+    rebuilt-from-union ownership table — which is why the oracle is
+    the same FULL-recompute twin dedup_lines_incremental uses:
+    stream-fold-then-serve ≡ batch-rebuild, one green row proves both.
+
+    Replay safety: the scratch copy is rebuilt per run so appends are
+    idempotent per execution; a production sink keys delta generation
+    directories by batch_id (the idempotent_parquet_writer pattern)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.queries._util import t
+    from minoan_athenaeum_spark.sources.line_index import (
+        append_to_line_index,
+        doc_lines,
+        ensure_line_index,
+    )
+    from minoan_athenaeum_spark.streaming.ops import read_documents_stream
+
+    base = ensure_line_index(spark, sf_dir)
+    work = base + "_streamwork"
+    for d in (work, work + "_ckpt"):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    shutil.copytree(base, work)
+
+    def fold(batch_df, batch_id: int) -> None:
+        batch = batch_df.filter(F.col("doc_id") % 10 == 0)
+        if batch.isEmpty():
+            return
+        append_to_line_index(spark, work, batch)
+
+    stream = read_documents_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", work + "_ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # Serve from the min-merged index (which now CONTAINS the batch
+    # generations): the global owner of each batch fingerprint is one
+    # candidate-sized aggregate over the index scan probed by the
+    # broadcast batch-fp set; kept/dropped joins back broadcast. Same
+    # output contract (and oracle) as dedup_lines_incremental.
+    bl = doc_lines(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    ).localCheckpoint(eager=True)
+    owner = (
+        spark.read.parquet(os.path.join(work, "lines"))
+        .join(F.broadcast(bl.select("fp").distinct()), "fp")
+        .groupBy("fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("first_doc").alias("doc_id"),
+                    F.col("first_line").alias("line_no"),
+                )
+            ).alias("own")
+        )
+    )
+    return (
+        bl.join(F.broadcast(owner), "fp")
+        .select(
+            "doc_id",
+            "n_tok",
+            (
+                (F.col("doc_id") == F.col("own.doc_id"))
+                & (F.col("line_no") == F.col("own.line_no"))
+            ).alias("kept"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )

@@ -270,8 +270,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # zero-history rows (q10/q11/q13-q17/q19/q20/q22), the stat_* exact
 # quantile family, win_lag_lead/win_rank_dense_ntile, the
 # remaining mm_ rows (ppm/g711/ms_adpcm/quarantine), and the r9 crop
-# (dedup_lines_global, dedup_cluster_keep_best, sim_ann_recall_eval —
-# oracle-verified ×2 SFs at birth).
+# (dedup_lines_global, dedup_cluster_keep_best, sim_ann_recall_eval,
+# dedup_lines_incremental + stream_lines_gate_exec — the sixth
+# persisted-index family — all oracle-verified ×2 SFs at birth).
+# Rule 3 (new ops enter the window their birth round) is deliberately
+# DEFERRED for the r9 crop: the 50 slots are fully booked with the
+# VERDICT-directed never-checked burn, and swapping one never-checked
+# row for another would not reduce the backlog — the crop leads the
+# r10 rotation instead.
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",

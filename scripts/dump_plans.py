@@ -146,6 +146,8 @@ EXTRA = [
     "dedup_lines_global",
     "dedup_cluster_keep_best",
     "sim_ann_recall_eval",
+    "dedup_lines_incremental",
+    "stream_lines_gate_exec",
 ]
 
 

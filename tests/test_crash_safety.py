@@ -203,6 +203,53 @@ def test_ivf_members_crash_recovery(spark, tmp_path, state):
     assert _rows(spark, live, cols) == before
 
 
+@pytest.mark.parametrize("state", ["between-renames", "rollback"])
+def test_line_index_crash_recovery(spark, tmp_path, state):
+    from minoan_athenaeum_spark.sources.line_index import (
+        append_to_line_index,
+        compact_line_index,
+        ensure_line_index,
+    )
+
+    sf = _docs_sf(tmp_path, [(3, _seq(0, 20), "en", "a")])
+    idx = ensure_line_index(spark, sf)
+    append_to_line_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(2, _seq(10, 20), "en", "a")],
+                columns=["doc_id", "text", "lang", "source"],
+            )
+        ),
+    )
+    live = os.path.join(idx, "lines")
+    cols = ["fp", "first_doc", "first_line"]
+    before = _rows(spark, live, cols)
+    assert any(t[1] == 2 for t in before)  # the appended generation
+    _fabricate(live, state)
+    assert ensure_line_index(spark, sf) == idx
+    assert _rows(spark, live, cols) == before
+    compact_line_index(spark, idx)
+    served = {
+        (r["fp"], r["o"]["first_doc"], r["o"]["first_line"])
+        for r in spark.read.parquet(live)
+        .groupBy("fp")
+        .agg(F.min(F.struct("first_doc", "first_line")).alias("o"))
+        .collect()
+    }
+    assert served == {
+        (fp, d, ln)
+        for fp, d, ln in (
+            min(
+                ((f, d, ln) for f, d, ln in before if f == fp),
+                key=lambda t: (t[1], t[2]),
+            )
+            for fp in {f for f, _, _ in before}
+        )
+    }
+
+
 def test_gram_index_path_keys_on_n(spark, tmp_path):
     """ADVICE r8: an index built for one gram length must never be
     served for another — n is part of the cache directory name."""
