@@ -698,16 +698,23 @@ def dedup_minhash_incremental(spark, sf_dir):
         .select(F.col("doc_id").alias("a"), "b")
         .dropDuplicates(["a", "b"])
     )
-    # Verify with the CANDIDATE list as the broadcast/build side: the
-    # corpus shingle table is scanned map-only and probed by the
-    # candidate-pair hash, so its array<string> payloads are never
-    # broadcast or shuffled. (The first cut joined cand→idx_sh, which
-    # Catalyst answered by broadcasting the CORPUS-sized shingle table —
-    # 17.4 s warm serve at sf0.1, and an OOM shape at 100 TB; the
-    # same-day A/B for this orientation is in BASELINE.md r9.)
-    verified = idx_sh.select(
-        F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")
-    ).join(F.broadcast(cand), "a").join(
+    # Verify via SEMI-JOIN REDUCTION: broadcast only the DISTINCT
+    # candidate doc-ids (bounded by the matched index docs — a few KB)
+    # into the corpus shingle scan, so the scan stays map-only and its
+    # array<string> payloads never broadcast wholesale; the reduced
+    # (candidate-doc-sized) shingle rows then join cand on the
+    # candidate partitioning, keeping the exact-Jaccard verify fully
+    # parallel. Two rejected shapes, both measured same-day at sf0.1
+    # (BASELINE.md r9): cand→idx_sh (Catalyst broadcasts the whole
+    # corpus shingle table — fine at test SFs where the index is tiny,
+    # an OOM hazard at 100 TB) and idx_sh→broadcast(cand) (scale-safe
+    # but serializes the 323k-pair verify onto the narrow index-scan
+    # partitioning — 3× slower).
+    a_ids = cand.select("a").distinct()
+    idx_matched = idx_sh.join(
+        F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
+    ).select(F.col("a"), F.col("sh").alias("a_sh"))
+    verified = cand.join(idx_matched, "a").join(
         F.broadcast(
             batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh"))
         ),

@@ -646,13 +646,17 @@ def stream_minhash_dedup_exec(spark, sf_dir):
                 .select(F.col("doc_id").alias("a"), "b")
                 .dropDuplicates(["a", "b"])
             )
-            # candidate list is the broadcast/build side — the corpus
-            # shingle table is probed map-only, its array payloads
-            # never broadcast (same orientation fix as
-            # dedup_minhash_incremental, BASELINE.md r9)
-            ver = idx_sh.select(
-                F.col("doc_id").alias("a"), F.col("sh").alias("a_sh")
-            ).join(F.broadcast(cand), "a").join(
+            # semi-join reduction: broadcast only the distinct
+            # candidate doc-ids into the corpus shingle scan, then
+            # join candidate-sized sides — the corpus payloads never
+            # broadcast/shuffle wholesale and the verify stays
+            # parallel (same shape as dedup_minhash_incremental,
+            # measured A/B in BASELINE.md r9)
+            a_ids = cand.select("a").distinct()
+            idx_matched = idx_sh.join(
+                F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
+            ).select(F.col("a"), F.col("sh").alias("a_sh"))
+            ver = cand.join(idx_matched, "a").join(
                 F.broadcast(
                     batch_sh.select(
                         F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")
