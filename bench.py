@@ -107,6 +107,10 @@ HEADLINE = [
     # r9: the fourth index-backed serve path joins the gate (same-cell
     # SemDedup verify against the persisted IVF index)
     "dedup_semdedup_incremental",
+    # r9: corpus-wide line dedup (C4/CCNet) and its incremental form
+    # served from the persisted line-fingerprint index (sixth family)
+    "dedup_lines_global",
+    "dedup_lines_incremental",
 ]
 
 
@@ -120,6 +124,7 @@ def _index_builders():
     from minoan_athenaeum_spark.queries.text import _NOVELTY_N
     from minoan_athenaeum_spark.sources.gram_index import ensure_gram_index
     from minoan_athenaeum_spark.sources.ivf_index import ensure_ivf_index
+    from minoan_athenaeum_spark.sources.line_index import ensure_line_index
     from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
     from minoan_athenaeum_spark.sources.posting_sink import ensure_bm25_index
 
@@ -130,6 +135,7 @@ def _index_builders():
             s, d, _NOVELTY_N
         ),
         "dedup_semdedup_incremental": ensure_ivf_index,
+        "dedup_lines_incremental": ensure_line_index,
     }
 
 

@@ -273,11 +273,26 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # (dedup_lines_global, dedup_cluster_keep_best, sim_ann_recall_eval,
 # dedup_lines_incremental + stream_lines_gate_exec — the sixth
 # persisted-index family — all oracle-verified ×2 SFs at birth).
-# Rule 3 (new ops enter the window their birth round) is deliberately
-# DEFERRED for the r9 crop: the 50 slots are fully booked with the
-# VERDICT-directed never-checked burn, and swapping one never-checked
-# row for another would not reduce the backlog — the crop leads the
-# r10 rotation instead.
+# Rule 3 applied to the r9 crop (all five verified green vs their
+# DuckDB oracles at sf0.001 AND sf0.01 at birth, window re-simulated
+# ×2 SFs after the swaps): dedup_lines_global for
+# dedup_sorted_neighborhood (dedup-blocking family, r8-green),
+# dedup_lines_incremental for dedup_semdedup_incremental
+# (incremental-persisted-index family, r8-green; the IVF machinery
+# stays externally exercised via sim_ann_ivfadc_topk),
+# stream_lines_gate_exec for stream_bm25_index_append_exec (streaming
+# index-maintenance family, r8-green; BM25 maintenance stays in-window
+# via text_bm25_index_compact which replays append generations),
+# sim_ann_recall_eval for sim_pca_covariance (similarity family,
+# greens r7+r8), and dedup_cluster_keep_best for
+# ml_perceptron_quality_train (greens r7+r8; judgment call rather than
+# strict family match — the trainer's integer recurrence is replayed
+# verbatim inside the in-window pipeline_curation_v4/v5 oracles and
+# applied by the in-window ml_quality_filter, so its surface keeps
+# triple external coverage while the duplicate-cluster resolution
+# family gains its first row). Never-checked in-window: 25; expected
+# backlog after the r9 driver run: 99 - 25 = 74 (< 75, the VERDICT
+# target, now against the 249-query registry).
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
@@ -300,7 +315,7 @@ CURATED_PREFIX = [
     "sketch_count_min",
     "stat_winsorize_approx",
     # ML / graph / Python-UDF paths / mining / events
-    "ml_perceptron_quality_train",
+    "dedup_cluster_keep_best",
     "ml_quality_filter",
     "graph_pagerank_fixed_point",
     "fn_python_udtf",
@@ -310,14 +325,14 @@ CURATED_PREFIX = [
     "misc_entity_resolution",
     "text_phrase_search",
     # training-data extensions: dedup / similarity / text
-    "dedup_sorted_neighborhood",
+    "dedup_lines_global",
     "dedup_minhash_incremental",
     "pipeline_dsir_select",
     "pipeline_mixture_temperature",
-    "sim_pca_covariance",
+    "sim_ann_recall_eval",
     "sim_ann_ivfadc_topk",
     "sim_ann_prefix_rerank",
-    "dedup_semdedup_incremental",
+    "dedup_lines_incremental",
     "text_bm25_index_compact",
     "text_bm25_search_robertson",
     "text_novelty_incremental",
@@ -332,7 +347,7 @@ CURATED_PREFIX = [
     "mm_video_frame_sample",
     "stream_novelty_gate_exec",
     "stream_quality_gate_exec",
-    "stream_bm25_index_append_exec",
+    "stream_lines_gate_exec",
     # pipeline capstones
     "pipeline_curation_v4",
     "pipeline_curation_v5",

@@ -27,9 +27,13 @@ def test_compaction_reduces_file_count_and_preserves_rows(spark, tmp_path):
     assert len(_data_files(src)) == 50
 
     total = sum(os.stat(f).st_size for f in _data_files(src))
-    target = total // 4  # expect ceil(total/target) == 5 files at most
+    target = total // 4
     n = compact_small_files(spark, src, dst, target_bytes=target)
-    assert n == 5
+    # ceil(total/target) is 5 unless total happens to divide exactly by
+    # 4 (parquet sizes shift with writer parallelism/compression, and
+    # the function's own listing includes metadata files) — pin the
+    # arithmetic band, not a byte-exact boundary
+    assert n in (4, 5), n
     assert len(_data_files(dst)) == n
 
     back = spark.read.parquet(dst)

@@ -21,7 +21,11 @@ SPECS = load_all()
 # after 4-green streaks — those FAMILIES remain covered by the local
 # oracle sweep every round, and rule 2 allows any 3+-streak retirement
 # in favor of never-checked rows). Rotated-out members stay
-# pytest-oracled every round.
+# pytest-oracled every round. Late-r9: the five-query r9 crop
+# entered under rule 3 via like-for-like single-green swaps
+# (registry.py round-9 note) — line dedup (batch + incremental +
+# streaming gate), cluster keep-best, and the ANN recall harness
+# take the slots of their r8-green family siblings.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "theta_distinct_key_join": "theta",
@@ -39,7 +43,7 @@ FAMILY_REPRESENTATIVES = {
     "sketch_hll_distinct": "sketch",
     "text_suffix_array_sharded": "suffix-array",
     "fn_python_udtf": "functions",
-    "ml_perceptron_quality_train": "ml",
+    "dedup_cluster_keep_best": "components",
     "ml_quality_filter": "ml",
     "graph_pagerank_fixed_point": "graph",
     "sketch_count_min": "count-min",
@@ -51,12 +55,12 @@ FAMILY_REPRESENTATIVES = {
     "text_bm25_search_robertson": "bm25",
     "stat_winsorize_approx": "stats",
     "text_phrase_search": "phrase",
-    "dedup_sorted_neighborhood": "dedup",
+    "dedup_lines_global": "lines",
     "dedup_minhash_incremental": "incremental",
-    "sim_pca_covariance": "pca",
+    "sim_ann_recall_eval": "evaluation",
     "sim_ann_ivfadc_topk": "ann",
     "sim_ann_prefix_rerank": "ann",
-    "dedup_semdedup_incremental": "semantic",
+    "dedup_lines_incremental": "incremental",
     "text_novelty_incremental": "novelty",
     "text_ccnet_ppl_buckets_log": "lm",
     "text_kneser_ney_ppl": "perplexity",
@@ -66,7 +70,7 @@ FAMILY_REPRESENTATIVES = {
     "mm_video_frame_sample": "video",
     "stream_novelty_gate_exec": "streaming",
     "stream_quality_gate_exec": "streaming",
-    "stream_bm25_index_append_exec": "exec",
+    "stream_lines_gate_exec": "exec",
     "pipeline_mixture_temperature": "temperature",
     "pipeline_curation_v4": "pipeline",
     "pipeline_curation_v5": "capstone",
