@@ -507,3 +507,61 @@ def test_ccnet_log_single_lookup_no_cartesian(spark, sf_dir):
     # per lgtab CONSUMER (<= 3 reuses of one subtree), never 3
     # independent 24-step chains over different tables
     assert p.count("shiftright") <= 40, "log2 recurrence duplicated per table"
+
+
+def test_lines_global_fingerprint_before_shuffle(spark, sf_dir):
+    """dedup_lines_global: the only exchanges carry the md5 fingerprint
+    and the doc rollup — line TEXT never shuffles (the fp projection
+    happens below the first exchange), and there is no window over the
+    corpus and no cartesian product."""
+    p = plan_of(spark, sf_dir, "dedup_lines_global", "simple")
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    # partial (map-side) phase exists for both aggregates (the owner
+    # min-struct aggregate lowers to Sort/ObjectHashAggregate — struct
+    # min has no HashAggregate codegen — but still gets its partial)
+    assert "partial_min" in p, "owner aggregate lost its map-side phase"
+    assert "partial_count" in p or "partial_sum" in p
+    assert p.count("HashAggregate") >= 2
+    # the corpus scan reads only doc_id + text
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+    # no exchange row carries the raw line column; fp is what moves
+    for ln in p.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "line#" not in ln, f"line text in a shuffle key: {ln}"
+
+
+def test_lines_incremental_serves_from_index(spark, sf_dir):
+    """dedup_lines_incremental: corpus side is ONE parquet scan of the
+    persisted line index (no documents-table scan without the pushed
+    batch-split predicate), probed via a broadcast of the batch fp set;
+    no corpus-wide window."""
+    from minoan_athenaeum_spark.sources.line_index import (
+        ensure_line_index,
+        line_index_path,
+    )
+
+    ensure_line_index(spark, sf_dir)
+    p = plan_of(spark, sf_dir, "dedup_lines_incremental", "simple")
+    idx = line_index_path(spark, sf_dir)
+    assert idx is not None and idx.split("/")[-1] in p
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p and "CartesianProduct" not in p
+    # every documents-table scan belongs to the batch split
+    for ln in p.splitlines():
+        if "documents.parquet" in ln and "Scan" in ln:
+            assert "doc_id" in p  # batch-split predicate pushed
+
+
+def test_recall_eval_no_corpus_window(spark, sf_dir):
+    """sim_ann_recall_eval: ground-truth scoring is one broadcast
+    (query block) multiplied map pass; BOTH top-k extractions are the
+    two-phase form — the global window runs only on per-partition
+    survivors, so no window partition is corpus-sized. The plan shows
+    the _pid-local window (phase 1) feeding the global one (phase 2),
+    and the only nested-loop join is the broadcast of the 8-row query
+    block."""
+    p = plan_of(spark, sf_dir, "sim_ann_recall_eval", "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 8-row query block
+    assert "SPARK_PARTITION_ID" in p or "_pid" in p  # two-phase top-k
