@@ -41,22 +41,22 @@ def token_count(col: str = "text") -> Column:
 
 
 def bigram_pairs(tk_col: str = "tk") -> Column:
-    """``array<struct<w1,w2>>`` of adjacent token pairs from a token
-    array column. Built as arrays_zip over two slices — pure codegen,
-    O(L) per row. (The equivalent higher-order form
-    ``transform(sequence(...), i -> struct(element_at...))`` drops to
-    interpreted per-element lambda evaluation and measured 13× slower
-    on the sf0.1 corpus — 16.5 s vs 1.3 s for the same 266k bigrams.)"""
-    c = F.col(tk_col)
-    n1 = F.size(c) - 1
-    return F.when(
-        F.size(c) < 2, F.array().cast("array<struct<w1:string,w2:string>>")
-    ).otherwise(
-        F.arrays_zip(
-            F.slice(c, 1, n1).alias("w1"),
-            F.slice(c, 2, n1).alias("w2"),
-        )
-    )
+    """``array<struct<w0,w1>>`` of adjacent token pairs from a token
+    array column — exactly :func:`ngram_structs` with n = 2, kept as a
+    named shorthand because bigrams dominate the call sites. Pure
+    codegen arrays_zip over two slices, O(L) per row. (The equivalent
+    higher-order form ``transform(sequence(...), i ->
+    struct(element_at...))`` drops to interpreted per-element lambda
+    evaluation and measured 13× slower on the sf0.1 corpus — 16.5 s vs
+    1.3 s for the same 266k bigrams.)
+
+    Field names are ZERO-based (``w0`` = first word, ``w1`` = second),
+    the single convention shared with :func:`ngram_structs` (VERDICT
+    r9 #6 — this function was historically one-based, a latent
+    off-by-one trap at call sites mixing the two). Note the DataFrame
+    COLUMN names downstream remain ``w1``/``w2`` where they appear in
+    query output and oracle SQL; only the struct FIELD names changed."""
+    return ngram_structs(tk_col, 2)
 
 
 def ngram_structs(tk_col: str, n: int) -> Column:
@@ -68,13 +68,10 @@ def ngram_structs(tk_col: str, n: int) -> Column:
     bigram_pairs). Empty array when the document has fewer than ``n``
     tokens.
 
-    NAMING TRAP (ADVICE r8): these struct fields are ZERO-based
-    (``w0..w{n-1}``), while :func:`bigram_pairs` above predates this
-    function and is ONE-based (``w1``/``w2``). Call sites that mix the
-    two (pipeline.py does) must not assume ``w1`` means the same slot
-    in both. New code should prefer this function's 0-based fields;
-    bigram_pairs keeps its names because its w1/w2 appear verbatim in
-    registered DuckDB oracle strings."""
+    Struct fields are ZERO-based (``w0..w{n-1}``) — the single naming
+    convention for every n-gram struct in the engine;
+    :func:`bigram_pairs` is now just this function at n = 2 (VERDICT
+    r9 #6 closed the historical one-based/zero-based split)."""
     c = F.col(tk_col)
     cnt = F.size(c) - (n - 1)
     fields = ", ".join(f"w{i}:string" for i in range(n))

@@ -30,6 +30,48 @@ def rev():
     return dec(F.col("l_extendedprice"), 12, 2) * (1 - dec(F.col("l_discount"), 6, 2))
 
 
+# --------------------------------------------------- lazy construction
+# A DataFrame whose plan is built on FIRST use instead of at
+# construction. Needed for query builders whose plan embeds a
+# data-dependent model artifact (e.g. pipeline_dsir_select's ≤B-row
+# bucket fit): the fit requires running a Spark job, but callers that
+# merely construct-and-hold the DataFrame (registry sweeps, laziness
+# pins) must not pay it. Subclassing the classic DataFrame keeps
+# isinstance checks and every method working — methods only read
+# ``self._jdf`` (here a property that forces the thunk once) and
+# ``self._session``/``self._sc``, which we set eagerly.
+
+
+def lazy_dataframe(spark: SparkSession, thunk) -> DataFrame:
+    """Return a real DataFrame that materializes ``thunk()`` (a
+    zero-arg callable returning a DataFrame) on first use and caches
+    it. Construction runs no Spark job."""
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    class _LazyDataFrame(_ClassicDF):
+        def __init__(self, session, fn):
+            # Mirrors _ClassicDF.__init__'s attribute contract without
+            # requiring a jdf at construction time.
+            self._session = session
+            self._sc = session._sc
+            self.is_cached = False
+            self._support_repr_html = False
+            self._lazy_thunk = fn
+            self._lazy_df = None
+
+        def _force(self):
+            if self._lazy_df is None:
+                self._lazy_df = self._lazy_thunk()
+                self._lazy_thunk = None
+            return self._lazy_df
+
+        @property
+        def _jdf(self):
+            return self._force()._jdf
+
+    return _LazyDataFrame(spark, thunk)
+
+
 # ------------------------------------------------------- persist scope
 # Queries persist intermediates referenced by multiple join branches.
 # The DataFrame is returned to the caller (which collects it), so the

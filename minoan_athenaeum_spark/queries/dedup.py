@@ -1088,9 +1088,21 @@ def dedup_lines_incremental(spark, sf_dir):
     (fp, first_doc, first_line) index probed by the BROADCAST batch-fp
     set (matched rows are candidate-sized; the min-merge across any
     append generations happens in that candidate-sized aggregate); the
-    merged owner joins back broadcast. A batch line is kept iff its
+    merged owner joins back. A batch line is kept iff its
     (doc_id, line_no) equals the merged owner. No corpus re-chunk, no
     corpus shuffle, no window.
+
+    Scale bound (ADVICE r9): the ONE explicit broadcast is the
+    distinct batch-fp probe into the index scan — a 16-byte-ish row
+    per distinct batch line. That assumes an OPERATIONALLY BOUNDED
+    serve slice (a crawl day / ingest micro-batch, the same contract
+    as stream_lines_gate_exec's foreachBatch), not "10% of a 100 TB
+    corpus in one call"; an unbounded batch must be served as several
+    bounded ones. The other two joins (owner merge, owner join-back)
+    carry NO broadcast hint on purpose: they are fp-keyed, so when a
+    batch outgrows the auto-broadcast threshold AQE degrades them to
+    O(batch)-shuffle hash joins instead of a driver/executor OOM —
+    the corpus-sized side is never on either input.
 
     Oracle: the full-recompute twin — global ownership re-derived from
     scratch over ALL documents in DuckDB, output restricted to batch
@@ -1126,7 +1138,7 @@ def dedup_lines_incremental(spark, sf_dir):
             ).alias("iown")
         )
     )
-    own = bmin.join(F.broadcast(matched), "fp", "left").select(
+    own = bmin.join(matched, "fp", "left").select(
         "fp",
         F.when(
             F.col("iown").isNull() | (F.col("bown") < F.col("iown")),
@@ -1136,7 +1148,7 @@ def dedup_lines_incremental(spark, sf_dir):
         .alias("own"),
     )
     return (
-        bl.join(F.broadcast(own), "fp")
+        bl.join(own, "fp")
         .select(
             "doc_id",
             "n_tok",

@@ -2004,14 +2004,22 @@ def pipeline_dsir_select(spark, sf_dir):
     doc-keyed aggregate, the same shape the paper's pipeline runs as
     a streaming pass.
 
-    NOTE (ADVICE r8): unlike every other query builder, CONSTRUCTING
-    this DataFrame already runs the featurize+aggregate job — the
-    ≤B-row bucket fit is collected driver-side below and baked into
-    the plan as a broadcast literal. Callers that only want the plan
-    (dump_plans, plan-shape tests) pay that one job; that is the
-    documented price of keeping the 59-projection intlog recurrence
-    out of the broadcast subplans (~25 s codegen overhead
-    otherwise)."""
+    Laziness (VERDICT r9 #4, closing the ADVICE r8 note): the ≤B-row
+    bucket fit is collected driver-side and baked into the plan as a
+    broadcast literal — that keeps the 59-projection intlog recurrence
+    out of the broadcast subplans (~25 s codegen overhead otherwise) —
+    but the fit job is DEFERRED behind ``lazy_dataframe``: constructing
+    this DataFrame runs no Spark job (pinned in
+    tests/test_r8_ops.py::test_dsir_construction_is_lazy); the
+    featurize+fit runs once on first action and is cached on the
+    returned handle."""
+    from minoan_athenaeum_spark.queries._util import lazy_dataframe
+
+    return lazy_dataframe(spark, lambda: _dsir_build(spark, sf_dir))
+
+
+def _dsir_build(spark, sf_dir):
+    """The eager dsir plan build (runs the ≤B-row bucket-fit job)."""
     from minoan_athenaeum_spark.operators.dedup import portable_hash60
     from minoan_athenaeum_spark.operators.intlog import log2_fixed_int
     from minoan_athenaeum_spark.operators.text import bigram_pairs, tokens
@@ -2034,7 +2042,7 @@ def pipeline_dsir_select(spark, sf_dir):
         .select(
             "doc_id",
             "is_tgt",
-            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("gram"),
+            F.concat_ws(" ", F.col("p.w0"), F.col("p.w1")).alias("gram"),
         )
     )
     grams = uni.unionByName(bi).select(

@@ -238,7 +238,7 @@ _HLL_MERGE_ORACLE = """
     SELECT o_orderpriority AS priority,
            COUNT(DISTINCT o_custkey) AS exact_custs,
            CAST(1 AS BIGINT) AS merged_within_bound,
-           CAST(1 AS BIGINT) AS merge_is_lossless
+           CAST(1 AS BIGINT) AS direct_within_bound
     FROM orders
     GROUP BY 1
 """
@@ -253,12 +253,17 @@ def sketch_hll_mergeable(spark, sf_dir):
     exactly how a sketch STORE serves "distinct customers this quarter"
     from pre-aggregated daily sketches without touching raw data.
 
-    Deterministic surface: exact distinct customers per priority, a
-    verdict that the merged estimate lands within 3% of exact, and a
-    verdict that merging partials loses nothing vs sketching the whole
-    group directly (both estimates must be EQUAL — HLL union of
-    register maxima is exact w.r.t. the direct sketch). The oracle
-    asserts both verdicts are 1."""
+    Deterministic surface: exact distinct customers per priority plus
+    two accuracy verdicts the oracle asserts are 1 — the MERGED
+    estimate and the DIRECT estimate each land within 3% of exact
+    (lgK = 12 gives ~0.8% RSE, so 3% is a > 3-sigma bound). The two
+    estimates are deliberately NOT asserted equal: union-of-maxima is
+    lossless in REGISTER STATE, but a direct sketch serves the HIP
+    (historical-inverse-probability) estimator while a post-union
+    sketch must fall back to the composite estimator, so the numbers
+    legitimately diverge once sketches leave the exact coupon-list
+    mode (reproduced at sf0.01; equal at sf0.001 where every group is
+    still a coupon list)."""
     o = t(spark, sf_dir, "orders")
     partials = o.groupBy(
         F.col("o_orderpriority").alias("priority"),
@@ -279,9 +284,13 @@ def sketch_hll_mergeable(spark, sf_dir):
         "priority",
         "exact_custs",
         (rel < 0.03).cast("bigint").alias("merged_within_bound"),
-        (F.col("merged_est") == F.col("direct_est")).cast("bigint").alias(
-            "merge_is_lossless"
-        ),
+        (
+            F.abs(F.col("direct_est").cast("double") - F.col("exact_custs"))
+            / F.col("exact_custs")
+            < 0.03
+        )
+        .cast("bigint")
+        .alias("direct_within_bound"),
     )
 
 

@@ -485,7 +485,7 @@ def text_bigram_lm_score(spark, sf_dir):
     )
     pairs = bigram_pairs("tk")
     bg = d.select("doc_id", F.explode(pairs).alias("g")).select(
-        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+        "doc_id", F.col("g.w0").alias("w1"), F.col("g.w1").alias("w2")
     )
     cbg = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
     cctx = cbg.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
@@ -1260,7 +1260,7 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
     withbg = d.withColumn("g", pairs)
     ref = withbg.filter(F.col("lang") == "en")
     ref_bg = ref.select(F.explode("g").alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
     )
     cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").alias("c_bg"))
     cctx = cbg.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
@@ -1268,7 +1268,7 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
         F.countDistinct("w").cast("bigint").alias("v")
     )
     bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        "doc_id", F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
     )
     sc = (
         bg.join(cbg, ["w1", "w2"], "left")
@@ -1460,7 +1460,7 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
     withbg = d.withColumn("g", pairs)
     ref = withbg.filter(F.col("lang") == "en")
     ref_bg = ref.select(F.explode("g").alias("p")).select(
-        F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
     )
     cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_bg"))
     cctx = cbg.groupBy("w1").agg(F.sum("c_bg").cast("bigint").alias("c_ctx"))
@@ -1495,7 +1495,7 @@ def text_ccnet_ppl_buckets_log(spark, sf_dir):
         F.col("lg").alias("lgv")
     )
     bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        "doc_id", F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
     )
     sc = (
         bg.join(cbg2, ["w1", "w2"], "left")
@@ -1926,7 +1926,7 @@ def text_kneser_ney_ppl(spark, sf_dir):
     ref_bg = (
         withbg.filter(F.col("lang") == "en")
         .select(F.explode("g").alias("p"))
-        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select(F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2"))
     )
     cbg = ref_bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_bg"))
     cctx = cbg.groupBy("w1").agg(
@@ -1936,7 +1936,7 @@ def text_kneser_ney_ppl(spark, sf_dir):
     contw = cbg.groupBy("w2").agg(F.count("*").cast("bigint").alias("n1w2"))
     tot = cbg.agg(F.count("*").cast("bigint").alias("n1tot"))
     bg = withbg.select("doc_id", F.explode("g").alias("p")).select(
-        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+        "doc_id", F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
     )
     pcont = F.coalesce(F.col("n1w2"), F.lit(0)).cast("double") / F.col("n1tot")
     p = F.when(
@@ -2084,7 +2084,7 @@ def gopher_rep_agg(d: DataFrame) -> DataFrame:
     bg = (
         d.withColumn("g", bigram_pairs("tk"))
         .select("doc_id", F.explode("g").alias("p"))
-        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .select("doc_id", F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2"))
     )
     return (
         bg.groupBy("doc_id", "w1", "w2")

@@ -293,64 +293,133 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # family gains its first row). Never-checked in-window: 25; expected
 # backlog after the r9 driver run: 99 - 25 = 74 (< 75, the VERDICT
 # target, now against the 249-query registry).
+# Round-10 WINDOW (VERDICT r9 #1/#7 — finish the verification-debt
+# burn). Directive: shrink parity sentinels to 4 and rotate 25+
+# never-driver-checked rows in; drive the two remaining streaming
+# rows. Thirty-one swaps executed under the standing r8 policy (every
+# incoming query verified green vs its DuckDB oracle — or rows-stable
+# for the no-oracle stream execs — at sf0.001 AND sf0.01 via
+# scripts/window_sim.py this session BEFORE the swap landed; every
+# outgoing member was driver-green in r9 and stays pytest-oracled
+# every round by tests/test_oracle_parity.py):
+#   Parity sentinels 5 -> 4 (keep f1 filters, j1 equijoin, j9
+#   multiway, theta_distinct_key_join — the reference's one
+#   optimization; retire parity_j3_theta_self_join, 8-round streak,
+#   its distinct-key NLJ plan family stays via the keeper).
+#   Rule-2 retirements (streak >= 2 post-burn-directive; judge's
+#   r9 priority list drives the incoming): text_repetition_filters,
+#   tpch_q9_product_profit, src_csv_events_agg,
+#   win_grouped_topk_two_phase, sketch_hll_distinct,
+#   sketch_count_min, stat_winsorize_approx,
+#   graph_pagerank_fixed_point, fn_python_udtf, misc_fuzzy_join_dist1,
+#   text_phrase_search, text_bm25_index_compact,
+#   text_ccnet_ppl_buckets_log, text_kneser_ney_ppl,
+#   text_gopher_quality_filters, text_suffix_array_sharded,
+#   pipeline_curation_v4, pipeline_curation_v5 (the incoming
+#   pipeline_full_curation is the family superset; the LM-quality
+#   gates it composes stay replayed verbatim in its oracle).
+#   Like-for-like single-green swaps (r9-green outgoing, precedent
+#   from every prior round): tpch_q2/q7/q8/q21 -> four of the ten
+#   zero-history TPC-H shapes; text_novelty_incremental ->
+#   text_ngram_novelty (its batch twin; the incremental form stays
+#   pytest-pinned + bench-split); mm_png_decode_stats ->
+#   mm_ppm_decode_stats and mm_wav_audio_features ->
+#   mm_g711_audio_features (image/audio decode families);
+#   mm_video_frame_sample -> evt_anomaly_zscore (judgment call: the
+#   mm family keeps two incoming reps, the events family — whose two
+#   r9 rows funnel/markov also retire — regains one);
+#   sim_ann_prefix_rerank -> sim_jl_project_topk (ANN family keeps
+#   ivfadc + recall_eval); evt_markov_transitions + evt_funnel_stages
+#   + misc_entity_resolution retire with evt/misc reps maintained via
+#   evt_anomaly_zscore incoming and the keeper-free misc family
+#   staying pytest-oracled (misc_* greens r8+r9).
+#   Kept single-green rows deliberately NOT rotated: the three r9
+#   streaming gates (novelty/quality/lines — new infrastructure, a
+#   second consecutive external row is worth more than one backlog
+#   burn), dedup_minhash_incremental + pipeline_dsir_select (both
+#   modified this round per VERDICT #3/#4 — they need external
+#   re-verification), and the r9 crop (lines_global/incremental,
+#   cluster_keep_best, recall_eval, ivfadc, robertson).
+#   Incoming (all 31 never externally checked): tpch_q10_returned,
+#   tpch_q11_important_parts, tpch_q13_order_distribution,
+#   tpch_q14_promo_ratio, tpch_q15_top_supplier,
+#   tpch_q16_supplier_counts, tpch_q17_small_quantity_revenue,
+#   tpch_q19_disjunctive, tpch_q20_excess_suppliers,
+#   tpch_q22_global_scalar_subquery, stat_correlation,
+#   stat_exact_median, stat_exact_quantiles_two_phase, stat_group_ols,
+#   stat_equidepth_histogram, sketch_approx_percentiles,
+#   sketch_hll_mergeable, sketch_kmv_distinct, pipeline_full_curation,
+#   join_full_outer, agg_grouping_sets, stream_idempotent_sink_exec,
+#   stream_rollup_refresh_exec, text_ngram_novelty, win_lag_lead,
+#   win_rank_dense_ntile, mm_ppm_decode_stats,
+#   mm_g711_audio_features, sim_jl_project_topk, graph_triangle_count,
+#   evt_anomaly_zscore.
+# Expected backlog after the r10 driver run: 74 - 31 = 43 (< 50, the
+# VERDICT target). Remaining documented candidates for r11+:
+# pipeline_* sampling/splitting rows (10), evt_cusum/rolling/decay/
+# variant (4), misc_* (8), text_* index/diversity rows (9),
+# mm_ms_adpcm + mm_decode_quarantine, ml_perceptron_quality_eval,
+# stat_median_abs_deviation + stat_winsorize, skew_salted_join,
+# theta_count_by_key, agg_count_if_bool + agg_tpch_q6,
+# sim_centroid_alignment, join/setop leftovers.
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
     "parity_j1_equijoin",
-    "parity_j3_theta_self_join",
     "parity_j9_multiway_join",
     "theta_distinct_key_join",
-    # aggregate / TPC-H / source connectors / window / stats
-    "text_repetition_filters",
-    "tpch_q9_product_profit",
-    "tpch_q2_best_supplier",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q21_waiting_suppliers",
-    "src_csv_events_agg",
+    # TPC-H: the ten zero-history shapes
+    "tpch_q10_returned",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_ratio",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_global_scalar_subquery",
+    # sources / relational core / window / stats / sketches
     "src_jsonl_events_agg",
     "src_orc_events_agg",
-    "win_grouped_topk_two_phase",
-    "sketch_hll_distinct",
-    "sketch_count_min",
-    "stat_winsorize_approx",
-    # ML / graph / Python-UDF paths / mining / events
+    "join_full_outer",
+    "agg_grouping_sets",
+    "win_lag_lead",
+    "win_rank_dense_ntile",
+    "stat_correlation",
+    "stat_exact_median",
+    "stat_exact_quantiles_two_phase",
+    "stat_group_ols",
+    "stat_equidepth_histogram",
+    "sketch_approx_percentiles",
+    "sketch_hll_mergeable",
+    "sketch_kmv_distinct",
+    # ML / graph / events
     "dedup_cluster_keep_best",
     "ml_quality_filter",
-    "graph_pagerank_fixed_point",
-    "fn_python_udtf",
-    "evt_funnel_stages",
-    "evt_markov_transitions",
-    "misc_fuzzy_join_dist1",
-    "misc_entity_resolution",
-    "text_phrase_search",
+    "graph_triangle_count",
+    "evt_anomaly_zscore",
     # training-data extensions: dedup / similarity / text
     "dedup_lines_global",
     "dedup_minhash_incremental",
     "pipeline_dsir_select",
     "pipeline_mixture_temperature",
+    "pipeline_full_curation",
     "sim_ann_recall_eval",
     "sim_ann_ivfadc_topk",
-    "sim_ann_prefix_rerank",
+    "sim_jl_project_topk",
     "dedup_lines_incremental",
-    "text_bm25_index_compact",
     "text_bm25_search_robertson",
-    "text_novelty_incremental",
-    # LM-quality / text-index family (r7 crop)
-    "text_ccnet_ppl_buckets_log",
-    "text_kneser_ney_ppl",
-    "text_gopher_quality_filters",
-    "text_suffix_array_sharded",
-    # multimodal / streaming
-    "mm_png_decode_stats",
-    "mm_wav_audio_features",
-    "mm_video_frame_sample",
+    "text_ngram_novelty",
+    # multimodal
+    "mm_ppm_decode_stats",
+    "mm_g711_audio_features",
+    # streaming
     "stream_novelty_gate_exec",
     "stream_quality_gate_exec",
     "stream_lines_gate_exec",
-    # pipeline capstones
-    "pipeline_curation_v4",
-    "pipeline_curation_v5",
+    "stream_idempotent_sink_exec",
+    "stream_rollup_refresh_exec",
 ]
 
 

@@ -14,6 +14,7 @@ Writes one JSON line like bench.py.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import sys
@@ -186,9 +187,24 @@ def main() -> None:
     # warm the listing against a table that exists (a
     # SPARK_GRAFT_AMPLIFY_TABLES-subset run may not have lineitem)
     warm_tbl = next(
-        t for t in ("lineitem", "documents", "embeddings", "events")
-        if os.path.exists(f"{out_dir}/{t}.parquet")
+        (
+            t
+            for t in ("lineitem", "documents", "embeddings", "events")
+            if os.path.exists(f"{out_dir}/{t}.parquet")
+        ),
+        None,
     )
+    if warm_tbl is None:
+        # amplify-subset runs may carry none of the four preferred
+        # tables — warm against any parquet present instead of dying
+        # on a bare StopIteration (ADVICE r9)
+        any_pq = sorted(glob.glob(f"{out_dir}/*.parquet"))
+        if not any_pq:
+            sys.exit(
+                f"scale_probe: no parquet tables in {out_dir} "
+                f"(contents: {sorted(os.listdir(out_dir))[:20]})"
+            )
+        warm_tbl = os.path.splitext(os.path.basename(any_pq[0]))[0]
     spark.read.parquet(f"{out_dir}/{warm_tbl}.parquet").count()
     timings = {}
     # Default measurement is .count() (comparable with all prior rounds).

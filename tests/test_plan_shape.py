@@ -547,10 +547,18 @@ def test_lines_incremental_serves_from_index(spark, sf_dir):
     assert idx is not None and idx.split("/")[-1] in p
     assert "BroadcastHashJoin" in p
     assert "Window" not in p and "CartesianProduct" not in p
-    # every documents-table scan belongs to the batch split
-    for ln in p.splitlines():
-        if "documents.parquet" in ln and "Scan" in ln:
-            assert "doc_id" in p  # batch-split predicate pushed
+    # every documents-table scan belongs to the batch split: the scan
+    # LINE itself must carry the %-10 batch predicate in DataFilters
+    # (ADVICE r9 — the old form asserted on the whole plan string,
+    # which was vacuous)
+    doc_scans = [
+        ln
+        for ln in p.splitlines()
+        if "documents.parquet" in ln and "Scan" in ln
+    ]
+    assert doc_scans, "no documents scan found"
+    for ln in doc_scans:
+        assert "% 10" in ln, f"batch-split predicate not on scan: {ln}"
 
 
 def test_recall_eval_no_corpus_window(spark, sf_dir):

@@ -122,6 +122,42 @@ def test_dsir_weights_match_pure_python_reference(spark, tmp_path):
     assert want[2] < min(want[1], want[3], want[5])
 
 
+def test_dsir_construction_is_lazy(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #4 pin: BUILDING the dsir DataFrame runs no Spark job
+    (the ≤B-row fit collect is deferred to first action and cached).
+    Two independent checks: (a) the eager build function is not called
+    at construction; (b) no job runs in the construction job group."""
+    import minoan_athenaeum_spark.queries.pipeline as P
+
+    rows = [(1, "the cat", "en", "a"), (2, "der hund", "de", "a")]
+    sf = _write_docs(tmp_path, rows)
+
+    calls = []
+    real_build = P._dsir_build
+    monkeypatch.setattr(
+        P, "_dsir_build", lambda *a: calls.append(a) or real_build(*a)
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("dsir-lazy-pin", "construction must run no job")
+    try:
+        df = pipeline_dsir_select(spark, sf)
+    finally:
+        sc.setJobGroup("", "")
+    assert calls == []  # no fit at construction
+    tracker = sc.statusTracker()
+    assert tracker.getJobIdsForGroup("dsir-lazy-pin") == []
+    # first action forces exactly one build; result matches reference
+    got = {r["doc_id"]: r["weight_q"] for r in df.collect()}
+    assert len(calls) == 1
+    assert got == _dsir_reference(rows, _DSIR_B)
+    # the handle caches the materialized plan — second action, no rebuild
+    assert df.count() == 2
+    assert len(calls) == 1
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)  # driver-contract type check
+
+
 def test_dsir_plan_is_topk_and_broadcast(spark, sf_dir):
     plan = (
         pipeline_dsir_select(spark, sf_dir)

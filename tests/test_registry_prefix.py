@@ -13,67 +13,62 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
-# r9 rotation (registry.py's round-9 window note — the VERDICT r8 #1
-# verification-debt burn): parity sentinels shrank 8 → 5, twenty
-# never-checked queries rotated in, so several families hand their
-# slot to a different member (agg → the G1 math inside the TPC-H
-# shapes; time-series/multimodal/bucketing reps retired under rule 2
-# after 4-green streaks — those FAMILIES remain covered by the local
-# oracle sweep every round, and rule 2 allows any 3+-streak retirement
-# in favor of never-checked rows). Rotated-out members stay
-# pytest-oracled every round. Late-r9: the five-query r9 crop
-# entered under rule 3 via like-for-like single-green swaps
-# (registry.py round-9 note) — line dedup (batch + incremental +
-# streaming gate), cluster keep-best, and the ANN recall harness
-# take the slots of their r8-green family siblings.
+# r10 rotation (registry.py's round-10 window note — VERDICT r9 #1/#7,
+# finishing the verification-debt burn): parity sentinels shrank
+# 5 → 4 and THIRTY-ONE never-checked queries rotated in (all ten
+# zero-history TPC-H shapes, the exact-stats and sketch families,
+# pipeline_full_curation, join_full_outer, agg_grouping_sets, the two
+# remaining streaming rows, plus like-for-like swaps for graph / win /
+# mm / evt / sim / text-novelty). Retired members — incl. the whole
+# LM-quality trio whose math pipeline_full_curation's oracle replays —
+# stay pytest-oracled every round; registry.py's round-10 note lists
+# every outgoing/incoming pair with its justification.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
+    "parity_j1_equijoin": "J1",
+    "parity_j9_multiway_join": "J9",
     "theta_distinct_key_join": "theta",
-    "text_repetition_filters": "quality",
-    "pipeline_dsir_select": "dsir",
-    "tpch_q9_product_profit": "tpch",
-    "tpch_q2_best_supplier": "tpch",
-    "tpch_q7_volume_shipping": "tpch",
-    "tpch_q8_market_share": "tpch",
-    "tpch_q21_waiting_suppliers": "tpch",
-    "src_csv_events_agg": "source",
+    "tpch_q10_returned": "tpch",
+    "tpch_q13_order_distribution": "outer-join",
+    "tpch_q17_small_quantity_revenue": "correlated-subquery",
+    "tpch_q19_disjunctive": "disjunction",
+    "tpch_q20_excess_suppliers": "semi-join",
+    "tpch_q22_global_scalar_subquery": "scalar-subquery",
     "src_jsonl_events_agg": "source",
     "src_orc_events_agg": "source",
-    "win_grouped_topk_two_phase": "window",
-    "sketch_hll_distinct": "sketch",
-    "text_suffix_array_sharded": "suffix-array",
-    "fn_python_udtf": "functions",
+    "join_full_outer": "join",
+    "agg_grouping_sets": "grouping-sets",
+    "win_lag_lead": "window",
+    "win_rank_dense_ntile": "window",
+    "stat_correlation": "stats",
+    "stat_exact_quantiles_two_phase": "two-phase",
+    "stat_group_ols": "regression",
+    "stat_equidepth_histogram": "histogram",
+    "sketch_approx_percentiles": "sketch",
+    "sketch_hll_mergeable": "mergeable",
+    "sketch_kmv_distinct": "kmv",
     "dedup_cluster_keep_best": "components",
     "ml_quality_filter": "ml",
-    "graph_pagerank_fixed_point": "graph",
-    "sketch_count_min": "count-min",
-    "evt_funnel_stages": "events",
-    "evt_markov_transitions": "events",
-    "misc_fuzzy_join_dist1": "fuzzy",
-    "misc_entity_resolution": "entity",
-    "text_bm25_index_compact": "compaction",
-    "text_bm25_search_robertson": "bm25",
-    "stat_winsorize_approx": "stats",
-    "text_phrase_search": "phrase",
+    "graph_triangle_count": "graph",
+    "evt_anomaly_zscore": "events",
     "dedup_lines_global": "lines",
     "dedup_minhash_incremental": "incremental",
+    "pipeline_dsir_select": "dsir",
+    "pipeline_mixture_temperature": "temperature",
+    "pipeline_full_curation": "capstone",
     "sim_ann_recall_eval": "evaluation",
     "sim_ann_ivfadc_topk": "ann",
-    "sim_ann_prefix_rerank": "ann",
+    "sim_jl_project_topk": "dimreduction",
     "dedup_lines_incremental": "incremental",
-    "text_novelty_incremental": "novelty",
-    "text_ccnet_ppl_buckets_log": "lm",
-    "text_kneser_ney_ppl": "perplexity",
-    "text_gopher_quality_filters": "gopher",
-    "mm_png_decode_stats": "multimodal",
-    "mm_wav_audio_features": "audio",
-    "mm_video_frame_sample": "video",
+    "text_bm25_search_robertson": "bm25",
+    "text_ngram_novelty": "novelty",
+    "mm_ppm_decode_stats": "image",
+    "mm_g711_audio_features": "audio",
     "stream_novelty_gate_exec": "streaming",
     "stream_quality_gate_exec": "streaming",
-    "stream_lines_gate_exec": "exec",
-    "pipeline_mixture_temperature": "temperature",
-    "pipeline_curation_v4": "pipeline",
-    "pipeline_curation_v5": "capstone",
+    "stream_lines_gate_exec": "lines",
+    "stream_idempotent_sink_exec": "sink",
+    "stream_rollup_refresh_exec": "rollup",
 }
 
 
