@@ -684,8 +684,18 @@ def dedup_minhash_incremental(spark, sf_dir):
     idx_bands = spark.read.parquet(os.path.join(idx_path, "bands"))
     idx_sh = spark.read.parquet(os.path.join(idx_path, "shingles"))
     release_tracked()
+    # The filtered batch arrives as however few file-splits the source
+    # had (ONE at the test SFs) and the 16-permutation signature is the
+    # serve's heaviest map stage — spread it across the cluster before
+    # hashing (r10 profile: sig stage 6.5 s -> 2.5 s at sf0.1; at
+    # 100 TB a slice is many splits already, but never let file count
+    # serialize a map stage).
     batch_sh = persist_tracked(
-        shingled(t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0))
+        shingled(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .repartition(spark.sparkContext.defaultParallelism)
+        )
     )
     new_keys = band_rows(batch_sh).select(
         "bucket", F.col("doc_id").alias("b")

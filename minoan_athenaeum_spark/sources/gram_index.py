@@ -12,18 +12,14 @@ serving a batch is:
   index → candidate-sized min-merge + anti-join → per-doc novelty.
 
 The corpus side never re-tokenizes and never shuffles; the index scan
-carries two lean columns (no text). Appends follow the LSM shape the
-BM25 posting index uses (sources/posting_sink.py): each batch writes
-its (gram, batch_min) rows as a delta generation, correctness under
-any interleaving is restored at read time because first-occurrence is
-a MIN — the canonical mergeable aggregate — so min-over-generations ≡
-rebuild-from-union (pinned in tests/test_r8_ops.py). Compaction
-rewrites the generations through the same writer and swaps by rename,
-identical to compact_bm25_index's reader-safe two-rename dance.
-
-Freshness follows the bucketed-facts convention: the index path embeds
-a fingerprint of the source parquet, so a changed corpus resolves to a
-new path and a stale index is simply never served.
+carries two lean columns (no text). First-occurrence is a MIN — the
+canonical mergeable aggregate — so the whole lifecycle (fingerprinted
+path, crash-recovering ensure, delta-generation append whose
+min-merge ≡ rebuild-from-union, merge+swap compaction) is the shared
+:mod:`minoan_athenaeum_spark.sources.index_family` harness; this
+module contributes only the key shape (VERDICT r9 #5 consolidation —
+pins unchanged: append ≡ rebuild in tests/test_r8_ops.py, crash-swap
+states in tests/test_crash_safety.py).
 """
 
 from __future__ import annotations
@@ -31,31 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from minoan_athenaeum_spark.sources.index_family import (
+    MergeableIndexFamily,
+    append_index,
+    compact_index,
+    ensure_index,
+)
+
 GRAM_N = 5  # the novelty unit, same as text_ngram_novelty
-
-
-def gram_index_path(
-    spark: SparkSession, sf_dir: str, n: int = GRAM_N
-) -> str | None:
-    """Warehouse directory for the documents table's first-occurrence
-    gram index — None when the warehouse isn't a local filesystem.
-    The gram length ``n`` is part of the cache key (directory name), so
-    an index built for one gram length can never be served or extended
-    for another (ADVICE r8: previously only sf_dir + source fingerprint
-    keyed the cache)."""
-    import hashlib
-    import os
-
-    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    elif "://" in wh:
-        return None
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    return os.path.join(wh, f"mas_gramidx_{tag}_n{n}_{fresh}")
 
 
 def gram_rows(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
@@ -74,6 +53,33 @@ def gram_rows(docs: DataFrame, n: int = GRAM_N) -> DataFrame:
     return grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
 
 
+def _merge(gens: DataFrame) -> DataFrame:
+    return gens.groupBy("gram").agg(F.min("first_doc").alias("first_doc"))
+
+
+def _family(n: int) -> MergeableIndexFamily:
+    # n is part of the cache key (directory name), so an index built
+    # for one gram length can never be served or extended for another
+    # (ADVICE r8: previously only sf_dir + source fingerprint keyed it)
+    return MergeableIndexFamily(
+        prefix="mas_gramidx",
+        subdir="grams",
+        rows_fn=lambda docs: gram_rows(docs, n),
+        merge_fn=_merge,
+        part_col="gram",
+        source_table="documents",
+        params=f"n{n}",
+    )
+
+
+def gram_index_path(
+    spark: SparkSession, sf_dir: str, n: int = GRAM_N
+) -> str | None:
+    """Warehouse directory for the documents table's first-occurrence
+    gram index — None when the warehouse isn't a local filesystem."""
+    return _family(n).path(spark, sf_dir)
+
+
 def ensure_gram_index(
     spark: SparkSession, sf_dir: str, n: int = GRAM_N, n_files: int = 8
 ) -> str:
@@ -82,49 +88,24 @@ def ensure_gram_index(
     split this repo's incremental queries use) as gram-hash-partitioned
     parquet under ``<path>/grams``. Idempotent per source
     fingerprint."""
-    import os
-
-    from minoan_athenaeum_spark.sources.swap import recover_swap
-
-    path = gram_index_path(spark, sf_dir, n)
-    if path is None:
-        raise RuntimeError("gram index needs a local warehouse dir")
-    recover_swap(os.path.join(path, "grams"))
-    if os.path.isfile(os.path.join(path, "grams", "_SUCCESS")):
-        return path
     from minoan_athenaeum_spark.catalog import load_table
 
     existing = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != 0
     )
-    (
-        gram_rows(existing, n)
-        .repartition(n_files, F.col("gram"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "grams"))
-    )
-    return path
+    return ensure_index(_family(n), spark, sf_dir, existing, n_files)
 
 
 def append_to_gram_index(
     spark: SparkSession, path: str, new_docs: DataFrame, n: int = GRAM_N
 ) -> None:
     """Fold a document batch INTO the persisted index: the batch's
-    (gram, batch_min) rows land as one delta generation (parquet
-    append). No read-modify-write of existing rows — first-occurrence
-    is a MIN, so any reader that min-merges across generations sees
-    exactly the rebuilt-from-union index regardless of how doc_ids
-    interleave across generations (pinned by
+    (gram, batch_min) rows land as one delta generation. No
+    read-modify-write — min-over-generations ≡ rebuild-from-union
+    under any doc_id interleaving (pinned by
     tests/test_r8_ops.py::test_gram_index_append_equals_rebuild).
-    Per-doc_id idempotence is the caller's contract (each doc appended
-    once — the same contract as append_to_bm25_index)."""
-    import os
-
-    (
-        gram_rows(new_docs, n)
-        .write.mode("append")
-        .parquet(os.path.join(path, "grams"))
-    )
+    Per-doc_id idempotence is the caller's contract."""
+    append_index(_family(n), path, new_docs)
 
 
 def compact_gram_index(
@@ -132,27 +113,6 @@ def compact_gram_index(
 ) -> None:
     """Rewrite accumulated generations into ``n_files`` fresh
     gram-partitioned files with the min-merge APPLIED (one row per
-    gram again) — the LSM compaction step. Lands in a sibling dir,
-    swapped live by two renames so a reader never sees a half-written
-    index; the old generation is removed last, and any state an
-    interrupted prior swap left behind is repaired first
+    gram again) — the LSM compaction step, swapped live crash-safely
     (sources/swap.py — pinned by tests/test_crash_safety.py)."""
-    import os
-
-    from minoan_athenaeum_spark.sources.swap import (
-        recover_swap,
-        swap_live,
-        swap_paths,
-    )
-
-    gdir = os.path.join(path, "grams")
-    recover_swap(gdir)
-    (
-        spark.read.parquet(gdir)
-        .groupBy("gram")
-        .agg(F.min("first_doc").alias("first_doc"))
-        .repartition(n_files, F.col("gram"))
-        .write.mode("overwrite")
-        .parquet(swap_paths(gdir)[0])
-    )
-    swap_live(gdir)
+    compact_index(_family(GRAM_N), spark, path, n_files)

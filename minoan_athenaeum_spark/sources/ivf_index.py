@@ -34,19 +34,11 @@ N_CELLS = 8
 def ivf_index_path(spark: SparkSession, sf_dir: str) -> str | None:
     """Warehouse directory for the embeddings table's IVF cell index —
     None when the warehouse isn't a local filesystem."""
-    import hashlib
-    import os
+    from minoan_athenaeum_spark.sources.index_family import (
+        warehouse_index_path,
+    )
 
-    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    elif "://" in wh:
-        return None
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fresh = _source_fingerprint(f"{sf_dir}/embeddings.parquet")
-    return os.path.join(wh, f"mas_ivfidx_{tag}_{fresh}")
+    return warehouse_index_path(spark, sf_dir, "mas_ivfidx", "embeddings")
 
 
 def _quantized(emb: DataFrame) -> DataFrame:

@@ -1,6 +1,6 @@
 """Persisted first-occurrence LINE-fingerprint index — the sixth
 persisted-index family (LSH bands, BM25 postings, IVF cells,
-first-occurrence grams, training shards, and now line fingerprints).
+first-occurrence grams, training shards, and line fingerprints).
 
 The 100-TB problem: corpus-wide line-level dedup (C4/CCNet style,
 queries/dedup.py::dedup_lines_global) must not re-chunk and re-hash
@@ -11,14 +11,15 @@ batch is: batch lines map-only → per-fp batch minima → broadcast hash
 probe against ONE map-only scan of the index → merged-owner compare.
 
 First-occurrence over the (doc_id, line_no) struct is a MIN — the
-canonical mergeable aggregate — so appends are delta generations whose
-min-merge ≡ rebuild-from-union regardless of how doc_ids interleave
-across generations (exactly the gram-index argument,
-sources/gram_index.py; pinned in tests/test_line_index.py). Compaction
-rewrites the generations through the same writer and swaps live with
-the crash-safe two-rename dance (sources/swap.py). Freshness follows
-the bucketed-facts convention: the index path embeds a fingerprint of
-the source parquet, so a changed corpus resolves to a new path.
+canonical mergeable aggregate — so the whole lifecycle (fingerprinted
+path, crash-recovering ensure, delta-generation append whose
+min-merge ≡ rebuild-from-union regardless of doc_id interleaving,
+merge+swap compaction) is the shared
+:mod:`minoan_athenaeum_spark.sources.index_family` harness; this
+module contributes only the key shape (VERDICT r9 #5 consolidation —
+pins unchanged: append ≡ rebuild + order-commutation in
+tests/test_line_index.py, crash-swap states in
+tests/test_crash_safety.py).
 """
 
 from __future__ import annotations
@@ -26,29 +27,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from minoan_athenaeum_spark.sources.index_family import (
+    MergeableIndexFamily,
+    append_index,
+    compact_index,
+    ensure_index,
+)
+
 LINE_LEN = 10  # tokens per synthesized line, same as dedup_lines_global
-
-
-def line_index_path(
-    spark: SparkSession, sf_dir: str, line_len: int = LINE_LEN
-) -> str | None:
-    """Warehouse directory for the documents table's first-occurrence
-    line index — None when the warehouse isn't a local filesystem. The
-    line length is part of the cache key (the gram-index n lesson,
-    ADVICE r8)."""
-    import hashlib
-    import os
-
-    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    elif "://" in wh:
-        return None
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    return os.path.join(wh, f"mas_lineidx_{tag}_L{line_len}_{fresh}")
 
 
 def doc_lines(docs: DataFrame, line_len: int = LINE_LEN) -> DataFrame:
@@ -90,6 +76,40 @@ def line_owner_rows(docs: DataFrame, line_len: int = LINE_LEN) -> DataFrame:
     )
 
 
+def _merge(gens: DataFrame) -> DataFrame:
+    return (
+        gens.groupBy("fp")
+        .agg(F.min(F.struct("first_doc", "first_line")).alias("own"))
+        .select(
+            "fp",
+            F.col("own.first_doc").alias("first_doc"),
+            F.col("own.first_line").alias("first_line"),
+        )
+    )
+
+
+def _family(line_len: int) -> MergeableIndexFamily:
+    # line length is part of the cache key (the gram-index n lesson,
+    # ADVICE r8)
+    return MergeableIndexFamily(
+        prefix="mas_lineidx",
+        subdir="lines",
+        rows_fn=lambda docs: line_owner_rows(docs, line_len),
+        merge_fn=_merge,
+        part_col="fp",
+        source_table="documents",
+        params=f"L{line_len}",
+    )
+
+
+def line_index_path(
+    spark: SparkSession, sf_dir: str, line_len: int = LINE_LEN
+) -> str | None:
+    """Warehouse directory for the documents table's first-occurrence
+    line index — None when the warehouse isn't a local filesystem."""
+    return _family(line_len).path(spark, sf_dir)
+
+
 def ensure_line_index(
     spark: SparkSession, sf_dir: str, line_len: int = LINE_LEN, n_files: int = 8
 ) -> str:
@@ -98,28 +118,12 @@ def ensure_line_index(
     split) as fp-hash-partitioned parquet under ``<path>/lines``.
     Idempotent per source fingerprint; repairs any interrupted
     compaction swap first."""
-    import os
-
-    from minoan_athenaeum_spark.sources.swap import recover_swap
-
-    path = line_index_path(spark, sf_dir, line_len)
-    if path is None:
-        raise RuntimeError("line index needs a local warehouse dir")
-    recover_swap(os.path.join(path, "lines"))
-    if os.path.isfile(os.path.join(path, "lines", "_SUCCESS")):
-        return path
     from minoan_athenaeum_spark.catalog import load_table
 
     existing = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 10 != 0
     )
-    (
-        line_owner_rows(existing, line_len)
-        .repartition(n_files, F.col("fp"))
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "lines"))
-    )
-    return path
+    return ensure_index(_family(line_len), spark, sf_dir, existing, n_files)
 
 
 def append_to_line_index(
@@ -127,18 +131,11 @@ def append_to_line_index(
 ) -> None:
     """Fold a document batch INTO the persisted index as one delta
     generation (parquet append of the batch's per-fp minima). No
-    read-modify-write: first-occurrence is a MIN over the
-    (doc_id, line_no) struct, so min-over-generations ≡
-    rebuild-from-union under any interleaving (pinned by
+    read-modify-write — min-over-generations ≡ rebuild-from-union
+    under any interleaving (pinned by
     tests/test_line_index.py::test_append_equals_rebuild). Per-doc_id
     idempotence is the caller's contract."""
-    import os
-
-    (
-        line_owner_rows(new_docs, line_len)
-        .write.mode("append")
-        .parquet(os.path.join(path, "lines"))
-    )
+    append_index(_family(line_len), path, new_docs)
 
 
 def compact_line_index(
@@ -148,27 +145,4 @@ def compact_line_index(
     fp-partitioned files with the min-merge APPLIED (one row per fp) —
     the LSM compaction step, swapped live crash-safely
     (sources/swap.py)."""
-    import os
-
-    from minoan_athenaeum_spark.sources.swap import (
-        recover_swap,
-        swap_live,
-        swap_paths,
-    )
-
-    ldir = os.path.join(path, "lines")
-    recover_swap(ldir)
-    (
-        spark.read.parquet(ldir)
-        .groupBy("fp")
-        .agg(F.min(F.struct("first_doc", "first_line")).alias("own"))
-        .select(
-            "fp",
-            F.col("own.first_doc").alias("first_doc"),
-            F.col("own.first_line").alias("first_line"),
-        )
-        .repartition(n_files, F.col("fp"))
-        .write.mode("overwrite")
-        .parquet(swap_paths(ldir)[0])
-    )
-    swap_live(ldir)
+    compact_index(_family(LINE_LEN), spark, path, n_files)

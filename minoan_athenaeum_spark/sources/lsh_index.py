@@ -31,19 +31,11 @@ from pyspark.sql import functions as F
 def minhash_index_path(spark: SparkSession, sf_dir: str) -> str | None:
     """Warehouse directory for the documents table's LSH band index —
     None when the warehouse isn't a local filesystem."""
-    import hashlib
-    import os
+    from minoan_athenaeum_spark.sources.index_family import (
+        warehouse_index_path,
+    )
 
-    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    elif "://" in wh:
-        return None
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    return os.path.join(wh, f"mas_lshidx_{tag}_{fresh}")
+    return warehouse_index_path(spark, sf_dir, "mas_lshidx", "documents")
 
 
 def shingled(docs: DataFrame) -> DataFrame:

@@ -64,22 +64,19 @@ def bm25_index_path(
     never served). ``slice_`` distinguishes the full-corpus index from
     the existing-corpus base the incremental queries append onto. None
     when the warehouse isn't a local filesystem."""
-    import hashlib
-    import os
+    from minoan_athenaeum_spark.sources.index_family import (
+        warehouse_index_path,
+    )
 
-    from minoan_athenaeum_spark.sources.bucketed import _source_fingerprint
-
-    wh = spark.conf.get("spark.sql.warehouse.dir", "")
-    if wh.startswith("file:"):
-        wh = wh[len("file:"):]
-    elif "://" in wh:
-        return None
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    fresh = _source_fingerprint(f"{sf_dir}/documents.parquet")
-    sl = "" if slice_ == "full" else f"_{slice_}"
     # v2: stats table gained sum_dl (exact append merges); the version
     # bump keeps pre-append-era warehouse dirs from being served
-    return os.path.join(wh, f"mas_bm25idx2_{tag}{sl}_{fresh}")
+    return warehouse_index_path(
+        spark,
+        sf_dir,
+        "mas_bm25idx2",
+        "documents",
+        params="" if slice_ == "full" else slice_,
+    )
 
 
 def doc_postings(docs: DataFrame) -> DataFrame:
