@@ -148,6 +148,31 @@ EXTRA = [
     "sim_ann_recall_eval",
     "dedup_lines_incremental",
     "stream_lines_gate_exec",
+    # r10: every driver-window member gets a reviewable plan — the 31
+    # freshly rotated-in rows plus the parity sentinel
+    "parity_f1_filter_ops",
+    "tpch_q10_returned",
+    "tpch_q11_important_parts",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_ratio",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_suppliers",
+    "tpch_q22_global_scalar_subquery",
+    "src_jsonl_events_agg",
+    "join_full_outer",
+    "agg_grouping_sets",
+    "win_lag_lead",
+    "win_rank_dense_ntile",
+    "stat_correlation",
+    "stat_exact_median",
+    "stat_exact_quantiles_two_phase",
+    "stat_group_ols",
+    "sketch_approx_percentiles",
+    "graph_triangle_count",
+    "mm_ppm_decode_stats",
+    "mm_g711_audio_features",
 ]
 
 
