@@ -23,6 +23,20 @@ def get_spark(
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Python WORKERS must be able to import this package no matter what
+    # the driver's cwd is: cloudpickle serializes module-level functions
+    # (the multimodal decoders' mapInPandas fns) BY REFERENCE, so a
+    # worker spawned from a non-repo cwd dies with ModuleNotFoundError
+    # (found by running the oracle sweep from /tmp — every pytest/driver
+    # run happened to use the repo root as cwd). Prepending the package
+    # root to PYTHONPATH before the JVM forks workers is the local-mode
+    # analogue of shipping a wheel via --py-files on a real cluster.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
