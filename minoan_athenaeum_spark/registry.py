@@ -355,7 +355,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   mm_g711_audio_features, sim_jl_project_topk, graph_triangle_count,
 #   evt_anomaly_zscore.
 # Expected backlog after the r10 driver run: 74 - 31 = 43 (< 50, the
-# VERDICT target). Remaining documented candidates for r11+:
+# VERDICT target). ALL 43 remaining never-checked queries were
+# pre-validated against their DuckDB oracles at sf0.01 late in r10
+# (43/43 green after the session.py worker-PYTHONPATH fix the sweep
+# itself surfaced), so the r11 rotation can swap any of them in
+# without per-query re-verification risk. Remaining documented
+# candidates for r11+:
 # pipeline_* sampling/splitting rows (10), evt_cusum/rolling/decay/
 # variant (4), misc_* (8), text_* index/diversity rows (9),
 # mm_ms_adpcm + mm_decode_quarantine, ml_perceptron_quality_eval,
