@@ -45,24 +45,40 @@ def rev():
 def lazy_dataframe(spark: SparkSession, thunk) -> DataFrame:
     """Return a real DataFrame that materializes ``thunk()`` (a
     zero-arg callable returning a DataFrame) on first use and caches
-    it. Construction runs no Spark job."""
+    it. Construction runs no Spark job.
+
+    Internals pin: this mirrors the classic DataFrame's ``__init__``
+    attribute contract (``_session``/``_sc``/``is_cached``/
+    ``_support_repr_html``) and shadows the normally-writable ``_jdf``
+    instance attribute with a read-only property — valid because
+    nothing in pyspark 4.1.x assigns ``_jdf`` outside ``__init__``. A
+    PySpark upgrade is the one thing that can break this, and it
+    breaks loudly (AttributeError on the first method call), which the
+    dsir laziness + oracle tests exercise on every run."""
+    import threading
+
     from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
 
     class _LazyDataFrame(_ClassicDF):
         def __init__(self, session, fn):
-            # Mirrors _ClassicDF.__init__'s attribute contract without
-            # requiring a jdf at construction time.
             self._session = session
             self._sc = session._sc
             self.is_cached = False
             self._support_repr_html = False
             self._lazy_thunk = fn
             self._lazy_df = None
+            self._lazy_lock = threading.Lock()
 
         def _force(self):
+            # Double-checked under a lock: concurrent first actions
+            # (a sweep harness driving queries from a thread pool) must
+            # neither crash on a cleared thunk nor run the expensive
+            # build twice.
             if self._lazy_df is None:
-                self._lazy_df = self._lazy_thunk()
-                self._lazy_thunk = None
+                with self._lazy_lock:
+                    if self._lazy_df is None:
+                        self._lazy_df = self._lazy_thunk()
+                        self._lazy_thunk = None
             return self._lazy_df
 
         @property

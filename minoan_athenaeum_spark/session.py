@@ -31,6 +31,10 @@ def get_spark(
     # run happened to use the repo root as cwd). Prepending the package
     # root to PYTHONPATH before the JVM forks workers is the local-mode
     # analogue of shipping a wheel via --py-files on a real cluster.
+    # Limitation: if a SparkContext already exists in this process,
+    # getOrCreate returns it and the JVM's env (captured at its launch)
+    # wins — the builder conf below and this env prepend only help
+    # sessions get_spark itself starts.
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pp = os.environ.get("PYTHONPATH", "")
     if pkg_root not in pp.split(os.pathsep):
@@ -89,6 +93,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Managed-table warehouse (bucketed tables) outside the repo.
         .config("spark.sql.warehouse.dir", "/tmp/mas_spark_warehouse")
+        # Belt-and-braces with the PYTHONPATH env prepend above: the
+        # executor-env route survives env mutations between fork and
+        # worker spawn (real-cluster posture: ship a wheel and set
+        # spark.executorEnv.PYTHONPATH the same way).
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.environ["PYTHONPATH"],
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

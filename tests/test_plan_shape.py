@@ -469,8 +469,12 @@ def test_minhash_incremental_serves_from_index(spark, sf_dir):
     doc_scan_lines = [
         ln for ln in p.splitlines() if "documents.parquet" in ln and "Scan" in ln
     ]
+    assert doc_scan_lines, "no documents scan found in the serve plan"
     for ln in doc_scan_lines:
-        assert "doc_id" in p, "batch split must push down"
+        # the scan LINE itself must carry the %-10 batch predicate
+        # (same ADVICE-r9 fix as the lines-incremental sibling: the
+        # old whole-plan-string assert was vacuous)
+        assert "% 10" in ln, f"batch-split predicate not on scan: {ln}"
 
 
 def test_bm25_append_serves_from_pruned_segments(spark, sf_dir):
