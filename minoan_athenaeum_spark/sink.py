@@ -30,7 +30,11 @@ def format_results(df: DataFrame) -> str:
         max(len(cols[i]), *(len(r[i]) for r in rows)) if rows else len(cols[i])
         for i in range(len(cols))
     ]
-    header = " | ".join(c.ljust(widths[i]) for i, c in enumerate(cols)).rstrip()
+    # The reference pads every cell — including the last column — to the
+    # full column width and never strips trailing pad (example-3.out:2 is
+    # `"name        | smaller_city "` with a trailing space), so neither
+    # the header nor the data rows are rstripped here.
+    header = " | ".join(c.ljust(widths[i]) for i, c in enumerate(cols))
     # Underline spans the full (unstripped) header width.
     total = sum(widths) + 3 * (len(widths) - 1)
     lines = [header, "-" * total]
@@ -39,5 +43,5 @@ def format_results(df: DataFrame) -> str:
             (r[i].rjust(widths[i]) if is_int[i] else r[i].ljust(widths[i]))
             for i in range(len(cols))
         ]
-        lines.append(" | ".join(cells).rstrip())
+        lines.append(" | ".join(cells))
     return "\n".join(lines)
