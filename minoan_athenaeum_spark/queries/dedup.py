@@ -26,7 +26,12 @@ from minoan_athenaeum_spark.operators.dedup import (
     prefix_filtered_pairs,
     simhash60,
 )
-from minoan_athenaeum_spark.queries._util import persist_tracked, release_tracked, t
+from minoan_athenaeum_spark.queries._util import (
+    broadcast_if_under,
+    persist_tracked,
+    release_tracked,
+    t,
+)
 from minoan_athenaeum_spark.registry import query
 
 
@@ -697,6 +702,18 @@ def dedup_minhash_incremental(spark, sf_dir):
             .repartition(spark.sparkContext.defaultParallelism)
         )
     )
+    # SIZE-GUARDED batch broadcasts (VERDICT r10 #3): the serve's two
+    # batch-sided broadcasts are correct for micro-batch ingest, but a
+    # TB-scale backfill driven through the same query must degrade to
+    # a shuffle join, not OOM the driver. The batch is persisted
+    # anyway, so one count() materializes the cache every later stage
+    # reuses and gives an exact row count for the guard. Ceiling is
+    # per-session tunable; 4M rows of band keys / capped shingle
+    # arrays stays well inside executor broadcast budgets.
+    max_bcast = int(
+        spark.conf.get("spark.mas.minhash.serveBroadcastMaxRows", "4000000")
+    )
+    n_batch = batch_sh.count()
     new_keys = band_rows(batch_sh).select(
         "bucket", F.col("doc_id").alias("b")
     )
@@ -704,7 +721,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     # bucket join and the distinct; verification joins are
     # candidate-sized against the shingle tables
     cand = (
-        idx_bands.join(F.broadcast(new_keys), "bucket")
+        idx_bands.join(broadcast_if_under(new_keys, n_batch * 4, max_bcast), "bucket")
         .select(F.col("doc_id").alias("a"), "b")
         .dropDuplicates(["a", "b"])
     )
@@ -725,8 +742,10 @@ def dedup_minhash_incremental(spark, sf_dir):
         F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
     ).select(F.col("a"), F.col("sh").alias("a_sh"))
     verified = cand.join(idx_matched, "a").join(
-        F.broadcast(
-            batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh"))
+        broadcast_if_under(
+            batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")),
+            n_batch,
+            max_bcast,
         ),
         "b",
     )

@@ -367,58 +367,126 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # stat_median_abs_deviation + stat_winsorize, skew_salted_join,
 # theta_count_by_key, agg_count_if_bool + agg_tpch_q6,
 # sim_centroid_alignment, join/setop leftovers.
+# Round-11 WINDOW (VERDICT r10 #1 — burn the last 43-query backlog).
+# Twenty-five swaps under the standing policy: every incoming query
+# was pre-validated green vs its DuckDB oracle at sf0.001 AND sf0.01
+# in r10 (43/43, COVERAGE.md:275) AND re-simulated through
+# scripts/window_sim.py --json this session with the results checked
+# in at bench_records/r11_window_presim_sf{0.001,0.01}.json (VERDICT
+# r10 #8); every outgoing member was driver-green in r10 and stays
+# pytest-oracled every round.
+#   Parity sentinels: unchanged at 4.
+#   Holdovers (21): the five queries whose code paths are touched by
+#   this round's VERDICT items #4-#7 and so need external
+#   re-verification (dedup_minhash_incremental — broadcast size
+#   guard; pipeline_dsir_select — lazy_dataframe rework;
+#   text_bm25_search_robertson — BM25 joins the index-family
+#   harness; dedup_lines_incremental + text_ngram_novelty — the
+#   compaction n/line_len parameterization from ADVICE); the five
+#   streaming gates (idempotent_sink + rollup_refresh are
+#   single-green, novelty/quality/lines keep a third row through the
+#   foreachBatch infra the round touches); the r10 single-green
+#   capstones pipeline_full_curation + sim_ann_recall_eval; two
+#   hardest TPC-H shapes (q17 correlated-avg, q22 global scalar
+#   subquery); the full sketch family (hll_mergeable, kmv,
+#   approx_percentiles — no sketch incoming exists in the backlog);
+#   stat_group_ols + stat_exact_quantiles_two_phase (hardest stat
+#   shapes); dedup_lines_global (pairs with the incremental form);
+#   ml_quality_filter (pairs with incoming ml_perceptron_quality_eval
+#   — the eval scores what the filter gates).
+#   Retired (25, ALL r10-green, most single-green burn-directive
+#   swaps per the r9/r10 precedent): tpch_q10/q11/q13/q14/q15/q16/
+#   q19/q20 (family keeps q17+q22 plus the full pytest DECIMAL-exact
+#   sweep), src_jsonl_events_agg + src_orc_events_agg (multi-round
+#   streaks), join_full_outer, agg_grouping_sets (relational core
+#   stays covered by sentinels + TPC-H), win_lag_lead +
+#   win_rank_dense_ntile (window family rep arrives via incoming
+#   win_distribution_funcs), stat_correlation + stat_exact_median +
+#   stat_equidepth_histogram (stat reps incoming), dedup_cluster_keep
+#   _best (greens r9+r10), graph_triangle_count, evt_anomaly_zscore
+#   (four evt incoming), pipeline_mixture_temperature (greens
+#   r9+r10), sim_ann_ivfadc_topk + sim_jl_project_topk (ANN family
+#   keeps recall_eval, which certifies IVFADC recall inside its
+#   oracle), mm_ppm_decode_stats + mm_g711_audio_features (mm family
+#   swaps to quarantine + ms_adpcm).
+#   Incoming (25, all never externally checked): agg_count_if_bool,
+#   agg_tpch_q6, theta_count_by_key, win_distribution_funcs,
+#   stat_median_abs_deviation, stat_winsorize, skew_salted_join,
+#   sim_centroid_alignment, ml_perceptron_quality_eval,
+#   mm_decode_quarantine, mm_ms_adpcm_audio_features,
+#   evt_cusum_changepoint, evt_rolling_distinct_users,
+#   evt_time_decayed_value, evt_variant_extract,
+#   misc_compaction_roundtrip, misc_zorder_roundtrip,
+#   misc_scd2_point_in_time_join, misc_skew_diagnostics,
+#   pipeline_dup_capping, pipeline_train_test_split,
+#   pipeline_unicode_clean, text_token_count_bpe,
+#   text_inverted_index, text_ccnet_ppl_buckets.
+# Expected backlog after the r11 driver run: 43 - 25 = 18 (<= 18, the
+# VERDICT target). Remaining documented candidates for r12 (the
+# final burn): misc_association_rules, misc_dq_constraint_checks,
+# misc_snapshot_diff, misc_surrogate_keys, misc_unpivot_melt,
+# pipeline_mixing_allocation, pipeline_priority_sample,
+# pipeline_quantile_normalize, pipeline_remove_dup_spans,
+# pipeline_shuffle_shards, pipeline_url_blocklist_filter,
+# pipeline_weighted_sample, text_bigram_lm_score,
+# text_chunk_sliding_window, text_lcp_adjacent,
+# text_repetition_score, text_simpson_diversity, text_term_drift.
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
     "parity_j1_equijoin",
     "parity_j9_multiway_join",
     "theta_distinct_key_join",
-    # TPC-H: the ten zero-history shapes
-    "tpch_q10_returned",
-    "tpch_q11_important_parts",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_ratio",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
+    # relational core / TPC-H incoming + hardest holdover shapes
+    "agg_count_if_bool",
+    "agg_tpch_q6",
+    "theta_count_by_key",
     "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q20_excess_suppliers",
     "tpch_q22_global_scalar_subquery",
-    # sources / relational core / window / stats / sketches
-    "src_jsonl_events_agg",
-    "src_orc_events_agg",
-    "join_full_outer",
-    "agg_grouping_sets",
-    "win_lag_lead",
-    "win_rank_dense_ntile",
-    "stat_correlation",
-    "stat_exact_median",
-    "stat_exact_quantiles_two_phase",
+    # window / stats / sketches
+    "win_distribution_funcs",
+    "stat_median_abs_deviation",
+    "stat_winsorize",
     "stat_group_ols",
-    "stat_equidepth_histogram",
+    "stat_exact_quantiles_two_phase",
     "sketch_approx_percentiles",
     "sketch_hll_mergeable",
     "sketch_kmv_distinct",
-    # ML / graph / events
-    "dedup_cluster_keep_best",
+    # skew / similarity / ML
+    "skew_salted_join",
+    "sim_centroid_alignment",
+    "sim_ann_recall_eval",
+    "ml_perceptron_quality_eval",
     "ml_quality_filter",
-    "graph_triangle_count",
-    "evt_anomaly_zscore",
-    # training-data extensions: dedup / similarity / text
+    # events
+    "evt_cusum_changepoint",
+    "evt_rolling_distinct_users",
+    "evt_time_decayed_value",
+    "evt_variant_extract",
+    # lakehouse / table-maintenance misc
+    "misc_compaction_roundtrip",
+    "misc_zorder_roundtrip",
+    "misc_scd2_point_in_time_join",
+    "misc_skew_diagnostics",
+    # training-data pipeline incoming
+    "pipeline_dup_capping",
+    "pipeline_train_test_split",
+    "pipeline_unicode_clean",
+    # text incoming
+    "text_token_count_bpe",
+    "text_inverted_index",
+    "text_ccnet_ppl_buckets",
+    # training-data extensions: dedup / pipeline / text holdovers
     "dedup_lines_global",
+    "dedup_lines_incremental",
     "dedup_minhash_incremental",
     "pipeline_dsir_select",
-    "pipeline_mixture_temperature",
     "pipeline_full_curation",
-    "sim_ann_recall_eval",
-    "sim_ann_ivfadc_topk",
-    "sim_jl_project_topk",
-    "dedup_lines_incremental",
     "text_bm25_search_robertson",
     "text_ngram_novelty",
     # multimodal
-    "mm_ppm_decode_stats",
-    "mm_g711_audio_features",
+    "mm_decode_quarantine",
+    "mm_ms_adpcm_audio_features",
     # streaming
     "stream_novelty_gate_exec",
     "stream_quality_gate_exec",

@@ -570,3 +570,32 @@ def test_ivf_compact_preserves_members_and_layout(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(os.path.join(work, "centroids")).collect()
     )
     assert cents_post == cents_pre
+
+
+def test_minhash_serve_broadcast_guard_over_threshold(spark, sf_dir):
+    """VERDICT r10 #3: the serve's batch-sided broadcasts are
+    size-guarded. With the row ceiling forced to 0 (simulating a
+    TB-scale backfill batch) the query must plan shuffle joins for the
+    batch sides instead of forced broadcasts — and return EXACTLY the
+    same pairs."""
+    from minoan_athenaeum_spark.queries.dedup import dedup_minhash_incremental
+    from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
+
+    ensure_minhash_index(spark, sf_dir)
+    base = {
+        (r["a"], r["b"]) for r in dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.mas.minhash.serveBroadcastMaxRows", "0")
+    try:
+        guarded_df = dedup_minhash_incremental(spark, sf_dir)
+        plan = guarded_df._sc._jvm.PythonSQLUtils.explainString(
+            guarded_df._jdf.queryExecution(), "simple"
+        )
+        # over the ceiling: the bucket probe and the b-side verify are
+        # NOT broadcast (Catalyst falls back to shuffle joins); the
+        # bounded a_ids semi-join reduction may stay broadcast.
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {(r["a"], r["b"]) for r in guarded_df.collect()}
+    finally:
+        spark.conf.unset("spark.mas.minhash.serveBroadcastMaxRows")
+    assert got == base and len(base) > 0

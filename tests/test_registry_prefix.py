@@ -13,57 +13,62 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
-# r10 rotation (registry.py's round-10 window note — VERDICT r9 #1/#7,
-# finishing the verification-debt burn): parity sentinels shrank
-# 5 → 4 and THIRTY-ONE never-checked queries rotated in (all ten
-# zero-history TPC-H shapes, the exact-stats and sketch families,
-# pipeline_full_curation, join_full_outer, agg_grouping_sets, the two
-# remaining streaming rows, plus like-for-like swaps for graph / win /
-# mm / evt / sim / text-novelty). Retired members — incl. the whole
-# LM-quality trio whose math pipeline_full_curation's oracle replays —
-# stay pytest-oracled every round; registry.py's round-10 note lists
-# every outgoing/incoming pair with its justification.
+# r11 rotation (registry.py's round-11 window note — VERDICT r10 #1,
+# burn the last 43-query backlog): 25 never-checked rows rotated in
+# (events ×4, lakehouse-misc ×4, pipeline ×3, text ×3, stats ×2,
+# agg ×2, mm ×2, plus theta_count_by_key / win_distribution_funcs /
+# skew_salted_join / sim_centroid_alignment /
+# ml_perceptron_quality_eval); holdovers are the five queries this
+# round's VERDICT items #4-#7 modify, the five streaming gates, the
+# capstones, the full sketch family, and the hardest TPC-H/stat
+# shapes. Retired members stay pytest-oracled every round;
+# registry.py's round-11 note lists every outgoing/incoming swap.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "parity_j1_equijoin": "J1",
     "parity_j9_multiway_join": "J9",
     "theta_distinct_key_join": "theta",
-    "tpch_q10_returned": "tpch",
-    "tpch_q13_order_distribution": "outer-join",
+    "agg_count_if_bool": "conditional",
+    "agg_tpch_q6": "agg",
+    "theta_count_by_key": "aggregate",
     "tpch_q17_small_quantity_revenue": "correlated-subquery",
-    "tpch_q19_disjunctive": "disjunction",
-    "tpch_q20_excess_suppliers": "semi-join",
     "tpch_q22_global_scalar_subquery": "scalar-subquery",
-    "src_jsonl_events_agg": "source",
-    "src_orc_events_agg": "source",
-    "join_full_outer": "join",
-    "agg_grouping_sets": "grouping-sets",
-    "win_lag_lead": "window",
-    "win_rank_dense_ntile": "window",
-    "stat_correlation": "stats",
-    "stat_exact_quantiles_two_phase": "two-phase",
+    "win_distribution_funcs": "window",
+    "stat_median_abs_deviation": "robust",
+    "stat_winsorize": "preprocessing",
     "stat_group_ols": "regression",
-    "stat_equidepth_histogram": "histogram",
+    "stat_exact_quantiles_two_phase": "two-phase",
     "sketch_approx_percentiles": "sketch",
     "sketch_hll_mergeable": "mergeable",
     "sketch_kmv_distinct": "kmv",
-    "dedup_cluster_keep_best": "components",
+    "skew_salted_join": "skew",
+    "sim_centroid_alignment": "centroid",
+    "sim_ann_recall_eval": "evaluation",
+    "ml_perceptron_quality_eval": "eval",
     "ml_quality_filter": "ml",
-    "graph_triangle_count": "graph",
-    "evt_anomaly_zscore": "events",
+    "evt_cusum_changepoint": "anomaly",
+    "evt_rolling_distinct_users": "events",
+    "evt_time_decayed_value": "decay",
+    "evt_variant_extract": "variant",
+    "misc_compaction_roundtrip": "compaction",
+    "misc_zorder_roundtrip": "zorder",
+    "misc_scd2_point_in_time_join": "scd2",
+    "misc_skew_diagnostics": "maintenance",
+    "pipeline_dup_capping": "dedup",
+    "pipeline_train_test_split": "split",
+    "pipeline_unicode_clean": "unicode",
+    "text_token_count_bpe": "tokenize",
+    "text_inverted_index": "index",
+    "text_ccnet_ppl_buckets": "ccnet",
     "dedup_lines_global": "lines",
     "dedup_minhash_incremental": "incremental",
     "pipeline_dsir_select": "dsir",
-    "pipeline_mixture_temperature": "temperature",
     "pipeline_full_curation": "capstone",
-    "sim_ann_recall_eval": "evaluation",
-    "sim_ann_ivfadc_topk": "ann",
-    "sim_jl_project_topk": "dimreduction",
     "dedup_lines_incremental": "incremental",
     "text_bm25_search_robertson": "bm25",
     "text_ngram_novelty": "novelty",
-    "mm_ppm_decode_stats": "image",
-    "mm_g711_audio_features": "audio",
+    "mm_decode_quarantine": "quarantine",
+    "mm_ms_adpcm_audio_features": "audio",
     "stream_novelty_gate_exec": "streaming",
     "stream_quality_gate_exec": "streaming",
     "stream_lines_gate_exec": "lines",
