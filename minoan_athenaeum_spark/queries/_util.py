@@ -57,7 +57,25 @@ def lazy_dataframe(spark: SparkSession, thunk) -> DataFrame:
     dsir laziness + oracle tests exercise on every run."""
     import threading
 
+    import pyspark
     from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
+
+    # ADVICE r10 (_util.py): fail the internals pin with a clear,
+    # actionable message instead of an AttributeError deep inside a
+    # query. The 4.1.x contract this relies on: classic
+    # DataFrame.__init__ assigns only _session/_sc/_jdf/is_cached/
+    # _support_repr_html, nothing else assigns _jdf, and methods read
+    # it via the instance attribute (so a class-level property shadow
+    # wins). Re-validate those three facts before widening this gate.
+    if not pyspark.__version__.startswith("4.1."):
+        raise RuntimeError(
+            "lazy_dataframe pins pyspark 4.1.x DataFrame internals "
+            "(read-only _jdf property shadow on a classic-DataFrame "
+            f"subclass) but pyspark {pyspark.__version__} is installed. "
+            "Re-validate the __init__ attribute contract documented in "
+            "minoan_athenaeum_spark/queries/_util.py and widen the "
+            "version gate."
+        )
 
     class _LazyDataFrame(_ClassicDF):
         def __init__(self, session, fn):

@@ -109,10 +109,13 @@ def append_to_gram_index(
 
 
 def compact_gram_index(
-    spark: SparkSession, path: str, n_files: int = 8
+    spark: SparkSession, path: str, n_files: int = 8, n: int = GRAM_N
 ) -> None:
     """Rewrite accumulated generations into ``n_files`` fresh
     gram-partitioned files with the min-merge APPLIED (one row per
     gram again) — the LSM compaction step, swapped live crash-safely
-    (sources/swap.py — pinned by tests/test_crash_safety.py)."""
-    compact_index(_family(GRAM_N), spark, path, n_files)
+    (sources/swap.py — pinned by tests/test_crash_safety.py).
+    ``n`` selects the family like the ensure/append siblings (ADVICE
+    r10: a hardcoded GRAM_N here would silently desynchronize if the
+    family ever gained n-dependent merge or layout)."""
+    compact_index(_family(n), spark, path, n_files)

@@ -139,10 +139,13 @@ def append_to_line_index(
 
 
 def compact_line_index(
-    spark: SparkSession, path: str, n_files: int = 8
+    spark: SparkSession, path: str, n_files: int = 8, line_len: int = LINE_LEN
 ) -> None:
     """Rewrite accumulated generations into ``n_files`` fresh
     fp-partitioned files with the min-merge APPLIED (one row per fp) —
     the LSM compaction step, swapped live crash-safely
-    (sources/swap.py)."""
-    compact_index(_family(LINE_LEN), spark, path, n_files)
+    (sources/swap.py). ``line_len`` selects the family like the
+    ensure/append siblings (ADVICE r10: a hardcoded LINE_LEN here
+    would silently desynchronize if the family ever gained
+    line_len-dependent merge or layout)."""
+    compact_index(_family(line_len), spark, path, n_files)

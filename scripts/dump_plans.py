@@ -173,6 +173,19 @@ EXTRA = [
     "graph_triangle_count",
     "mm_ppm_decode_stats",
     "mm_g711_audio_features",
+    # ADVICE r10: tpch_q19 was the one r10-window member whose plan
+    # never got dumped; add it plus the r11-window incoming rows not
+    # already covered above or in bench.HEADLINE, so every
+    # driver-window member keeps a reviewable plan.
+    "tpch_q19_disjunctive",
+    # r11 additions
+    "agg_count_if_bool",
+    "agg_tpch_q6",
+    "theta_count_by_key",
+    "skew_salted_join",
+    "misc_zorder_roundtrip",
+    "text_token_count_bpe",
+    "text_inverted_index",
 ]
 
 

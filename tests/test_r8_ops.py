@@ -385,3 +385,17 @@ def test_gram_index_append_order_commutes(spark, tmp_path):
     (tmp_path / "b").mkdir()
     # arrival order must not matter: min is associative + commutative
     assert build([gen1, gen2], "a") == build([gen2, gen1], "b")
+
+
+def test_lazy_dataframe_version_gate(spark, monkeypatch):
+    """ADVICE r10: a pyspark upgrade must fail the lazy_dataframe
+    internals pin loudly at call time with an actionable message, not
+    an AttributeError deep inside a query."""
+    import pyspark
+    import pytest
+
+    from minoan_athenaeum_spark.queries._util import lazy_dataframe
+
+    monkeypatch.setattr(pyspark, "__version__", "5.0.0")
+    with pytest.raises(RuntimeError, match="pins pyspark 4.1.x"):
+        lazy_dataframe(spark, lambda: None)
