@@ -99,7 +99,15 @@ class MergeableIndexFamily:
     construction). ``merge_fn(generations) -> DataFrame`` restores one
     row per key across any set of delta generations; it must be
     idempotent and order-insensitive (min/max/sum-style). ``part_col``
-    is the key column the files are hash-partitioned by."""
+    is the key column the files are hash-partitioned by.
+
+    ``layout_fn(rows, target_dir, n_files)``, when set, replaces the
+    default hash-repartition overwrite for the FULL layout (ensure +
+    compact) — e.g. the BM25 postings' term-range-sorted segment
+    layout. ``append_fn(rows, live_dir)``, when set, replaces the
+    default plain parquet append for delta generations (e.g. sorting
+    a batch's postings within the delta file). Both defaults preserve
+    the pre-r11 single-table behavior exactly."""
 
     prefix: str
     subdir: str
@@ -108,6 +116,8 @@ class MergeableIndexFamily:
     part_col: str
     source_table: str = "documents"
     params: str = ""
+    layout_fn: Callable[[DataFrame, str, int], None] | None = None
+    append_fn: Callable[[DataFrame, str], None] | None = None
 
     def path(self, spark: SparkSession, sf_dir: str) -> str | None:
         return warehouse_index_path(
@@ -138,13 +148,21 @@ def ensure_index(
     recover_swap(live)
     if os.path.isfile(os.path.join(live, "_SUCCESS")):
         return path
-    (
-        fam.rows_fn(existing)
-        .repartition(n_files, F.col(fam.part_col))
-        .write.mode("overwrite")
-        .parquet(live)
-    )
+    _write_layout(fam, fam.rows_fn(existing), live, n_files)
     return path
+
+
+def _write_layout(
+    fam: MergeableIndexFamily, rows: DataFrame, target: str, n_files: int
+) -> None:
+    if fam.layout_fn is not None:
+        fam.layout_fn(rows, target, n_files)
+    else:
+        (
+            rows.repartition(n_files, F.col(fam.part_col))
+            .write.mode("overwrite")
+            .parquet(target)
+        )
 
 
 def append_index(
@@ -155,7 +173,11 @@ def append_index(
     read-modify-write: ``merge_fn`` over generations ≡ rebuild from
     the unioned source under any interleaving. Per-record idempotence
     (each source row appended once) is the caller's contract."""
-    fam.rows_fn(new_slice).write.mode("append").parquet(fam.live_dir(path))
+    rows = fam.rows_fn(new_slice)
+    if fam.append_fn is not None:
+        fam.append_fn(rows, fam.live_dir(path))
+    else:
+        rows.write.mode("append").parquet(fam.live_dir(path))
 
 
 def compact_index(
@@ -170,10 +192,93 @@ def compact_index(
     crash-safe two-rename dance (sources/swap.py)."""
     live = fam.live_dir(path)
     recover_swap(live)
-    (
-        fam.merge_fn(spark.read.parquet(live))
-        .repartition(n_files, F.col(fam.part_col))
-        .write.mode("overwrite")
-        .parquet(swap_paths(live)[0])
+    _write_layout(
+        fam, fam.merge_fn(spark.read.parquet(live)), swap_paths(live)[0], n_files
     )
     swap_live(live)
+
+
+# --------------------------------------------------------------------------
+# Two-table families (VERDICT r10 #7): an index whose serving state is
+# a MAIN table plus a co-updated mergeable SIDECAR (the BM25 postings +
+# corpus-stats pair). Both halves are plain MergeableIndexFamily
+# components sharing one warehouse path; the sidecar is itself
+# generation-appended (additive merge applied at READ time), which
+# removes the read-modify-write the old private BM25 writer did on the
+# stats file — an append now touches both tables append-only, and a
+# crash between the two appends is repaired by the reader applying the
+# sidecar merge over whatever generations landed.
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TwoTableIndexFamily:
+    """``main`` + ``side`` MUST share prefix/source_table/params (one
+    warehouse path). ``side.merge_fn`` must be additive/idempotent so
+    a reader can collapse any set of sidecar generations."""
+
+    main: MergeableIndexFamily
+    side: MergeableIndexFamily
+
+    def __post_init__(self) -> None:
+        same = (
+            self.main.prefix == self.side.prefix
+            and self.main.source_table == self.side.source_table
+            and self.main.params == self.side.params
+        )
+        if not same or self.main.subdir == self.side.subdir:
+            raise ValueError(
+                "TwoTableIndexFamily halves must share prefix/source/params "
+                "and use distinct subdirs"
+            )
+
+    def path(self, spark: SparkSession, sf_dir: str) -> str | None:
+        return self.main.path(spark, sf_dir)
+
+
+def ensure_index2(
+    fam: TwoTableIndexFamily,
+    spark: SparkSession,
+    sf_dir: str,
+    existing: DataFrame,
+    n_files: int = 8,
+) -> str:
+    """Materialize both tables; idempotent per source fingerprint,
+    repairing interrupted compaction swaps on BOTH halves first. The
+    index counts as present only when both subdirs carry _SUCCESS."""
+    path = fam.path(spark, sf_dir)
+    if path is None:
+        raise RuntimeError(f"{fam.main.prefix} index needs a local warehouse dir")
+    main_live = fam.main.live_dir(path)
+    side_live = fam.side.live_dir(path)
+    recover_swap(main_live)
+    recover_swap(side_live)
+    if os.path.isfile(os.path.join(main_live, "_SUCCESS")) and os.path.isfile(
+        os.path.join(side_live, "_SUCCESS")
+    ):
+        return path
+    _write_layout(fam.main, fam.main.rows_fn(existing), main_live, n_files)
+    _write_layout(fam.side, fam.side.rows_fn(existing), side_live, n_files)
+    return path
+
+
+def append_index2(
+    fam: TwoTableIndexFamily, path: str, new_slice: DataFrame
+) -> None:
+    """Fold a batch into both tables as delta generations — main rows
+    first, then the sidecar row, both append-only."""
+    append_index(fam.main, path, new_slice)
+    append_index(fam.side, path, new_slice)
+
+
+def compact_index2(
+    fam: TwoTableIndexFamily,
+    spark: SparkSession,
+    path: str,
+    n_files: int = 8,
+) -> None:
+    """Compact both tables through the shared crash-safe swap: the
+    main table back to its full layout, the sidecar generations down
+    to one merged row."""
+    compact_index(fam.main, spark, path, n_files)
+    compact_index(fam.side, spark, path, n_files)
