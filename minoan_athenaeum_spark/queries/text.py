@@ -744,12 +744,13 @@ def bm25_serve_from_index(spark, idx_path: str):
     pruned postings, broadcast stats, shared scoring expression."""
     import os
 
+    from minoan_athenaeum_spark.sources.posting_sink import bm25_stats
+
     p = spark.read.parquet(os.path.join(idx_path, "postings")).where(
         F.col("term").isin(*_BM25_TERMS)
     )
-    stats = spark.read.parquet(os.path.join(idx_path, "stats")).select(
-        "n_docs", "avgdl"
-    )
+    # sidecar generations collapsed to one exact (n_docs, avgdl) row
+    stats = bm25_stats(spark, idx_path).select("n_docs", "avgdl")
     tf = p.select("doc_id", "term", F.col("tf").cast("double").alias("tf"), "dl")
     df_ = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(stats))

@@ -25,21 +25,24 @@ Two layers:
    families — both pure per-key MIN — are defined entirely on this
    layer (sources/gram_index.py, sources/line_index.py).
 
-Adjudication for the families that keep their own writers (the
-"written adjudication" half of VERDICT r9 #5): BM25 postings append
-postings verbatim (per-(doc,term) rows are already disjoint across
-generations — there IS no merge) but must transactionally co-update a
-1-row stats sidecar (N, avgdl, sum_dl) whose merge is additive, a
-two-table invariant this single-directory harness cannot express
-without widening its contract for one user; the IVF index's mutable
-half (cell members) already compacts through :mod:`swap`, while its
-codebook is immutable-by-construction (k-means fit once per corpus
-fingerprint — "compacting" a codebook is retraining, not a rewrite);
-the LSH band index is rebuilt per corpus fingerprint rather than
-appended (its incremental query folds batches at SERVE time), so the
-only lifecycle it shares is path resolution. Each therefore uses
-layer 1 and keeps its own layer-2, with its invariants pinned in
-tests/test_crash_safety.py exactly as before.
+Round 11 widened layer 2 with per-family ``layout_fn``/``append_fn``
+hooks and a :class:`TwoTableIndexFamily` main+sidecar wrapper
+(VERDICT r10 #7), which brought BM25 into the shared lifecycle: its
+postings are a merge-free (disjoint-rows) family with the
+term-range-segment layout, and its 1-row corpus-stats sidecar is an
+additive-merge family whose generations collapse at read time — the
+old private read-modify-write of the stats file is gone, both tables
+are append-only between compactions.
+
+Adjudication for the families that still keep their own writers: the
+IVF index's mutable half (cell members) already compacts through
+:mod:`swap`, while its codebook is immutable-by-construction (k-means
+fit once per corpus fingerprint — "compacting" a codebook is
+retraining, not a rewrite); the LSH band index is rebuilt per corpus
+fingerprint rather than appended (its incremental query folds batches
+at SERVE time), so the only lifecycle it shares is path resolution.
+Each therefore uses layer 1 and keeps its own layer-2, with its
+invariants pinned in tests/test_crash_safety.py exactly as before.
 """
 
 from __future__ import annotations

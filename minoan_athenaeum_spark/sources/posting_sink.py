@@ -68,12 +68,16 @@ def bm25_index_path(
         warehouse_index_path,
     )
 
-    # v2: stats table gained sum_dl (exact append merges); the version
-    # bump keeps pre-append-era warehouse dirs from being served
+    # v3 (VERDICT r10 #7): the stats sidecar became generation-appended
+    # (one (n_docs, sum_dl) row per append, additive merge applied at
+    # read) when the lifecycle moved onto the shared index_family
+    # harness; the version bump keeps pre-harness warehouse dirs —
+    # whose stats file stored a single read-modify-written row with a
+    # derived avgdl column — from ever being served by the new reader.
     return warehouse_index_path(
         spark,
         sf_dir,
-        "mas_bm25idx2",
+        "mas_bm25idx3",
         "documents",
         params="" if slice_ == "full" else slice_,
     )
@@ -95,18 +99,81 @@ def doc_postings(docs: DataFrame) -> DataFrame:
     )
 
 
-def _write_stats(dl_stats_row, path: str, spark: SparkSession) -> None:
-    n = float(dl_stats_row["n_docs"])
-    if n == 0:
-        raise ValueError(
-            "BM25 index stats over an empty documents slice (n_docs=0): "
-            "refusing to write a 0-doc index — check the slice filter / "
-            "source path"
-        )
-    s = float(dl_stats_row["sum_dl"])
-    spark.createDataFrame(
-        [(n, s / n, s)], "n_docs double, avgdl double, sum_dl double"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+def _stats_rows(docs: DataFrame) -> DataFrame:
+    """1-row (n_docs, sum_dl) over a documents slice, computed from the
+    docs themselves (not the postings) so token-less documents still
+    count toward the corpus stats. Doc lengths are integer-valued
+    doubles, so sums are exact below 2^53 and any set of generation
+    rows merges to values bit-equal to a from-scratch rebuild's."""
+    from minoan_athenaeum_spark.operators.text import tokens
+
+    return docs.select(F.size(tokens()).cast("double").alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
+    )
+
+
+def _merge_stats(gens: DataFrame) -> DataFrame:
+    return gens.agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    )
+
+
+def bm25_stats(spark: SparkSession, path: str) -> DataFrame:
+    """The index's corpus stats as ONE row — sidecar generations
+    collapsed by the additive merge, avgdl derived from the exact sums
+    (bit-equal to a rebuild's sum/count, however many appends landed)."""
+    import os
+
+    return _merge_stats(
+        spark.read.parquet(os.path.join(path, "stats"))
+    ).select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"), "sum_dl"
+    )
+
+
+def _bm25_family(slice_: str = "full"):
+    """The BM25 serving index as a harness-driven two-table family
+    (VERDICT r10 #7): term-range-segmented postings (rows disjoint
+    across generations — merge is the identity) + the additive-merge
+    stats sidecar. Layout and append shapes are exactly the pre-harness
+    writers' (write_posting_segments for the full layout, a
+    within-batch term-sorted delta for appends)."""
+    from minoan_athenaeum_spark.sources.index_family import (
+        MergeableIndexFamily,
+        TwoTableIndexFamily,
+    )
+
+    params = "" if slice_ == "full" else slice_
+    postings = MergeableIndexFamily(
+        prefix="mas_bm25idx3",
+        subdir="postings",
+        rows_fn=doc_postings,
+        merge_fn=lambda df: df,
+        part_col="term",
+        params=params,
+        layout_fn=lambda rows, target, n: write_posting_segments(
+            rows, target, num_segments=n
+        ),
+        append_fn=lambda rows, live: (
+            rows.repartitionByRange(1, F.col("term"))
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("append")
+            .parquet(live)
+        ),
+    )
+    stats = MergeableIndexFamily(
+        prefix="mas_bm25idx3",
+        subdir="stats",
+        rows_fn=_stats_rows,
+        merge_fn=_merge_stats,
+        part_col="n_docs",  # unused: layout_fn below coalesces to 1 file
+        params=params,
+        layout_fn=lambda rows, target, n: (
+            rows.coalesce(1).write.mode("overwrite").parquet(target)
+        ),
+    )
+    return TwoTableIndexFamily(main=postings, side=stats)
 
 
 def ensure_bm25_index(
@@ -127,42 +194,25 @@ def ensure_bm25_index(
     import os
 
     from minoan_athenaeum_spark.catalog import load_table
+    from minoan_athenaeum_spark.sources.index_family import ensure_index2
 
-    from minoan_athenaeum_spark.sources.swap import recover_swap
-
-    path = bm25_index_path(spark, sf_dir, slice_)
+    fam = _bm25_family(slice_)
+    path = fam.path(spark, sf_dir)
     if path is None:
         raise RuntimeError("BM25 index needs a local warehouse dir")
-    recover_swap(os.path.join(path, "postings"))
-    if os.path.isfile(os.path.join(path, "postings", "_SUCCESS")) and os.path.isfile(
-        os.path.join(path, "stats", "_SUCCESS")
-    ):
-        return path
     docs = load_table(spark, sf_dir, "documents")
     if slice_ == "existing":
         docs = docs.filter(F.col("doc_id") % 10 != 0)
-    postings = doc_postings(docs)
-    write_posting_segments(
-        postings, os.path.join(path, "postings"), num_segments=num_segments
-    )
-    _write_stats(_dl_stats(docs), os.path.join(path, "stats"), spark)
-    return path
-
-
-def _dl_stats(docs: DataFrame):
-    """1-row (n_docs, sum_dl) over a documents slice, computed from the
-    docs themselves (not the postings) so token-less documents still
-    count toward the corpus stats."""
-    from minoan_athenaeum_spark.operators.text import tokens
-
-    return (
-        docs.select(F.size(tokens()).cast("double").alias("dl"))
-        .agg(
-            F.count("*").cast("double").alias("n_docs"),
-            F.coalesce(F.sum("dl"), F.lit(0.0)).alias("sum_dl"),
+    built = os.path.isfile(
+        os.path.join(path, "postings", "_SUCCESS")
+    ) and os.path.isfile(os.path.join(path, "stats", "_SUCCESS"))
+    if not built and docs.limit(1).count() == 0:
+        raise ValueError(
+            "BM25 index stats over an empty documents slice (n_docs=0): "
+            "refusing to write a 0-doc index — check the slice filter / "
+            "source path"
         )
-        .collect()[0]
-    )
+    return ensure_index2(fam, spark, sf_dir, docs, num_segments)
 
 
 def compact_bm25_index(
@@ -190,21 +240,13 @@ def compact_bm25_index(
     half-written index directory; the .old generation is removed
     last, and any state an interrupted prior swap left behind is
     repaired first (sources/swap.py — pinned by
-    tests/test_crash_safety.py)."""
-    import os
+    tests/test_crash_safety.py). Driven through the shared harness
+    (compact_index2): the stats sidecar's generations are collapsed to
+    one merged row in the same pass — the merged VALUES are unchanged
+    (additive merge), only the generation count drops."""
+    from minoan_athenaeum_spark.sources.index_family import compact_index2
 
-    from minoan_athenaeum_spark.sources.swap import (
-        recover_swap,
-        swap_live,
-        swap_paths,
-    )
-
-    pdir = os.path.join(path, "postings")
-    recover_swap(pdir)
-    write_posting_segments(
-        spark.read.parquet(pdir), swap_paths(pdir)[0], num_segments=num_segments
-    )
-    swap_live(pdir)
+    compact_index2(_bm25_family(), spark, path, num_segments)
 
 
 def append_to_bm25_index(
@@ -226,23 +268,13 @@ def append_to_bm25_index(
     BIT-EQUAL to a from-scratch rebuild — pinned by
     tests/test_text_ops.py::test_bm25_append_equals_rebuild and by
     text_bm25_index_append's full-rebuild oracle. Per-doc_id
-    idempotence is the caller's contract (each doc appended once)."""
-    import os
+    idempotence is the caller's contract (each doc appended once).
 
-    batch = doc_postings(new_docs).localCheckpoint(eager=True)
-    try:
-        (
-            batch.repartitionByRange(num_segments, F.col("term"))
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("append")
-            .parquet(os.path.join(path, "postings"))
-        )
-        brow = _dl_stats(new_docs)
-        old = spark.read.parquet(os.path.join(path, "stats")).collect()[0]
-        merged = {
-            "n_docs": float(old["n_docs"]) + float(brow["n_docs"]),
-            "sum_dl": float(old["sum_dl"]) + float(brow["sum_dl"]),
-        }
-        _write_stats(merged, os.path.join(path, "stats"), spark)
-    finally:
-        batch.unpersist()
+    Driven through the shared harness (append_index2): both tables are
+    now APPEND-ONLY — the stats sidecar gains one (n_docs, sum_dl)
+    generation row per batch instead of the old read-modify-write of a
+    single stats file, and :func:`bm25_stats` collapses generations at
+    read time with the same exact integer-double sums."""
+    from minoan_athenaeum_spark.sources.index_family import append_index2
+
+    append_index2(_bm25_family(), path, new_docs)

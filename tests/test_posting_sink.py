@@ -118,9 +118,14 @@ def test_bm25_append_equals_rebuild(spark, sf_dir, tmp_path):
     }
     assert got_postings == want_postings
 
-    got_stats = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
-    want_stats = spark.read.parquet(os.path.join(full, "stats")).collect()[0]
+    from minoan_athenaeum_spark.sources.posting_sink import bm25_stats
+
+    got_stats = bm25_stats(spark, work).collect()[0]
+    want_stats = bm25_stats(spark, full).collect()[0]
     # exact equality — integer-valued double sums merge losslessly
+    # (the appended sidecar has 2 generations, the rebuild 1; the
+    # merged reader values must still be bit-equal)
+    assert spark.read.parquet(os.path.join(work, "stats")).count() == 2
     assert (got_stats.n_docs, got_stats.avgdl, got_stats.sum_dl) == (
         want_stats.n_docs,
         want_stats.avgdl,
@@ -173,20 +178,25 @@ def test_bm25_compact_equals_append_equals_rebuild(spark, sf_dir, tmp_path):
             out[k] = out.get(k, 0) + 1
         return out
 
+    from minoan_athenaeum_spark.sources.posting_sink import bm25_stats
+
     pre = postings_multiset(pdir)
-    stats_pre = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
+    stats_pre = bm25_stats(spark, work).collect()[0]
+    assert spark.read.parquet(os.path.join(work, "stats")).count() == 4
 
     compact_bm25_index(spark, work, num_segments=4)
     assert len(data_files(pdir)) <= 4  # layout restored
     assert postings_multiset(pdir) == pre  # rows unchanged
 
-    stats_post = spark.read.parquet(os.path.join(work, "stats")).collect()[0]
+    # sidecar generations collapse to ONE row; merged values unchanged
+    assert spark.read.parquet(os.path.join(work, "stats")).count() == 1
+    stats_post = bm25_stats(spark, work).collect()[0]
     assert tuple(stats_pre) == tuple(stats_post)
 
     # and all of it equals the from-scratch full build
     full = ensure_bm25_index(spark, sf_dir, slice_="full")
     assert postings_multiset(os.path.join(full, "postings")) == pre
-    full_stats = spark.read.parquet(os.path.join(full, "stats")).collect()[0]
+    full_stats = bm25_stats(spark, full).collect()[0]
     assert (stats_post.n_docs, stats_post.avgdl, stats_post.sum_dl) == (
         full_stats.n_docs,
         full_stats.avgdl,
@@ -194,18 +204,29 @@ def test_bm25_compact_equals_append_equals_rebuild(spark, sf_dir, tmp_path):
     )
 
 
-def test_bm25_index_empty_slice_raises(spark, sf_dir, tmp_path):
+def test_bm25_index_empty_slice_raises(spark, tmp_path):
     """ADVICE r7: an empty documents slice must fail loudly, not
-    ZeroDivisionError, and must not write a 0-doc stats table."""
+    ZeroDivisionError, and must not write a 0-doc stats table. Driven
+    through the public ensure (the guard moved there with the r11
+    harness rewrite): a corpus whose every doc_id is a batch id makes
+    the 'existing' slice empty."""
+    import pandas as pd
     import pytest
 
-    from minoan_athenaeum_spark.catalog import load_table
     from minoan_athenaeum_spark.sources.posting_sink import (
-        _dl_stats,
-        _write_stats,
+        bm25_index_path,
+        ensure_bm25_index,
     )
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 0)
-    row = _dl_stats(docs)
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [(10, "alpha beta", "en", "a")],
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
     with pytest.raises(ValueError, match="empty documents slice"):
-        _write_stats(row, str(tmp_path / "stats"), spark)
+        ensure_bm25_index(spark, sf, slice_="existing")
+    p = bm25_index_path(spark, sf, "existing")
+    assert not os.path.exists(os.path.join(p, "stats"))
