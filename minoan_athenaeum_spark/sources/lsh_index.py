@@ -99,39 +99,53 @@ def ensure_minhash_index(
     # exact dups (that's why dedup_exact exists), replica-amplified
     # probes are ~100% dups; a fully dup-free corpus pays one extra
     # narrow shuffle, a fraction of the hashing it avoids re-checking.
-    # Index CONTENTS are byte-identical to the per-doc build (pinned
-    # by test_append_to_index_equals_rebuild + the incremental
-    # query's full-recompute DuckDB oracle).
-    existing = (
+    # The doc_id<->text join-back runs on a full-width md5 TEXT
+    # FINGERPRINT, not the text itself, so the corpus-side checkpoint
+    # and shuffle carry 32-byte keys instead of document bodies (the
+    # first fp-keyed cut of this build moved full texts and went
+    # super-linear again at 4096x: 284.9 s vs 60.0 s at 1024x).
+    # 128-bit md5 as text identity is collision-safe far beyond any
+    # corpus cardinality (the 60-BIT convention used for minhash
+    # values stays untouched — it is part of the algorithm's oracle
+    # contract, not an identity key). Index CONTENTS are
+    # byte-identical to the per-doc build (pinned by
+    # test_append_to_index_equals_rebuild + the incremental query's
+    # full-recompute DuckDB oracle).
+    docs_nt = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 != 0)
         .select("doc_id", normalized().alias("_nt"))
-        .localCheckpoint(eager=True)
     )
+    keyed = docs_nt.select(
+        "doc_id", F.md5(F.col("_nt")).alias("_fp")
+    ).localCheckpoint(eager=True)
     rep_sh = (
-        existing.select("_nt")
+        docs_nt.select("_nt")
         .distinct()
-        .select("_nt", char_shingles(F.col("_nt"), 3).alias("sh"))
+        .select(
+            F.md5(F.col("_nt")).alias("_fp"),
+            char_shingles(F.col("_nt"), 3).alias("sh"),
+        )
         .localCheckpoint(eager=True)
     )
     try:
-        rep_bands = band_rows(rep_sh, bands, rows, key="_nt")
+        rep_bands = band_rows(rep_sh, bands, rows, key="_fp")
         (
-            existing.join(rep_bands, "_nt")
+            keyed.join(rep_bands, "_fp")
             .select("bucket", "doc_id")
             .repartition(8, F.col("bucket"))
             .write.mode("overwrite")
             .parquet(os.path.join(path, "bands"))
         )
         (
-            existing.join(rep_sh, "_nt")
+            keyed.join(rep_sh, "_fp")
             .select("doc_id", "sh")
             .write.mode("overwrite")
             .parquet(os.path.join(path, "shingles"))
         )
     finally:
         # release the checkpoint blocks — the index lives on disk now
-        existing.unpersist()
+        keyed.unpersist()
         rep_sh.unpersist()
     return path
 
