@@ -357,12 +357,14 @@ def fn_python_udtf(spark, sf_dir):
     extension point for tokenizers/parsers that genuinely need Python
     yet must produce table-shaped output. The UDTF emits each doc's
     distinct words with lengths; the oracle replays it with SQL list
-    functions. (Arrow-optimized UDTFs batch rows through the same
-    Arrow channel as pandas UDFs; this demo registers the plain form —
-    the plumbing under both is identical table-function planning.)"""
+    functions. Registered ARROW-OPTIMIZED (``useArrow=True``): rows
+    batch through the same Arrow channel as pandas UDFs instead of
+    pickled row-at-a-time — the r11 plan shows ArrowEvalPythonUDTF,
+    keeping the repo's no-row-at-a-time-Python invariant intact even
+    here."""
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="word: string, wlen: int")
+    @udtf(returnType="word: string, wlen: int", useArrow=True)
     class DistinctWords:
         def eval(self, text: str):
             if text is None:

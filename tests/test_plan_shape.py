@@ -577,3 +577,13 @@ def test_recall_eval_no_corpus_window(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p  # the 8-row query block
     assert "SPARK_PARTITION_ID" in p or "_pid" in p  # two-phase top-k
+
+
+def test_python_udtf_is_arrow_optimized(spark, sf_dir):
+    """r11: the one Python table function runs through the Arrow
+    channel (ArrowEvalPythonUDTF), never pickled row-at-a-time — the
+    repo-wide no-BatchEvalPython invariant holds even for the UDTF
+    extension-point demo."""
+    p = plan_of(spark, sf_dir, "fn_python_udtf", "simple")
+    assert "ArrowEvalPythonUDTF" in p
+    assert "BatchEvalPythonUDTF" not in p
