@@ -133,7 +133,13 @@ def release_tracked() -> None:
 
 
 # ------------------------------------------------- guarded broadcasts
-def broadcast_if_under(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
+def broadcast_if_under(
+    df: DataFrame,
+    n_rows: int,
+    max_rows: int,
+    n_bytes: int | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
     """Size-guarded broadcast hint (VERDICT r10 'What's wrong' #3).
 
     A forced ``F.broadcast`` on a batch-sized side is correct for
@@ -147,8 +153,35 @@ def broadcast_if_under(df: DataFrame, n_rows: int, max_rows: int) -> DataFrame:
     Row count (not bytes) is the knob because the guarded sides are
     bounded-width rows (band keys, shingle arrays of capped documents);
     the ceiling should be set so rows x width stays well inside
-    ``spark.sql.autoBroadcastJoinThreshold``-scale memory.
+    ``spark.sql.autoBroadcastJoinThreshold``-scale memory. For
+    payload-heavy sides where width is NOT bounded, pass ``max_bytes``
+    and the side's measured size (:func:`cached_size_bytes`) — the r11
+    cluster-corpus probe found a 128k-row batch of wide shingle arrays
+    sailing under the 4M-row ceiling while weighing GIGABYTES, and the
+    forced broadcast-relation build dominated the serve.
     """
     from pyspark.sql import functions as F
 
-    return F.broadcast(df) if n_rows <= max_rows else df
+    if n_rows > max_rows:
+        return df
+    if max_bytes is not None and n_bytes is not None and n_bytes > max_bytes:
+        return df
+    return F.broadcast(df)
+
+
+def cached_size_bytes(df: DataFrame) -> int | None:
+    """Exact in-memory size of a PERSISTED-and-materialized DataFrame,
+    from the optimized plan's statistics (the InMemoryRelation reports
+    its true cached size once an action has run). None when the stats
+    are unavailable or clearly not cache-backed (Spark's default
+    sizeInBytes for unknown plans is a huge sentinel)."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+    # defaultSizeInBytes sentinel (Long.MaxValue-ish) => not measured
+    if size <= 0 or size >= (1 << 62):
+        return None
+    return size

@@ -28,6 +28,7 @@ from minoan_athenaeum_spark.operators.dedup import (
 )
 from minoan_athenaeum_spark.queries._util import (
     broadcast_if_under,
+    cached_size_bytes,
     persist_tracked,
     release_tracked,
     t,
@@ -713,7 +714,19 @@ def dedup_minhash_incremental(spark, sf_dir):
     max_bcast = int(
         spark.conf.get("spark.mas.minhash.serveBroadcastMaxRows", "4000000")
     )
+    # Byte ceiling for the payload-bearing side: shingle-array width is
+    # corpus-dependent (long documents => wide arrays), so a row count
+    # alone under-guards — the r11 cluster-corpus probe measured a
+    # 128k-row batch weighing GBs whose forced broadcast-relation build
+    # dominated the serve. The persisted batch's cached size is exact
+    # after the count() above materializes it.
+    max_bcast_bytes = int(
+        spark.conf.get(
+            "spark.mas.minhash.serveBroadcastMaxBytes", str(256 * 1024 * 1024)
+        )
+    )
     n_batch = batch_sh.count()
+    batch_bytes = cached_size_bytes(batch_sh)
     new_keys = band_rows(batch_sh).select(
         "bucket", F.col("doc_id").alias("b")
     )
@@ -746,6 +759,8 @@ def dedup_minhash_incremental(spark, sf_dir):
             batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")),
             n_batch,
             max_bcast,
+            n_bytes=batch_bytes,
+            max_bytes=max_bcast_bytes,
         ),
         "b",
     )

@@ -599,3 +599,42 @@ def test_minhash_serve_broadcast_guard_over_threshold(spark, sf_dir):
     finally:
         spark.conf.unset("spark.mas.minhash.serveBroadcastMaxRows")
     assert got == base and len(base) > 0
+
+
+def test_minhash_serve_broadcast_guard_bytes(spark, sf_dir):
+    """r11 cluster-corpus lesson: a batch can sail under the ROW
+    ceiling while its shingle payload weighs GBs, so the b-side guard
+    is also byte-aware (cached-plan stats of the persisted batch).
+    Forcing the byte ceiling to 1 must flip the verify join to a
+    shuffle join with results unchanged; the bucket probe (narrow band
+    keys, row-guarded only) may stay broadcast."""
+    from minoan_athenaeum_spark.queries.dedup import dedup_minhash_incremental
+    from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
+
+    ensure_minhash_index(spark, sf_dir)
+    base = {
+        (r["a"], r["b"]) for r in dedup_minhash_incremental(spark, sf_dir).collect()
+    }
+    spark.conf.set("spark.mas.minhash.serveBroadcastMaxBytes", "1")
+    try:
+        guarded_df = dedup_minhash_incremental(spark, sf_dir)
+        plan = guarded_df._sc._jvm.PythonSQLUtils.explainString(
+            guarded_df._jdf.queryExecution(), "simple"
+        )
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = {(r["a"], r["b"]) for r in guarded_df.collect()}
+    finally:
+        spark.conf.unset("spark.mas.minhash.serveBroadcastMaxBytes")
+    assert got == base and len(base) > 0
+
+
+def test_cached_size_bytes_measures_persisted_frames(spark, sf_dir):
+    from minoan_athenaeum_spark.queries._util import cached_size_bytes, t
+
+    df = t(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    try:
+        df.count()
+        size = cached_size_bytes(df)
+        assert size is not None and size > 1000
+    finally:
+        df.unpersist()
