@@ -20,12 +20,15 @@ evaluates L identically — there is nothing to tolerate-gate. The
 quantization (2^-24 by default, plus ≤ ~25·2^-30 truncation error) is
 part of the operator contract, far below any corpus-ranking signal.
 
-Three synchronized implementations (pinned against each other and
+Four synchronized implementations (pinned against each other and
 against math.log2 in tests/test_intlog.py):
 - :func:`log2_fixed_int` — pure-Python ints (reference + driver scalars)
 - :func:`with_log2_fixed` — Spark DataFrame transform; each step is a
   NAMED projection column so Catalyst never inlines the recurrence
   into an exponentially-duplicated expression tree
+- :func:`log2_fixed_pandas` — Arrow-vectorized numpy twin for SMALL
+  model tables, where the JVM form's ~110-projection plan costs more
+  in py4j/analysis/codegen than the rows cost to compute
 - :func:`log2_lookup_cte` — DuckDB SQL text generator (chained CTEs)
   for the oracle twin
 
@@ -34,6 +37,7 @@ Domain: x ≥ 1 (int64). L(1) = 0 exactly.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -130,6 +134,46 @@ def with_log2_fixed(
         (F.shiftleft(F.col(m) + Q, frac_bits) + F.col("_il_f")).cast("long"),
     )
     return d.drop(y, m, "_il_t", "_il_f", "_il_q")
+
+
+def log2_fixed_pandas(frac_bits: int = 24):
+    """Arrow-vectorized twin of :func:`log2_fixed_int`: a ``long →
+    long`` pandas_udf for applying the recurrence to SMALL model
+    tables (distinct-value lookups of ≤ a few thousand rows, e.g. the
+    dsir bucket fit). The JVM form's plan carries ~110 named
+    projections whose construction + analysis + codegen cost seconds
+    per query; for a bounded model table the numpy loop is exact and
+    effectively free. Same integer recurrence in int64 (y < 2^31 so
+    y·y < 2^62 — no overflow); bit-identity with the other forms is
+    pinned in tests/test_intlog.py."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _log2_fixed(x: pd.Series) -> pd.Series:
+        y = x.to_numpy(dtype=np.int64, copy=True)
+        if y.size and int(y.min()) < 1:
+            raise ValueError(
+                f"log2_fixed domain is x >= 1, got {int(y.min())}"
+            )
+        m = np.zeros_like(y)
+        for s in _DOWN:
+            hit = y >= (np.int64(1) << (Q + s))
+            y = np.where(hit, y >> s, y)
+            m = np.where(hit, m + s, m)
+        for s in _UP:
+            hit = y < (np.int64(1) << (Q + 1 - s))
+            y = np.where(hit, y << s, y)
+            m = np.where(hit, m - s, m)
+        f = np.zeros_like(y)
+        for _ in range(frac_bits):
+            q = (y * y) >> Q
+            hi = q >= (np.int64(1) << (Q + 1))
+            f = f * 2 + hi.astype(np.int64)
+            y = np.where(hi, q >> 1, q)
+        return pd.Series(((m + Q) << frac_bits) + f)
+
+    return _log2_fixed
 
 
 def log2_lookup_cte(vals_cte: str, out_cte: str, frac_bits: int = 24) -> str:

@@ -30,80 +30,12 @@ def rev():
     return dec(F.col("l_extendedprice"), 12, 2) * (1 - dec(F.col("l_discount"), 6, 2))
 
 
-# --------------------------------------------------- lazy construction
-# A DataFrame whose plan is built on FIRST use instead of at
-# construction. Needed for query builders whose plan embeds a
-# data-dependent model artifact (e.g. pipeline_dsir_select's ≤B-row
-# bucket fit): the fit requires running a Spark job, but callers that
-# merely construct-and-hold the DataFrame (registry sweeps, laziness
-# pins) must not pay it. Subclassing the classic DataFrame keeps
-# isinstance checks and every method working — methods only read
-# ``self._jdf`` (here a property that forces the thunk once) and
-# ``self._session``/``self._sc``, which we set eagerly.
-
-
-def lazy_dataframe(spark: SparkSession, thunk) -> DataFrame:
-    """Return a real DataFrame that materializes ``thunk()`` (a
-    zero-arg callable returning a DataFrame) on first use and caches
-    it. Construction runs no Spark job.
-
-    Internals pin: this mirrors the classic DataFrame's ``__init__``
-    attribute contract (``_session``/``_sc``/``is_cached``/
-    ``_support_repr_html``) and shadows the normally-writable ``_jdf``
-    instance attribute with a read-only property — valid because
-    nothing in pyspark 4.1.x assigns ``_jdf`` outside ``__init__``. A
-    PySpark upgrade is the one thing that can break this, and it
-    breaks loudly (AttributeError on the first method call), which the
-    dsir laziness + oracle tests exercise on every run."""
-    import threading
-
-    import pyspark
-    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDF
-
-    # ADVICE r10 (_util.py): fail the internals pin with a clear,
-    # actionable message instead of an AttributeError deep inside a
-    # query. The 4.1.x contract this relies on: classic
-    # DataFrame.__init__ assigns only _session/_sc/_jdf/is_cached/
-    # _support_repr_html, nothing else assigns _jdf, and methods read
-    # it via the instance attribute (so a class-level property shadow
-    # wins). Re-validate those three facts before widening this gate.
-    if not pyspark.__version__.startswith("4.1."):
-        raise RuntimeError(
-            "lazy_dataframe pins pyspark 4.1.x DataFrame internals "
-            "(read-only _jdf property shadow on a classic-DataFrame "
-            f"subclass) but pyspark {pyspark.__version__} is installed. "
-            "Re-validate the __init__ attribute contract documented in "
-            "minoan_athenaeum_spark/queries/_util.py and widen the "
-            "version gate."
-        )
-
-    class _LazyDataFrame(_ClassicDF):
-        def __init__(self, session, fn):
-            self._session = session
-            self._sc = session._sc
-            self.is_cached = False
-            self._support_repr_html = False
-            self._lazy_thunk = fn
-            self._lazy_df = None
-            self._lazy_lock = threading.Lock()
-
-        def _force(self):
-            # Double-checked under a lock: concurrent first actions
-            # (a sweep harness driving queries from a thread pool) must
-            # neither crash on a cleared thunk nor run the expensive
-            # build twice.
-            if self._lazy_df is None:
-                with self._lazy_lock:
-                    if self._lazy_df is None:
-                        self._lazy_df = self._lazy_thunk()
-                        self._lazy_thunk = None
-            return self._lazy_df
-
-        @property
-        def _jdf(self):
-            return self._force()._jdf
-
-    return _LazyDataFrame(spark, thunk)
+# The lazy_dataframe classic-DataFrame subclass (a read-only ``_jdf``
+# property shadow pinning pyspark-4.1.x internals) that used to live
+# here was deleted in round 12: its only caller, pipeline_dsir_select,
+# is now fully declarative (the ≤B-row bucket fit stays a DataFrame and
+# joins back broadcast), so construction runs no Spark job without any
+# wrapper — see VERDICT r11 #6.
 
 
 # ------------------------------------------------------- persist scope

@@ -681,6 +681,7 @@ def dedup_minhash_incremental(spark, sf_dir):
     import os
 
     from minoan_athenaeum_spark.sources.lsh_index import (
+        BANDS,
         band_rows,
         ensure_minhash_index,
         shingled,
@@ -734,7 +735,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     # bucket join and the distinct; verification joins are
     # candidate-sized against the shingle tables
     cand = (
-        idx_bands.join(broadcast_if_under(new_keys, n_batch * 4, max_bcast), "bucket")
+        # row estimate: one band key per band per batch doc (the shared
+        # BANDS constant, not a magic 4 — ADVICE r11)
+        idx_bands.join(broadcast_if_under(new_keys, n_batch * BANDS, max_bcast), "bucket")
         .select(F.col("doc_id").alias("a"), "b")
         .dropDuplicates(["a", "b"])
     )

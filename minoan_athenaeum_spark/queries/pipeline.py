@@ -1995,33 +1995,28 @@ def pipeline_dsir_select(spark, sf_dir):
     Scale shape: featurization is one map-only explode (grams never
     leave their doc's partition unkeyed — the only corpus shuffle is
     the (doc_id, bucket) aggregate, map-side combined); the bucket
-    distribution tables are ≤ B rows, get the intlog recurrence
-    applied AFTER aggregation (per distinct bucket, driver-side via the
-    pinned pure-Python form), and join back as a BROADCAST literal
-    table; the final top-K is
+    distribution table is ≤ B rows, gets the intlog recurrence
+    applied AFTER aggregation, and joins back as ONE broadcast; the
+    final top-K is
     TakeOrderedAndProject (per-partition top-K + merge — no global
     sort). At 100 TB the corpus pays exactly one featurize pass + one
     doc-keyed aggregate, the same shape the paper's pipeline runs as
     a streaming pass.
 
-    Laziness (VERDICT r9 #4, closing the ADVICE r8 note): the ≤B-row
-    bucket fit is collected driver-side and baked into the plan as a
-    broadcast literal — that keeps the 59-projection intlog recurrence
-    out of the broadcast subplans (~25 s codegen overhead otherwise) —
-    but the fit job is DEFERRED behind ``lazy_dataframe``: constructing
-    this DataFrame runs no Spark job (pinned in
-    tests/test_r8_ops.py::test_dsir_construction_is_lazy); the
-    featurize+fit runs once on first action and is cached on the
-    returned handle."""
-    from minoan_athenaeum_spark.queries._util import lazy_dataframe
-
-    return lazy_dataframe(spark, lambda: _dsir_build(spark, sf_dir))
-
-
-def _dsir_build(spark, sf_dir):
-    """The eager dsir plan build (runs the ≤B-row bucket-fit job)."""
+    Laziness (VERDICT r11 #6, superseding the r9 collect form): the
+    ≤B-row bucket fit now STAYS A DATAFRAME — one broadcast-joined fit
+    table instead of a driver-side ``collect()`` baked into the plan.
+    No collect means constructing this DataFrame runs no Spark job AT
+    ALL (pinned in tests/test_r8_ops.py::test_dsir_construction_is_
+    lazy), which deleted the old ``lazy_dataframe`` subclass and its
+    pyspark-4.1.x internals pin outright. The r9 concern that
+    motivated the collect (the 59-projection recurrence compiling
+    inside each broadcast-build subplan, ~25 s) is addressed by taking
+    the log with the Arrow-vectorized numpy twin (operators/
+    intlog.py::log2_fixed_pandas) directly on the fit rows — a few
+    ≤B-row Arrow batches, no JVM recurrence plan at all."""
     from minoan_athenaeum_spark.operators.dedup import portable_hash60
-    from minoan_athenaeum_spark.operators.intlog import log2_fixed_int
+    from minoan_athenaeum_spark.operators.intlog import log2_fixed_pandas
     from minoan_athenaeum_spark.operators.text import bigram_pairs, tokens
     from minoan_athenaeum_spark.queries._util import (
         persist_tracked,
@@ -2059,54 +2054,50 @@ def _dsir_build(spark, sf_dir):
             F.max("is_tgt").alias("is_tgt"),
         )
     )
-    bstats = (
-        docfeat.groupBy("bucket")
-        .agg(
-            F.sum("c").cast("long").alias("cr0"),
-            F.coalesce(
-                F.sum(F.when(F.col("is_tgt") == 1, F.col("c")).otherwise(F.lit(0))),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("ct0"),
+    # The bucket-distribution fit is a ≤ B-row model artifact, and the
+    # whole fit fits in ONE broadcast table: because n_grams = Σ_f c_f,
+    # the per-doc weight Σ_f c_f·Δ_f − n_grams·norm equals
+    # Σ_f c_f·(Δ_f − norm), so the scalar norm folds into the
+    # per-bucket delta — one groupBy over the docfeat cache, the grand
+    # totals as unpartitioned window sums over the ≤B aggregate rows,
+    # and the quantized log2 taken by the Arrow-vectorized numpy twin
+    # of the recurrence applied DIRECTLY to those rows (a few ≤B-row
+    # Arrow batches instead of the ~110-projection JVM recurrence
+    # plan, whose construction + analysis + codegen cost seconds per
+    # query, or a driver-side collect, which would run a Spark job at
+    # construction — the laziness pin). Bit-identity of the numpy /
+    # JVM codegen / pure Python / DuckDB CTE log forms is pinned in
+    # tests/test_intlog.py; the DuckDB oracle keeps its separate
+    # delta/norm terms and distinct-value lookup CTE — a SQL-shape
+    # choice, not a math difference (integer arithmetic is exact and
+    # distributive, pinned by the oracle match itself).
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()  # ≤ B rows — single-partition is fine
+    bstats = docfeat.groupBy("bucket").agg(
+        F.sum("c").cast("long").alias("cr0"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt") == 1, F.col("c")).otherwise(F.lit(0))),
+            F.lit(0),
         )
-        .withColumn("xt", F.col("ct0") + 1)
-        .withColumn("xr", F.col("cr0") + 1)
+        .cast("long")
+        .alias("ct0"),
     )
-    # The bucket-distribution fit is a ≤ B-row model artifact (the
-    # same convention as the perceptron's d+2-longs-per-round
-    # collect), so it is computed DRIVER-side with the pure-Python
-    # log2_fixed_int — pinned bit-identical to the Spark codegen and
-    # DuckDB CTE forms in tests/test_intlog.py, so the oracle is
-    # unchanged. The first form instead applied with_log2_fixed
-    # inside the broadcast-exchange subplans, which compiled the
-    # 59-projection recurrence four times (~2 s Janino each) and ran
-    # a chain of broadcast-build jobs — ~25 s of fixed overhead at
-    # any SF. This way the corpus pays exactly one featurize pass +
-    # one doc-keyed aggregate + one broadcast join, and the only
-    # other cluster work is collecting ≤ B aggregate rows.
-    brows = bstats.collect()  # ≤ B rows — bounded by construction
-    L = log2_fixed_int
-    delta_rows = [
-        (int(r["bucket"]), L(int(r["xt"])) - L(int(r["xr"]))) for r in brows
-    ]
-    norm_v = L(sum(int(r["ct0"]) for r in brows) + B) - L(
-        sum(int(r["cr0"]) for r in brows) + B
-    )
-    delta = spark.createDataFrame(delta_rows, "bucket long, delta long")
+    L = log2_fixed_pandas()
+    delta_n = (
+        (L((F.col("ct0") + 1).cast("long")) - L((F.col("cr0") + 1).cast("long")))
+        - (
+            L((F.sum("ct0").over(w_all) + B).cast("long"))
+            - L((F.sum("cr0").over(w_all) + B).cast("long"))
+        )
+    ).alias("delta_n")
+    fit = bstats.select("bucket", delta_n)
     wts = (
-        docfeat.join(F.broadcast(delta), "bucket")
+        docfeat.join(F.broadcast(fit), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_grams"),
-            F.sum(F.col("c") * F.col("delta")).cast("long").alias("sdelta"),
-        )
-        .select(
-            "doc_id",
-            "n_grams",
-            (F.col("sdelta") - F.col("n_grams") * F.lit(norm_v))
-            .cast("bigint")
-            .alias("weight_q"),
+            F.sum(F.col("c") * F.col("delta_n")).cast("bigint").alias("weight_q"),
         )
     )
     return wts.orderBy(F.desc("weight_q"), "doc_id").limit(K)

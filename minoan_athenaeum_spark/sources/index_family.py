@@ -208,9 +208,15 @@ def compact_index(
 # components sharing one warehouse path; the sidecar is itself
 # generation-appended (additive merge applied at READ time), which
 # removes the read-modify-write the old private BM25 writer did on the
-# stats file — an append now touches both tables append-only, and a
-# crash between the two appends is repaired by the reader applying the
-# sidecar merge over whatever generations landed.
+# stats file — an append now touches both tables append-only. The
+# reader's sidecar merge tolerates ANY set of landed generations (extra
+# or compacted), but it cannot repair a TORN append: a crash after the
+# main (postings) append and before the sidecar append leaves postings
+# counted in the main table but missing from n_docs/sum_dl. The real
+# contract is the caller's: on a torn append, complete it by appending
+# the SAME batch's sidecar row (appends are plain parquet appends with
+# no generation-id dedup — re-driving the whole append would
+# double-count the main table), or rebuild the index from source.
 # --------------------------------------------------------------------------
 
 

@@ -27,6 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Banding scheme shared by the build, append, and serve paths (and by
+# the serve's broadcast-size estimate in queries/dedup.py — ADVICE r11:
+# a guard that hardcodes the band count silently desyncs if this
+# changes). bands*rows = the 16-value signature the oracle replays.
+BANDS = 4
+ROWS_PER_BAND = 4
+
 
 def minhash_index_path(spark: SparkSession, sf_dir: str) -> str | None:
     """Warehouse directory for the documents table's LSH band index —
@@ -39,14 +46,21 @@ def minhash_index_path(spark: SparkSession, sf_dir: str) -> str | None:
 
 
 def shingled(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) — the 3-char shingle sets of ``docs``."""
+    """(doc_id, sh) — the 3-char shingle sets of ``docs``. NULL text is
+    coalesced to '' so the append/serve path and the distinct-text build
+    path (which joins back on an md5 text fingerprint — md5(NULL) would
+    silently drop the doc from an inner join) agree byte-for-byte on
+    corpora containing null texts."""
     from minoan_athenaeum_spark.operators.dedup import char_shingles, normalized
 
-    return docs.select("doc_id", char_shingles(normalized(), 3).alias("sh"))
+    return docs.select(
+        "doc_id",
+        char_shingles(F.coalesce(normalized(), F.lit("")), 3).alias("sh"),
+    )
 
 
 def band_rows(
-    sh_df: DataFrame, bands: int = 4, rows: int = 4, key: str = "doc_id"
+    sh_df: DataFrame, bands: int = BANDS, rows: int = ROWS_PER_BAND, key: str = "doc_id"
 ) -> DataFrame:
     """Lean (bucket, <key>) rows from a (<key>, sh) table: 16-value
     minhash signature → ``bands`` band keys, exploded. All hashing is
@@ -64,7 +78,7 @@ def band_rows(
 
 
 def ensure_minhash_index(
-    spark: SparkSession, sf_dir: str, bands: int = 4, rows: int = 4
+    spark: SparkSession, sf_dir: str, bands: int = BANDS, rows: int = ROWS_PER_BAND
 ) -> str:
     """Materialize the two-table band index for the EXISTING corpus
     (documents with ``doc_id % 10 != 0`` — the driver-visible batch
@@ -114,7 +128,13 @@ def ensure_minhash_index(
     docs_nt = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", normalized().alias("_nt"))
+        .select(
+            # same NULL→'' coalesce as shingled(): a NULL _nt would md5 to
+            # NULL and vanish from the inner join-backs, diverging from the
+            # append path (append-equals-rebuild byte identity).
+            "doc_id",
+            F.coalesce(normalized(), F.lit("")).alias("_nt"),
+        )
     )
     keyed = docs_nt.select(
         "doc_id", F.md5(F.col("_nt")).alias("_fp")
@@ -183,8 +203,8 @@ def append_to_minhash_index(
     spark: SparkSession,
     path: str,
     new_docs: DataFrame,
-    bands: int = 4,
-    rows: int = 4,
+    bands: int = BANDS,
+    rows: int = ROWS_PER_BAND,
 ) -> None:
     """Fold a deduplicated batch INTO the persisted index — the
     maintenance step after a batch passes the incremental dedup gate,

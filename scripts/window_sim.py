@@ -32,6 +32,8 @@ def main() -> None:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: window_sim.py [sf_dir] [n] [--json out.json]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"

@@ -58,6 +58,25 @@ def test_spark_matches_python(spark):
     assert all(got[x] == log2_fixed_int(x) for x in xs)
 
 
+def test_pandas_udf_matches_python(spark):
+    """The Arrow-vectorized numpy twin (r12, used by the dsir fit) is
+    bit-identical to the pure-Python reference across the int64 domain,
+    and fails loudly below the x >= 1 domain like the other forms."""
+    from pyspark.sql import functions as F
+
+    from minoan_athenaeum_spark.operators.intlog import log2_fixed_pandas
+
+    rng = random.Random(29)
+    xs = EDGE + [rng.randrange(1, 1 << 62) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    L = log2_fixed_pandas()
+    got = {r.x: r.lg for r in df.select("x", L(F.col("x")).alias("lg")).collect()}
+    assert all(got[x] == log2_fixed_int(x) for x in xs)
+    bad = spark.createDataFrame([(0,)], "x long")
+    with pytest.raises(Exception, match="log2_fixed domain"):
+        bad.select(L(F.col("x"))).collect()
+
+
 def test_duckdb_cte_matches_python():
     import duckdb
 

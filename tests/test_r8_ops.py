@@ -122,37 +122,31 @@ def test_dsir_weights_match_pure_python_reference(spark, tmp_path):
     assert want[2] < min(want[1], want[3], want[5])
 
 
-def test_dsir_construction_is_lazy(spark, tmp_path, monkeypatch):
-    """VERDICT r9 #4 pin: BUILDING the dsir DataFrame runs no Spark job
-    (the ≤B-row fit collect is deferred to first action and cached).
-    Two independent checks: (a) the eager build function is not called
-    at construction; (b) no job runs in the construction job group."""
-    import minoan_athenaeum_spark.queries.pipeline as P
-
+def test_dsir_construction_is_lazy(spark, tmp_path):
+    """VERDICT r9 #4 pin, kept through the r11 #6 declarative rework:
+    BUILDING the dsir DataFrame runs no Spark job (the ≤B-row fit is
+    now itself a lazy DataFrame joined back broadcast — no driver-side
+    collect anywhere in the builder)."""
     rows = [(1, "the cat", "en", "a"), (2, "der hund", "de", "a")]
     sf = _write_docs(tmp_path, rows)
 
-    calls = []
-    real_build = P._dsir_build
-    monkeypatch.setattr(
-        P, "_dsir_build", lambda *a: calls.append(a) or real_build(*a)
-    )
+    # warm the parquet footer/schema read (a one-off listing job any
+    # fresh table pays at plan construction — not part of the fit)
+    from minoan_athenaeum_spark.catalog import load_table
+
+    load_table(spark, sf, "documents")
     sc = spark.sparkContext
     sc.setJobGroup("dsir-lazy-pin", "construction must run no job")
     try:
         df = pipeline_dsir_select(spark, sf)
     finally:
         sc.setJobGroup("", "")
-    assert calls == []  # no fit at construction
     tracker = sc.statusTracker()
     assert tracker.getJobIdsForGroup("dsir-lazy-pin") == []
-    # first action forces exactly one build; result matches reference
+    # first action runs the whole thing; result matches reference
     got = {r["doc_id"]: r["weight_q"] for r in df.collect()}
-    assert len(calls) == 1
     assert got == _dsir_reference(rows, _DSIR_B)
-    # the handle caches the materialized plan — second action, no rebuild
     assert df.count() == 2
-    assert len(calls) == 1
     from pyspark.sql import DataFrame
 
     assert isinstance(df, DataFrame)  # driver-contract type check
@@ -387,15 +381,11 @@ def test_gram_index_append_order_commutes(spark, tmp_path):
     assert build([gen1, gen2], "a") == build([gen2, gen1], "b")
 
 
-def test_lazy_dataframe_version_gate(spark, monkeypatch):
-    """ADVICE r10: a pyspark upgrade must fail the lazy_dataframe
-    internals pin loudly at call time with an actionable message, not
-    an AttributeError deep inside a query."""
-    import pyspark
-    import pytest
+def test_lazy_dataframe_is_gone():
+    """VERDICT r11 #6: the lazy_dataframe internals-pinning subclass
+    (and its pyspark-4.1.x version gate) must stay deleted — dsir is
+    declarative now, so nothing in the repo needs a DataFrame whose
+    plan is built on first use."""
+    from minoan_athenaeum_spark.queries import _util
 
-    from minoan_athenaeum_spark.queries._util import lazy_dataframe
-
-    monkeypatch.setattr(pyspark, "__version__", "5.0.0")
-    with pytest.raises(RuntimeError, match="pins pyspark 4.1.x"):
-        lazy_dataframe(spark, lambda: None)
+    assert not hasattr(_util, "lazy_dataframe")
