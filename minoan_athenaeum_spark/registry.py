@@ -431,68 +431,126 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # pipeline_weighted_sample, text_bigram_lm_score,
 # text_chunk_sliding_window, text_lcp_adjacent,
 # text_repetition_score, text_simpson_diversity, text_term_drift.
+#
+# STALENESS RULE (VERDICT r11 #5 — standing policy from round 12 on).
+# Once the never-checked backlog is 0, rotation has a second debt
+# dimension: rows whose ONLY external green is many rounds old. Policy:
+#   a. Window slots not needed for (i) the 4 parity sentinels, (ii)
+#      queries whose code paths were MODIFIED this round (they must be
+#      externally re-verified), or (iii) genuinely new operators
+#      entering under rule 3, are spent re-greening the rows with the
+#      OLDEST last-green round (scripts/rotation_debt.py prints the
+#      table, oldest first).
+#   b. Target: every registered query externally re-verified at least
+#      once every ~6 rounds (50 slots x 6 rounds ≈ 300 > 249 rows, so
+#      the budget closes with slack for holdovers).
+#   c. All other rotation mechanics (pre-sim at sf0.001 AND sf0.01 via
+#      scripts/window_sim.py with checked-in JSON, like-for-like
+#      documentation here, FAMILY_REPRESENTATIVES sync) unchanged.
+# Round-12 WINDOW (VERDICT r11 #1 — burn the final 18-query backlog —
+# and #5 — first staleness re-green pass). Forty-four swaps:
+#   Parity sentinels: unchanged at 4 (f1, j1, j9, theta_distinct).
+#   Holdovers (2): the queries this round's code changes touch and
+#   that must be externally re-verified — dedup_minhash_incremental
+#   (ADVICE null-text coalesce + BANDS constant + the VERDICT #4
+#   backfill router: over-ceiling batches verify via exploded hashed-
+#   shingle intersection counting) and pipeline_dsir_select (VERDICT
+#   #6: declarative fit, lazy_dataframe deleted).
+#   Incoming backlog burn (18 — the ENTIRE remaining never-checked
+#   list): the 5 misc_* / 7 pipeline_* / 6 text_* rows named above.
+#   All 18 were pre-validated green at sf0.01 in r10's 43/43 sweep
+#   (COVERAGE.md:275), re-validated in r11's pre-sim, and re-simulated
+#   this round (bench_records/r12_window_presim_sf{0.001,0.01}.json).
+#   Incoming staleness re-greens (26, all last green in r1, the oldest
+#   cohort — rotation_debt table): agg_anti_join, agg_count_distinct,
+#   agg_cube, agg_having, agg_orderby_limit, agg_outer_join_coalesce,
+#   agg_rollup, agg_subquery_in, agg_tpch_q5_region_revenue (also the
+#   r11 perf-gate exceedance — its driver re-timing doubles as part of
+#   the adjudication), dedup_embedding_cosine, evt_json_extract,
+#   evt_pivot_counts, evt_sliding_window, evt_tumbling_window,
+#   fn_conditional, fn_date_trunc_add, fn_hash_encode, fn_map_struct,
+#   fn_math, fn_string_regex_split, misc_arg_extremes,
+#   misc_deterministic_sample, misc_lateral_explode,
+#   misc_string_agg_sorted, setop_except, setop_union_all_count.
+#   (4 r1 rows wait for r13 — agg_distinct, agg_min_max, fn_date_parts,
+#   misc_like_family — each family-covered by an in-window sibling.)
+#   Retired (44, ALL r11-green; the burn+re-green directive spends the
+#   whole non-sentinel window, same single-green-retire precedent as
+#   r9-r11): agg_count_if_bool, agg_tpch_q6, theta_count_by_key,
+#   tpch_q17, tpch_q22, win_distribution_funcs, the 4 stat_* rows, the
+#   3 sketch_* rows, skew_salted_join, sim_centroid_alignment,
+#   sim_ann_recall_eval, ml_perceptron_quality_eval, ml_quality_filter,
+#   the 4 evt_* rows, the 4 misc_* rows, pipeline_dup_capping,
+#   pipeline_train_test_split, pipeline_unicode_clean,
+#   pipeline_full_curation, text_token_count_bpe, text_inverted_index,
+#   text_ccnet_ppl_buckets, text_bm25_search_robertson,
+#   text_ngram_novelty, dedup_lines_global, dedup_lines_incremental,
+#   mm_decode_quarantine, mm_ms_adpcm_audio_features, and the 5
+#   stream_*_exec gates (novelty/quality/lines now have 3 consecutive
+#   external greens, idempotent/rollup 1 each; all five remain
+#   pytest-oracled and the foreachBatch infra is untouched this
+#   round). Every retired row stays oracle-verified every round by
+#   tests/test_oracle_parity.py.
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
     "parity_j1_equijoin",
     "parity_j9_multiway_join",
     "theta_distinct_key_join",
-    # relational core / TPC-H incoming + hardest holdover shapes
-    "agg_count_if_bool",
-    "agg_tpch_q6",
-    "theta_count_by_key",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_global_scalar_subquery",
-    # window / stats / sketches
-    "win_distribution_funcs",
-    "stat_median_abs_deviation",
-    "stat_winsorize",
-    "stat_group_ols",
-    "stat_exact_quantiles_two_phase",
-    "sketch_approx_percentiles",
-    "sketch_hll_mergeable",
-    "sketch_kmv_distinct",
-    # skew / similarity / ML
-    "skew_salted_join",
-    "sim_centroid_alignment",
-    "sim_ann_recall_eval",
-    "ml_perceptron_quality_eval",
-    "ml_quality_filter",
-    # events
-    "evt_cusum_changepoint",
-    "evt_rolling_distinct_users",
-    "evt_time_decayed_value",
-    "evt_variant_extract",
-    # lakehouse / table-maintenance misc
-    "misc_compaction_roundtrip",
-    "misc_zorder_roundtrip",
-    "misc_scd2_point_in_time_join",
-    "misc_skew_diagnostics",
-    # training-data pipeline incoming
-    "pipeline_dup_capping",
-    "pipeline_train_test_split",
-    "pipeline_unicode_clean",
-    # text incoming
-    "text_token_count_bpe",
-    "text_inverted_index",
-    "text_ccnet_ppl_buckets",
-    # training-data extensions: dedup / pipeline / text holdovers
-    "dedup_lines_global",
-    "dedup_lines_incremental",
+    # modified-this-round holdovers (backfill router; declarative fit)
     "dedup_minhash_incremental",
     "pipeline_dsir_select",
-    "pipeline_full_curation",
-    "text_bm25_search_robertson",
-    "text_ngram_novelty",
-    # multimodal
-    "mm_decode_quarantine",
-    "mm_ms_adpcm_audio_features",
-    # streaming
-    "stream_novelty_gate_exec",
-    "stream_quality_gate_exec",
-    "stream_lines_gate_exec",
-    "stream_idempotent_sink_exec",
-    "stream_rollup_refresh_exec",
+    # final backlog burn: lakehouse/mining misc
+    "misc_association_rules",
+    "misc_dq_constraint_checks",
+    "misc_snapshot_diff",
+    "misc_surrogate_keys",
+    "misc_unpivot_melt",
+    # final backlog burn: training-data pipeline
+    "pipeline_mixing_allocation",
+    "pipeline_priority_sample",
+    "pipeline_quantile_normalize",
+    "pipeline_remove_dup_spans",
+    "pipeline_shuffle_shards",
+    "pipeline_url_blocklist_filter",
+    "pipeline_weighted_sample",
+    # final backlog burn: text analysis
+    "text_bigram_lm_score",
+    "text_chunk_sliding_window",
+    "text_lcp_adjacent",
+    "text_repetition_score",
+    "text_simpson_diversity",
+    "text_term_drift",
+    # staleness re-greens (last green r1): relational core
+    "agg_anti_join",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_having",
+    "agg_orderby_limit",
+    "agg_outer_join_coalesce",
+    "agg_rollup",
+    "agg_subquery_in",
+    "agg_tpch_q5_region_revenue",
+    "misc_arg_extremes",
+    "misc_string_agg_sorted",
+    "setop_except",
+    "setop_union_all_count",
+    # staleness re-greens: events / windows / json
+    "evt_json_extract",
+    "evt_pivot_counts",
+    "evt_sliding_window",
+    "evt_tumbling_window",
+    # staleness re-greens: scalar-function families
+    "fn_conditional",
+    "fn_date_trunc_add",
+    "fn_hash_encode",
+    "fn_map_struct",
+    "fn_math",
+    "fn_string_regex_split",
+    # staleness re-greens: dedup / sampling / lateral
+    "dedup_embedding_cosine",
+    "misc_deterministic_sample",
+    "misc_lateral_explode",
 ]
 
 

@@ -13,67 +13,68 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
-# r11 rotation (registry.py's round-11 window note — VERDICT r10 #1,
-# burn the last 43-query backlog): 25 never-checked rows rotated in
-# (events ×4, lakehouse-misc ×4, pipeline ×3, text ×3, stats ×2,
-# agg ×2, mm ×2, plus theta_count_by_key / win_distribution_funcs /
-# skew_salted_join / sim_centroid_alignment /
-# ml_perceptron_quality_eval); holdovers are the five queries this
-# round's VERDICT items #4-#7 modify, the five streaming gates, the
-# capstones, the full sketch family, and the hardest TPC-H/stat
-# shapes. Retired members stay pytest-oracled every round;
-# registry.py's round-11 note lists every outgoing/incoming swap.
+# r12 rotation (registry.py's round-12 window note — VERDICT r11 #1,
+# burn the FINAL 18-query backlog, and #5, the first staleness
+# re-green pass): the whole never-checked list rotates in (misc ×5,
+# pipeline ×7, text ×6) plus the 26 oldest externally-green rows (all
+# last green r1: the agg/setop relational core, the fn_* scalar
+# families, events windows/json, embedding dedup, sampling, lateral)
+# and the two queries this round's code changes modify
+# (dedup_minhash_incremental, pipeline_dsir_select). Retired members
+# (all r11-green) stay pytest-oracled every round; registry.py's
+# round-12 note lists every outgoing/incoming swap and the standing
+# staleness rule.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "parity_j1_equijoin": "J1",
     "parity_j9_multiway_join": "J9",
     "theta_distinct_key_join": "theta",
-    "agg_count_if_bool": "conditional",
-    "agg_tpch_q6": "agg",
-    "theta_count_by_key": "aggregate",
-    "tpch_q17_small_quantity_revenue": "correlated-subquery",
-    "tpch_q22_global_scalar_subquery": "scalar-subquery",
-    "win_distribution_funcs": "window",
-    "stat_median_abs_deviation": "robust",
-    "stat_winsorize": "preprocessing",
-    "stat_group_ols": "regression",
-    "stat_exact_quantiles_two_phase": "two-phase",
-    "sketch_approx_percentiles": "sketch",
-    "sketch_hll_mergeable": "mergeable",
-    "sketch_kmv_distinct": "kmv",
-    "skew_salted_join": "skew",
-    "sim_centroid_alignment": "centroid",
-    "sim_ann_recall_eval": "evaluation",
-    "ml_perceptron_quality_eval": "eval",
-    "ml_quality_filter": "ml",
-    "evt_cusum_changepoint": "anomaly",
-    "evt_rolling_distinct_users": "events",
-    "evt_time_decayed_value": "decay",
-    "evt_variant_extract": "variant",
-    "misc_compaction_roundtrip": "compaction",
-    "misc_zorder_roundtrip": "zorder",
-    "misc_scd2_point_in_time_join": "scd2",
-    "misc_skew_diagnostics": "maintenance",
-    "pipeline_dup_capping": "dedup",
-    "pipeline_train_test_split": "split",
-    "pipeline_unicode_clean": "unicode",
-    "text_token_count_bpe": "tokenize",
-    "text_inverted_index": "index",
-    "text_ccnet_ppl_buckets": "ccnet",
-    "dedup_lines_global": "lines",
     "dedup_minhash_incremental": "incremental",
     "pipeline_dsir_select": "dsir",
-    "pipeline_full_curation": "capstone",
-    "dedup_lines_incremental": "incremental",
-    "text_bm25_search_robertson": "bm25",
-    "text_ngram_novelty": "novelty",
-    "mm_decode_quarantine": "quarantine",
-    "mm_ms_adpcm_audio_features": "audio",
-    "stream_novelty_gate_exec": "streaming",
-    "stream_quality_gate_exec": "streaming",
-    "stream_lines_gate_exec": "lines",
-    "stream_idempotent_sink_exec": "sink",
-    "stream_rollup_refresh_exec": "rollup",
+    "misc_association_rules": "mining",
+    "misc_dq_constraint_checks": "dq",
+    "misc_snapshot_diff": "maintenance",
+    "misc_surrogate_keys": "surrogate-keys",
+    "misc_unpivot_melt": "unpivot",
+    "pipeline_mixing_allocation": "mixing",
+    "pipeline_priority_sample": "sampling",
+    "pipeline_quantile_normalize": "features",
+    "pipeline_remove_dup_spans": "substring",
+    "pipeline_shuffle_shards": "shards",
+    "pipeline_url_blocklist_filter": "filter",
+    "pipeline_weighted_sample": "scan",
+    "text_bigram_lm_score": "lm",
+    "text_chunk_sliding_window": "chunking",
+    "text_lcp_adjacent": "suffix-array",
+    "text_repetition_score": "quality",
+    "text_simpson_diversity": "diversity",
+    "text_term_drift": "drift",
+    "agg_anti_join": "anti",
+    "agg_count_distinct": "agg",
+    "agg_cube": "cube",
+    "agg_having": "agg",
+    "agg_orderby_limit": "topk",
+    "agg_outer_join_coalesce": "outer",
+    "agg_rollup": "rollup",
+    "agg_subquery_in": "subquery",
+    "agg_tpch_q5_region_revenue": "flagship",
+    "misc_arg_extremes": "argmax",
+    "misc_string_agg_sorted": "string-agg",
+    "setop_except": "setop",
+    "setop_union_all_count": "setop",
+    "evt_json_extract": "json",
+    "evt_pivot_counts": "pivot",
+    "evt_sliding_window": "window",
+    "evt_tumbling_window": "events",
+    "fn_conditional": "conditional",
+    "fn_date_trunc_add": "date",
+    "fn_hash_encode": "hash",
+    "fn_map_struct": "struct",
+    "fn_math": "math",
+    "fn_string_regex_split": "regex",
+    "dedup_embedding_cosine": "embedding",
+    "misc_deterministic_sample": "sample",
+    "misc_lateral_explode": "lateral",
 }
 
 
