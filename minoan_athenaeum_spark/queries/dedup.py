@@ -731,41 +731,45 @@ def dedup_minhash_incremental(spark, sf_dir):
     new_keys = band_rows(batch_sh).select(
         "bucket", F.col("doc_id").alias("b")
     )
-    # candidate (a, b) ids only — the shingle payloads stay out of the
-    # bucket join and the distinct; verification joins are
-    # candidate-sized against the shingle tables
-    cand = (
-        # row estimate: one band key per band per batch doc (the shared
-        # BANDS constant, not a magic 4 — ADVICE r11)
-        idx_bands.join(broadcast_if_under(new_keys, n_batch * BANDS, max_bcast), "bucket")
-        .select(F.col("doc_id").alias("a"), "b")
-        .dropDuplicates(["a", "b"])
-    )
-    a_ids = cand.select("a").distinct()
     # AUTOMATIC BACKFILL ROUTER (VERDICT r11 #4): over the batch
     # broadcast ceiling, do NOT fall back to array-payload shuffle
     # joins — the r11 cluster-corpus probe measured that fallback
     # spilling >70 GB and dying at batch = 10% of corpus, because the
     # wide shingle arrays transit TWO shuffles (once joined on a, the
     # (a, b, a_sh) intermediate re-shuffles on b). Corpus-scale
-    # batches route to the EXPLODED-INTERSECTION verify below instead.
+    # batches route to the BUCKET-LOCAL verify below instead.
     over_ceiling = n_batch > max_bcast or (
         batch_bytes is not None and batch_bytes > max_bcast_bytes
     )
     if not over_ceiling:
-        # MICRO-BATCH verify via SEMI-JOIN REDUCTION: broadcast only
-        # the DISTINCT candidate doc-ids (bounded by the matched index
-        # docs — a few KB) into the corpus shingle scan, so the scan
-        # stays map-only and its array<string> payloads never
-        # broadcast wholesale; the reduced (candidate-doc-sized)
-        # shingle rows then join cand on the candidate partitioning,
-        # keeping the exact-Jaccard verify fully parallel. Two
-        # rejected shapes, both measured same-day at sf0.1
-        # (BASELINE.md r9): cand→idx_sh (Catalyst broadcasts the whole
-        # corpus shingle table — fine at test SFs where the index is
-        # tiny, an OOM hazard at 100 TB) and idx_sh→broadcast(cand)
-        # (scale-safe but serializes the 323k-pair verify onto the
-        # narrow index-scan partitioning — 3× slower).
+        # MICRO-BATCH path. Candidate (a, b) ids only — the shingle
+        # payloads stay out of the bucket join and the distinct;
+        # verification joins are candidate-sized against the shingle
+        # tables. Probe-side row estimate: one band key per band per
+        # batch doc (the shared BANDS constant, not a magic 4 —
+        # ADVICE r11).
+        cand = (
+            idx_bands.join(
+                broadcast_if_under(new_keys, n_batch * BANDS, max_bcast),
+                "bucket",
+            )
+            .select(F.col("doc_id").alias("a"), "b")
+            .dropDuplicates(["a", "b"])
+        )
+        a_ids = cand.select("a").distinct()
+        # Verify via SEMI-JOIN REDUCTION: broadcast only the DISTINCT
+        # candidate doc-ids (bounded by the matched index docs — a
+        # few KB) into the corpus shingle scan, so the scan stays
+        # map-only and its array<string> payloads never broadcast
+        # wholesale; the reduced (candidate-doc-sized) shingle rows
+        # then join cand on the candidate partitioning, keeping the
+        # exact-Jaccard verify fully parallel. Two rejected shapes,
+        # both measured same-day at sf0.1 (BASELINE.md r9):
+        # cand→idx_sh (Catalyst broadcasts the whole corpus shingle
+        # table — fine at test SFs where the index is tiny, an OOM
+        # hazard at 100 TB) and idx_sh→broadcast(cand) (scale-safe
+        # but serializes the 323k-pair verify onto the narrow
+        # index-scan partitioning — 3× slower).
         idx_matched = idx_sh.join(
             F.broadcast(a_ids), idx_sh["doc_id"] == a_ids["a"]
         ).select(F.col("a"), F.col("sh").alias("a_sh"))
@@ -781,49 +785,50 @@ def dedup_minhash_incremental(spark, sf_dir):
         return verified.select("a", "b", j.alias("jacc")).filter(
             F.col("jacc") >= 0.5
         )
-    # BACKFILL verify by EXPLODED INTERSECTION COUNTING: no shingle
-    # ARRAY ever enters a shuffle or a broadcast. Both sides explode to
-    # narrow fixed-width (id, xxhash64(shingle)) rows; candidate pairs
-    # join the batch side on b, match the index side on (a, h), and a
-    # map-side-combinable count per (a, b) is the exact intersection
-    # size (shingle sets are distinct by construction). Jaccard then
-    # needs only the per-doc set SIZES — two more narrow map-only
-    # scans. Total shuffle volume is O(pairs × shingles/doc) of
-    # 24-byte rows instead of O(corpus payload × 2) of wide arrays —
-    # the difference between the measured >70 GB spill-death and a
-    # Tungsten-friendly hash join. Hashing both sides to 64-bit longs
-    # changes the intersection count only on an intra-document
-    # collision (p ≈ 1e-13 per doc — the char_shingle_hashes
-    # convention dedup_minhash_lsh's exact oracle already accepts);
-    # the candidate doc-id semi-join is NOT force-broadcast here
-    # (a_ids is corpus-scale when the batch is), AQE picks the
-    # strategy. Pairs with empty intersection can't reach the 0.5
-    # threshold, so the inner join on the counted intersections drops
-    # exactly the pairs the micro-batch plan filters out.
-    aexp = (
-        idx_sh.join(a_ids, idx_sh["doc_id"] == a_ids["a"], "left_semi")
-        .select(F.col("doc_id").alias("a"), F.explode("sh").alias("s"))
-        .select("a", F.xxhash64("s").alias("h"))
+    # BACKFILL verify BUCKET-LOCALLY: shuffle the (hashed) shingle
+    # payloads BY BAND BUCKET once and compute Jaccard pipelined
+    # inside the bucket join, deduplicating pairs AFTER the >=0.5
+    # filter (multi-band survivors carry identical jacc values, so
+    # the post-filter dedup is output-sized). Shuffle volume is
+    # O(index band rows x payload) + O(batch x bands x payload) --
+    # LINEAR in the corpus, INDEPENDENT of the candidate-pair count.
+    # That independence is the whole point: a corpus-scale batch can
+    # generate super-linear banded candidates (the r12 256x cluster
+    # probe measured ~70M pre-dedup candidate rows from hot buckets
+    # -- its hex suffixes shrink the shingle universe and collide
+    # minhash values), and every per-PAIR payload shape then
+    # explodes: pair-keyed array joins moved >70 GB through two
+    # shuffles and died (r11 fallback), and a pair-exploded
+    # (a, b, shingle-hash) form is O(pairs x shingles/doc) ~ 1.5 TB
+    # on that probe (died on this box's disk). Per-BAND-ROW payload
+    # is the verify whose shuffle a 1000-executor cluster absorbs no
+    # matter how adversarial the bucket skew (AQE skew-join splits
+    # hot buckets; the Jaccard runs inside the join, so nothing fat
+    # is materialized or re-shuffled). Shingles are hashed to 8-byte
+    # longs map-side before moving (halves the payload; intersection
+    # counts identical unless xxhash64 collides within one document's
+    # shingles, p ~ 1e-13 -- the char_shingle_hashes convention the
+    # ngram-Jaccard family's exact oracle already accepts). The
+    # untouched-bucket semi-join prunes index band rows no batch band
+    # key reaches -- a no-op on an adversarial probe, a large win on
+    # a clean corpus.
+    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    batch_buckets = new_keys.select("bucket").distinct()
+    a_rows = (
+        idx_bands.join(batch_buckets, "bucket", "left_semi")
+        .join(idx_sh.select("doc_id", hashed.alias("a_sh")), "doc_id")
+        .select("bucket", F.col("doc_id").alias("a"), "a_sh")
     )
-    bexp = batch_sh.select(
-        F.col("doc_id").alias("b"), F.explode("sh").alias("s")
-    ).select("b", F.xxhash64("s").alias("h"))
-    inter = (
-        cand.join(bexp, "b")
-        .join(aexp, ["a", "h"])
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
-    a_sz = idx_sh.select(F.col("doc_id").alias("a"), F.size("sh").alias("na"))
-    b_sz = batch_sh.select(F.col("doc_id").alias("b"), F.size("sh").alias("nb"))
-    j = F.col("inter").cast("double") / (
-        (F.col("na") + F.col("nb")).cast("double") - F.col("inter").cast("double")
-    )
+    b_payload = batch_sh.select(F.col("doc_id").alias("_bd"), hashed.alias("b_sh"))
+    b_rows = new_keys.join(
+        b_payload, new_keys["b"] == b_payload["_bd"]
+    ).select("bucket", "b", "b_sh")
+    j = jaccard(F.col("a_sh"), F.col("b_sh"))
     return (
-        inter.join(a_sz, "a")
-        .join(b_sz, "b")
+        a_rows.join(b_rows, "bucket")
         .select("a", "b", j.alias("jacc"))
         .filter(F.col("jacc") >= 0.5)
+        .dropDuplicates(["a", "b"])
     )
 
 
