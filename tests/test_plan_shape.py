@@ -477,6 +477,32 @@ def test_minhash_incremental_serves_from_index(spark, sf_dir):
         assert "% 10" in ln, f"batch-split predicate not on scan: {ln}"
 
 
+def test_minhash_backfill_route_is_bucket_local(spark, sf_dir):
+    """r12 router pin: over the broadcast ceiling the serve must plan
+    the BUCKET-LOCAL verify — shingles hashed to longs map-side
+    (xxhash64 in the plan), no broadcast of any payload-bearing side,
+    and a final pair-dedup aggregate AFTER the Jaccard filter. The
+    per-pair payload shapes this replaces both died at probe scale
+    (BASELINE.md r12 router row)."""
+    from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
+
+    ensure_minhash_index(spark, sf_dir)
+    spark.conf.set("spark.mas.minhash.serveBroadcastMaxRows", "0")
+    try:
+        p = plan_of(spark, sf_dir, "dedup_minhash_incremental", "simple")
+    finally:
+        spark.conf.unset("spark.mas.minhash.serveBroadcastMaxRows")
+    assert "xxhash64" in p  # hashed payloads, not string arrays
+    assert "CartesianProduct" not in p
+    # the only admissible broadcast inputs are narrow key/id columns —
+    # no plan line may build a broadcast relation over a shingle payload
+    for ln in p.splitlines():
+        if "BroadcastExchange" in ln or "BroadcastHashJoin" in ln:
+            assert "_sh" not in ln, f"payload column in a broadcast: {ln}"
+    # pair-dedup after the filter: a hash aggregate keyed on (a, b)
+    assert "HashAggregate" in p
+
+
 def test_bm25_append_serves_from_pruned_segments(spark, sf_dir):
     """The append-then-serve path keeps the indexed-serving plan shape:
     term IN-filter pushed into the (base + delta) posting segments, no
