@@ -805,14 +805,16 @@ def dedup_minhash_incremental(spark, sf_dir):
     # matter how adversarial the bucket skew (AQE skew-join splits
     # hot buckets; the Jaccard runs inside the join, so nothing fat
     # is materialized or re-shuffled). Shingles are hashed to 8-byte
-    # longs map-side before moving (halves the payload; intersection
-    # counts identical unless xxhash64 collides within one document's
-    # shingles, p ~ 1e-13 -- the char_shingle_hashes convention the
-    # ngram-Jaccard family's exact oracle already accepts). The
-    # untouched-bucket semi-join prunes index band rows no batch band
-    # key reaches -- a no-op on an adversarial probe, a large win on
-    # a clean corpus.
-    hashed = F.transform(F.col("sh"), lambda s: F.xxhash64(s))
+    # longs map-side before moving (halves the payload), then
+    # array_distinct'd AFTER hashing -- the same order as
+    # char_shingle_hashes (operators/dedup.py) -- so a within-doc
+    # xxhash64 collision (p ~ 1e-13) shrinks the set size exactly the
+    # way array_intersect shrinks the intersection, keeping Jaccard
+    # identical to the convention the ngram-Jaccard family's exact
+    # oracle already accepts [ADVICE r12]. The untouched-bucket
+    # semi-join prunes index band rows no batch band key reaches --
+    # a no-op on an adversarial probe, a large win on a clean corpus.
+    hashed = F.array_distinct(F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
     batch_buckets = new_keys.select("bucket").distinct()
     a_rows = (
         idx_bands.join(batch_buckets, "bucket", "left_semi")

@@ -453,8 +453,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   Holdovers (2): the queries this round's code changes touch and
 #   that must be externally re-verified — dedup_minhash_incremental
 #   (ADVICE null-text coalesce + BANDS constant + the VERDICT #4
-#   backfill router: over-ceiling batches verify via exploded hashed-
-#   shingle intersection counting) and pipeline_dsir_select (VERDICT
+#   backfill router: over-ceiling batches verify BUCKET-LOCALLY —
+#   hashed shingle payloads shuffled once by band bucket, Jaccard
+#   pipelined inside the join, pair-dedup after the >=0.5 filter; the
+#   exploded-intersection form was rejected as dying at probe scale
+#   [ADVICE r12 correction]) and pipeline_dsir_select (VERDICT
 #   #6: declarative fit, lazy_dataframe deleted).
 #   Incoming backlog burn (18 — the ENTIRE remaining never-checked
 #   list): the 5 misc_* / 7 pipeline_* / 6 text_* rows named above.

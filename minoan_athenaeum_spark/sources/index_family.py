@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -212,11 +213,21 @@ def compact_index(
 # reader's sidecar merge tolerates ANY set of landed generations (extra
 # or compacted), but it cannot repair a TORN append: a crash after the
 # main (postings) append and before the sidecar append leaves postings
-# counted in the main table but missing from n_docs/sum_dl. The real
-# contract is the caller's: on a torn append, complete it by appending
-# the SAME batch's sidecar row (appends are plain parquet appends with
-# no generation-id dedup — re-driving the whole append would
-# double-count the main table), or rebuild the index from source.
+# counted in the main table but missing from n_docs/sum_dl. To make
+# that state DETECTABLE (not just documented — ADVICE r12),
+# ``append_index2`` keeps a tiny intent log under ``<path>/_append_log``:
+# it drops ``<batch_id>.pending`` before touching either table and
+# atomically renames it to ``.done`` only after BOTH halves land.
+# ``torn_appends2(path)`` lists the batch ids whose marker never
+# flipped — each names a batch that may have landed main-only (or not
+# at all; Spark's append commit is all-or-nothing per table, so a
+# pending marker brackets exactly three states: nothing landed, main
+# landed, both landed but the rename was lost). Repair remains the
+# caller's: for each torn id, compare main vs sidecar doc counts for
+# that batch and append the SAME batch's sidecar row if missing
+# (appends carry no generation-id dedup — re-driving the whole append
+# would double-count the main table), or rebuild the index from
+# source, then clear the marker.
 # --------------------------------------------------------------------------
 
 
@@ -272,12 +283,51 @@ def ensure_index2(
 
 
 def append_index2(
-    fam: TwoTableIndexFamily, path: str, new_slice: DataFrame
+    fam: TwoTableIndexFamily,
+    path: str,
+    new_slice: DataFrame,
+    batch_id: str | None = None,
 ) -> None:
     """Fold a batch into both tables as delta generations — main rows
-    first, then the sidecar row, both append-only."""
+    first, then the sidecar row, both append-only — bracketed by an
+    intent marker so a torn append is detectable afterwards
+    (``torn_appends2``): ``_append_log/<batch_id>.pending`` is written
+    before either table is touched and os.replace-renamed to ``.done``
+    only once both halves land. ``batch_id`` defaults to a fresh uuid;
+    callers that re-drive batches should pass their own stable id so
+    the torn marker names the batch they know how to reconcile."""
+    log_dir = os.path.join(path, "_append_log")
+    os.makedirs(log_dir, exist_ok=True)
+    bid = batch_id if batch_id is not None else uuid.uuid4().hex
+    pending = os.path.join(log_dir, f"{bid}.pending")
+    with open(pending, "w", encoding="utf-8"):
+        pass
     append_index(fam.main, path, new_slice)
     append_index(fam.side, path, new_slice)
+    os.replace(pending, os.path.join(log_dir, f"{bid}.done"))
+
+
+def torn_appends2(path: str) -> list[str]:
+    """Batch ids whose ``append_index2`` intent marker never flipped to
+    ``.done`` — each bounds a possibly-torn append (nothing landed /
+    main-only / both landed but the rename was lost). Repair per the
+    module contract above, then ``clear_append_marker2`` the id."""
+    log_dir = os.path.join(path, "_append_log")
+    if not os.path.isdir(log_dir):
+        return []
+    return sorted(
+        f[: -len(".pending")]
+        for f in os.listdir(log_dir)
+        if f.endswith(".pending")
+    )
+
+
+def clear_append_marker2(path: str, batch_id: str) -> None:
+    """Acknowledge a reconciled torn append: flip its marker to
+    ``.done`` (atomic rename, idempotent if already flipped)."""
+    pending = os.path.join(path, "_append_log", f"{batch_id}.pending")
+    if os.path.isfile(pending):
+        os.replace(pending, os.path.join(path, "_append_log", f"{batch_id}.done"))
 
 
 def compact_index2(

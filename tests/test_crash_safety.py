@@ -268,3 +268,64 @@ def test_gram_index_path_keys_on_n(spark, tmp_path):
     g3 = spark.read.parquet(os.path.join(i3, "grams"))
     # 10 tokens -> 6 5-grams vs 8 3-grams: genuinely different indexes
     assert g5.count() == 6 and g3.count() == 8
+
+
+def test_two_table_torn_append_detectable(spark, tmp_path):
+    """ADVICE r12: a crash between the main (postings) append and the
+    sidecar (stats) append must be DETECTABLE after the fact, not just
+    documented. append_index2 brackets both appends with an intent
+    marker (_append_log/<batch>.pending -> .done); torn_appends2 lists
+    the ids whose marker never flipped, and clear_append_marker2
+    acknowledges a reconciled one."""
+    from minoan_athenaeum_spark.sources.index_family import (
+        append_index,
+        append_index2,
+        clear_append_marker2,
+        torn_appends2,
+    )
+    from minoan_athenaeum_spark.sources.posting_sink import (
+        _bm25_family,
+        ensure_bm25_index,
+    )
+
+    sf = _docs_sf(
+        tmp_path,
+        [(1, "alpha beta gamma", "en", "a"), (11, "beta delta", "en", "a")],
+    )
+    idx = ensure_bm25_index(spark, sf)
+    fam = _bm25_family()
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(20, "gamma epsilon", "en", "a")],
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    )
+    # clean append: marker flips to .done, nothing reported torn
+    append_index2(fam, idx, batch, batch_id="b-clean")
+    assert torn_appends2(idx) == []
+    assert os.path.isfile(os.path.join(idx, "_append_log", "b-clean.done"))
+
+    # fabricate the torn state a crash between the two appends leaves:
+    # pending marker + main-table generation landed, sidecar missing
+    torn_batch = spark.createDataFrame(
+        pd.DataFrame(
+            [(30, "epsilon zeta", "en", "a")],
+            columns=["doc_id", "text", "lang", "source"],
+        )
+    )
+    log_dir = os.path.join(idx, "_append_log")
+    with open(os.path.join(log_dir, "b-torn.pending"), "w"):
+        pass
+    append_index(fam.main, idx, torn_batch)
+    assert torn_appends2(idx) == ["b-torn"]
+
+    # reconcile per the module contract: append the SAME batch's
+    # sidecar row, then acknowledge the marker
+    append_index(fam.side, idx, torn_batch)
+    clear_append_marker2(idx, "b-torn")
+    assert torn_appends2(idx) == []
+    # and the reconciled index equals what an untorn append would give:
+    # stats n_docs counts all four docs
+    from minoan_athenaeum_spark.sources.posting_sink import bm25_stats
+
+    assert bm25_stats(spark, idx).collect()[0]["n_docs"] == 4
