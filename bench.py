@@ -125,6 +125,7 @@ def _index_builders():
     from minoan_athenaeum_spark.sources.gram_index import ensure_gram_index
     from minoan_athenaeum_spark.sources.ivf_index import ensure_ivf_index
     from minoan_athenaeum_spark.sources.line_index import ensure_line_index
+    from minoan_athenaeum_spark.sources.lm_index import ensure_lm_index
     from minoan_athenaeum_spark.sources.lsh_index import ensure_minhash_index
     from minoan_athenaeum_spark.sources.posting_sink import ensure_bm25_index
 
@@ -136,7 +137,21 @@ def _index_builders():
         ),
         "dedup_semdedup_incremental": ensure_ivf_index,
         "dedup_lines_incremental": ensure_line_index,
+        # r13: curation v4/v5 gate on the persisted LM-bucket index
+        # (seventh family) and fold the warehouse-cached perceptron
+        # weights; both ensures are shared, so whichever runs first
+        # pays the one-time build and the other's is ~0
+        "pipeline_curation_v4": _curation_artifacts,
+        "pipeline_curation_v5": _curation_artifacts,
     }
+
+
+def _curation_artifacts(spark, sf_dir):
+    from minoan_athenaeum_spark.queries.classifier import averaged_weights
+    from minoan_athenaeum_spark.sources.lm_index import ensure_lm_index
+
+    ensure_lm_index(spark, sf_dir)
+    averaged_weights(spark, sf_dir)
 
 
 def main() -> None:

@@ -1749,18 +1749,22 @@ def pipeline_curation_v4(spark, sf_dir):
     the integer-log LM scorer, tercile assignment, AND every curation
     stage in one hash.
 
-    Scale shape: the two gates compose as one map-only scan
-    (perceptron logit) anti-joined with a doc-keyed tail set (the LM
-    side is the ccnet-log plan — count tables broadcast, two-phase
-    rank); everything downstream is the proven v2 shape."""
-    from minoan_athenaeum_spark.queries.text import text_ccnet_ppl_buckets_log
+    Scale shape (VERDICT r12 #1): the LM side serves from the
+    PERSISTED LM-bucket index (sources/lm_index.py — the seventh index
+    family; build cost is a pay-once index_build_sec event, exactly
+    like the BM25/LSH/IVF serves): one parquet scan of the per-doc
+    score table + the shared two-phase tercile rank + the doc-keyed
+    anti-join — no in-query tokenize, no bigram/context count
+    shuffles, no log recurrence (plan pinned in
+    tests/test_plan_shape.py). Index-served buckets are bit-equal to
+    the from-scratch query (shared fit/score/bucketize exprs, integer
+    values through parquet), so the oracle is unchanged. The
+    perceptron gate remains one map-only scan; everything downstream
+    is the proven v2 shape."""
+    from minoan_athenaeum_spark.sources.lm_index import lm_tail_set
 
     gated = _perceptron_gated(spark, sf_dir)
-    tail = (
-        text_ccnet_ppl_buckets_log(spark, sf_dir)
-        .where(F.col("bucket") == "tail")
-        .select("doc_id")
-    )
+    tail = lm_tail_set(spark, sf_dir)
     return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))
 
 
@@ -1810,9 +1814,11 @@ def pipeline_curation_v5(spark, sf_dir):
     that computes the perceptron features and curation columns —
     text_gopher_quality_filters' signal exprs reused verbatim on the
     shared token split, no second tokenize. The repetition signal is
-    its doc-keyed bigram aggregate branch, and the LM gate is the
-    ccnet-log plan (broadcast count tables, two-phase rank), each
-    joined back on doc_id — exactly the anti-join shape v4 proved.
+    its doc-keyed bigram aggregate branch, and the LM gate serves from
+    the persisted LM-bucket index (sources/lm_index.py, VERDICT
+    r12 #1 — score-table scan + tercile rank, no in-query LM
+    featurize), each joined back on doc_id — exactly the anti-join
+    shape v4 proved.
 
     Oracle: v4's full training-replay + ccnet-log CTE chain with the
     gopher verdict CTEs spliced into the gate (all three chains are
@@ -1833,8 +1839,8 @@ def pipeline_curation_v5(spark, sf_dir):
         gopher_base_cols,
         gopher_passes_expr,
         gopher_rep_agg,
-        text_ccnet_ppl_buckets_log,
     )
+    from minoan_athenaeum_spark.sources.lm_index import lm_tail_set
 
     w = averaged_weights(spark, sf_dir)
     d = t(spark, sf_dir, "documents")
@@ -1876,11 +1882,7 @@ def pipeline_curation_v5(spark, sf_dir):
         .where(gopher_passes_expr() & (logit_expr(w) > 0))
         .select("doc_id", "source", "fp", "n_tokens")
     )
-    tail = (
-        text_ccnet_ppl_buckets_log(spark, sf_dir)
-        .where(F.col("bucket") == "tail")
-        .select("doc_id")
-    )
+    tail = lm_tail_set(spark, sf_dir)
     return _curation_downstream(gated.join(tail, "doc_id", "left_anti"))
 
 

@@ -329,3 +329,43 @@ def test_two_table_torn_append_detectable(spark, tmp_path):
     from minoan_athenaeum_spark.sources.posting_sink import bm25_stats
 
     assert bm25_stats(spark, idx).collect()[0]["n_docs"] == 4
+
+
+@pytest.mark.parametrize("state", ["between-renames", "rollback"])
+def test_lm_scores_crash_recovery(spark, tmp_path, state):
+    """Seventh family (LM buckets, r13): the scores compaction swap
+    must be recoverable from every crash state without losing appended
+    generations, like the siblings."""
+    from minoan_athenaeum_spark.sources.lm_index import (
+        append_to_lm_index,
+        compact_lm_scores,
+        ensure_lm_index,
+    )
+
+    sf = _docs_sf(
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta", "en", "a"),
+            (2, "beta gamma epsilon", "en", "a"),
+        ],
+    )
+    idx = ensure_lm_index(spark, sf)
+    append_to_lm_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(20, "gamma delta alpha", "en", "a")],
+                columns=["doc_id", "text", "lang", "source"],
+            )
+        ),
+    )
+    live = os.path.join(idx, "scores")
+    cols = ["doc_id", "n_bg", "lg_sum"]
+    before = _rows(spark, live, cols)
+    assert any(t[0] == 20 for t in before)
+    _fabricate(live, state)
+    assert ensure_lm_index(spark, sf) == idx
+    assert _rows(spark, live, cols) == before
+    compact_lm_scores(spark, idx)
+    assert _rows(spark, live, cols) == before

@@ -355,6 +355,35 @@ def test_bm25_pruned_shuffle_and_topk(spark, sf_dir):
     assert "term IN" in p or "term#" in p
 
 
+def test_lm_index_serve_is_pure_score_scan(spark, sf_dir):
+    """The LM-bucket serve (curation v4/v5's tail gate + the
+    text_ccnet_buckets_indexed row, VERDICT r12 #1) reads the persisted
+    score table ONLY: one parquet scan of the mas_lmidx warehouse
+    artifact — no Generate (tokenize/explode), no join against LM
+    count tables, no log2 recurrence (shiftright). The featurize lives
+    in ensure, never in the query. (The downstream tercile rank
+    checkpoints its |docs|-row input, so this pins the pre-checkpoint
+    scan; end-to-end corroboration is test_lm_index.py's
+    delete-the-corpus serve.)"""
+    import io as _io
+
+    from minoan_athenaeum_spark.sources.lm_index import (
+        ensure_lm_index,
+        read_lm_scores,
+    )
+
+    path = ensure_lm_index(spark, sf_dir)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_lm_scores(spark, path).explain("formatted")
+    p = buf.getvalue()
+    assert "mas_lmidx" in p, "serve must scan the warehouse score table"
+    # formatted mode prints each node twice (tree + detail): one scan
+    assert p.count("Scan parquet") == 2
+    assert "Generate" not in p and "shiftright" not in p
+    assert "Join" not in p and "Exchange" not in p
+
+
 def test_bm25_indexed_serves_from_posting_scan(spark, sf_dir):
     """The posting-index path must replace the tokenize+explode with a
     pruned parquet scan: term IN-filter pushed to the posting segments,
