@@ -616,6 +616,7 @@ def stream_minhash_dedup_exec(spark, sf_dir):
     from minoan_athenaeum_spark.sources.lsh_index import (
         band_rows,
         ensure_minhash_index,
+        hashed_shingles,
         shingled,
     )
     from minoan_athenaeum_spark.streaming.ops import read_documents_stream
@@ -659,7 +660,11 @@ def stream_minhash_dedup_exec(spark, sf_dir):
             ver = cand.join(idx_matched, "a").join(
                 F.broadcast(
                     batch_sh.select(
-                        F.col("doc_id").alias("b"), F.col("sh").alias("b_sh")
+                        F.col("doc_id").alias("b"),
+                        # the index stores xxhash64'd shingle sets
+                        # (r13, sources/lsh_index.py) — hash the batch
+                        # side to match
+                        hashed_shingles(F.col("sh")).alias("b_sh"),
                     )
                 ),
                 "b",

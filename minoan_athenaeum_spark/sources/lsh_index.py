@@ -3,8 +3,9 @@
 The 100-TB problem this solves: near-dup detection over a growing
 corpus must not re-shingle, re-hash, and re-bucket the whole corpus
 every time a batch of new documents arrives. The standard layout is a
-persisted band-bucket index — (bucket, doc_id, shingles) — built once
-per corpus version; deduplicating a new batch is then:
+persisted band-bucket index — lean (bucket, doc_id) band rows plus a
+(doc_id, hashed-shingle-set) verify table — built once per corpus
+version; deduplicating a new batch is then:
 
   batch → signatures → band keys (map-only over the BATCH)
         → join against the index on bucket
@@ -37,12 +38,19 @@ ROWS_PER_BAND = 4
 
 def minhash_index_path(spark: SparkSession, sf_dir: str) -> str | None:
     """Warehouse directory for the documents table's LSH band index —
-    None when the warehouse isn't a local filesystem."""
+    None when the warehouse isn't a local filesystem. ``params``
+    carries the LAYOUT version: r13 switched the shingles table to
+    xxhash64'd longs (``hashed_shingles``), so the version bump
+    resolves to a new path and a pre-r13 string-form index is simply
+    never served (the standard freshness convention — content-shape
+    changes are params changes)."""
     from minoan_athenaeum_spark.sources.index_family import (
         warehouse_index_path,
     )
 
-    return warehouse_index_path(spark, sf_dir, "mas_lshidx", "documents")
+    return warehouse_index_path(
+        spark, sf_dir, "mas_lshidx", "documents", params="hsh2"
+    )
 
 
 def shingled(docs: DataFrame) -> DataFrame:
@@ -57,6 +65,22 @@ def shingled(docs: DataFrame) -> DataFrame:
         "doc_id",
         char_shingles(F.coalesce(normalized(), F.lit("")), 3).alias("sh"),
     )
+
+
+def hashed_shingles(sh_col):
+    """String shingles → distinct 8-byte xxhash64 longs, hash-then-
+    dedup in the char_shingle_hashes order (operators/dedup.py — the
+    ADVICE-r12 convention), so set sizes and intersection counts
+    behave identically under a within-doc collision (p ≈ 1e-13).
+
+    The persisted ``shingles/`` table stores THIS form (r13, VERDICT
+    r12 #3): the verify step only needs set identity, so the index
+    carries 8-byte longs instead of 3-char strings — ~4× narrower
+    verify payloads and long-vs-long array_intersect instead of
+    string compares. The md5-60-bit MINHASH values are untouched
+    (they are part of the oracle contract and are computed from the
+    STRING shingles before hashing)."""
+    return F.array_distinct(F.transform(sh_col, lambda s: F.xxhash64(s)))
 
 
 def band_rows(
@@ -91,9 +115,16 @@ def ensure_minhash_index(
     corpus-sized. Idempotent per source fingerprint."""
     import os
 
+    from minoan_athenaeum_spark.sources.swap import recover_swap
+
     path = minhash_index_path(spark, sf_dir)
     if path is None:
         raise RuntimeError("MinHash index needs a local warehouse dir")
+    # every reader's entry point repairs an interrupted compaction swap
+    # FIRST (the ADVICE-r8 recovery window, same as the siblings) — a
+    # crash between the two renames must not look like a missing index
+    recover_swap(os.path.join(path, "bands"))
+    recover_swap(os.path.join(path, "shingles"))
     if os.path.isfile(
         os.path.join(path, "bands", "_SUCCESS")
     ) and os.path.isfile(os.path.join(path, "shingles", "_SUCCESS")):
@@ -159,7 +190,7 @@ def ensure_minhash_index(
         )
         (
             keyed.join(rep_sh, "_fp")
-            .select("doc_id", "sh")
+            .select("doc_id", hashed_shingles(F.col("sh")).alias("sh"))
             .write.mode("overwrite")
             .parquet(os.path.join(path, "shingles"))
         )
@@ -224,6 +255,60 @@ def append_to_minhash_index(
             .write.mode("append")
             .parquet(os.path.join(path, "bands"))
         )
-        batch_sh.write.mode("append").parquet(os.path.join(path, "shingles"))
+        (
+            batch_sh.select(
+                "doc_id", hashed_shingles(F.col("sh")).alias("sh")
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "shingles"))
+        )
     finally:
         batch_sh.unpersist()
+
+
+def _lsh_families() -> tuple:
+    """The two-table band index expressed as harness families (VERDICT
+    r12 #2 — the one family of seven without compaction). Rows are
+    doc-disjoint across generations (per-doc_id append idempotence is
+    the caller's contract), so merge is the identity and compaction is
+    a pure layout rewrite, exactly the BM25-postings convention. The
+    build path keeps its distinct-text fast path (ensure above); these
+    families carry the LIFECYCLE contract (layout + compact + swap)."""
+    from minoan_athenaeum_spark.sources.index_family import (
+        MergeableIndexFamily,
+    )
+
+    bands_fam = MergeableIndexFamily(
+        prefix="mas_lshidx",
+        subdir="bands",
+        rows_fn=lambda docs: band_rows(shingled(docs)),
+        merge_fn=lambda gens: gens,
+        part_col="bucket",
+    )
+    shingles_fam = MergeableIndexFamily(
+        prefix="mas_lshidx",
+        subdir="shingles",
+        rows_fn=shingled,
+        merge_fn=lambda gens: gens,
+        part_col="doc_id",
+    )
+    return bands_fam, shingles_fam
+
+
+def compact_minhash_index(
+    spark: SparkSession, path: str, n_files: int = 8
+) -> None:
+    """Rewrite accumulated band + shingle generations (base files plus
+    one file per appended batch) back into ``n_files`` bucket- /
+    doc_id-partitioned files per table — the LSM compaction step the
+    other index families already carry (VERDICT r12 #2). Rows
+    unchanged by construction (identity merge over doc-disjoint
+    generations); each table lands in a sibling dir and swaps live
+    with the crash-safe two-rename dance, and ``ensure_minhash_index``
+    repairs any interrupted swap on entry. Pinned by
+    tests/test_dedup_similarity.py::test_lsh_compact_preserves_index
+    and tests/test_crash_safety.py::test_lsh_index_crash_recovery."""
+    from minoan_athenaeum_spark.sources.index_family import compact_index
+
+    for fam in _lsh_families():
+        compact_index(fam, spark, path, n_files)

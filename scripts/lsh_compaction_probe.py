@@ -1,0 +1,119 @@
+"""MinHash-LSH index compaction A/B (VERDICT r12 #2): measure the LSM
+generation-growth penalty and its fix for the seventh-to-get-compaction
+family, with the same protocol as the BM25/line probes.
+
+Builds the existing-slice band index over the x{AMP} amplified
+documents table, folds the arriving slice in as MANY small append
+generations (one band file + one shingle file each — the long-lived
+ingest regime), measures the dedup_minhash_incremental serve against
+the many-delta index, compacts via compact_minhash_index, and measures
+the same serve against the compacted layout. The serve is pointed at
+the A/B work copy by patching minhash_index_path (the fingerprinted
+real index stays pristine). Prints one JSON line; the A/B row lives in
+BASELINE.md.
+
+Usage: python scripts/lsh_compaction_probe.py [amplification] [generations]
+(defaults 256 and 64).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from minoan_athenaeum_spark.catalog import load_table
+from minoan_athenaeum_spark.session import get_spark
+from minoan_athenaeum_spark.sources import lsh_index
+from scripts.scale_probe import amplify, start_disk_guard
+
+
+def _data_files(p: str) -> int:
+    return len([
+        f
+        for f in glob.glob(os.path.join(p, "*.parquet"))
+        if not os.path.basename(f).startswith(("_", "."))
+    ])
+
+
+def _serve_times(spark, out_dir: str, reps: int = 3) -> list[float]:
+    from minoan_athenaeum_spark.queries.dedup import dedup_minhash_incremental
+
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        dedup_minhash_incremental(spark, out_dir).count()
+        out.append(round(time.perf_counter() - t0, 4))
+    return out
+
+
+def main() -> None:
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    gens = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    start_disk_guard(float(os.environ.get("SPARK_GRAFT_PROBE_MIN_FREE_GB", "3")))
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out_dir = f"/tmp/mas_scale_probe_x{times}"
+    os.environ.setdefault("SPARK_GRAFT_AMPLIFY_TABLES", "documents")
+    spark = get_spark(app_name="mas-lsh-compaction-probe")
+    amplify(spark, src, out_dir, times)  # idempotent per table
+
+    t0 = time.perf_counter()
+    base = lsh_index.ensure_minhash_index(spark, out_dir)
+    t_build = round(time.perf_counter() - t0, 4)
+
+    work = base + "_abwork"
+    if os.path.isdir(work):
+        shutil.rmtree(work)
+    shutil.copytree(base, work)
+    bdir, sdir = os.path.join(work, "bands"), os.path.join(work, "shingles")
+    files_base = _data_files(bdir) + _data_files(sdir)
+
+    # route every subsequent ensure/serve at the work copy
+    real_path_fn = lsh_index.minhash_index_path
+    lsh_index.minhash_index_path = lambda s, d: work if d == out_dir else real_path_fn(s, d)
+
+    arriving = load_table(spark, out_dir, "documents").filter(
+        F.col("doc_id") % 10 == 0
+    )
+    t0 = time.perf_counter()
+    for g in range(gens):
+        lsh_index.append_to_minhash_index(
+            spark, work, arriving.filter(F.abs(F.hash("doc_id")) % gens == g)
+        )
+    t_appends = round(time.perf_counter() - t0, 4)
+    files_delta = _data_files(bdir) + _data_files(sdir)
+
+    serve_delta = _serve_times(spark, out_dir)
+
+    t0 = time.perf_counter()
+    lsh_index.compact_minhash_index(spark, work)
+    t_compact = round(time.perf_counter() - t0, 4)
+    files_compacted = _data_files(bdir) + _data_files(sdir)
+
+    serve_compacted = _serve_times(spark, out_dir)
+    spark.stop()
+
+    print(json.dumps({
+        "metric": "lsh_compaction_ab",
+        "amplification": times,
+        "generations": gens,
+        "build_sec": t_build,
+        "appends_sec": t_appends,
+        "compact_sec": t_compact,
+        "files_base": files_base,
+        "files_many_delta": files_delta,
+        "files_compacted": files_compacted,
+        "serve_many_delta_sec": serve_delta,
+        "serve_compacted_sec": serve_compacted,
+    }))
+
+
+if __name__ == "__main__":
+    main()

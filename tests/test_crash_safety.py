@@ -369,3 +369,48 @@ def test_lm_scores_crash_recovery(spark, tmp_path, state):
     assert _rows(spark, live, cols) == before
     compact_lm_scores(spark, idx)
     assert _rows(spark, live, cols) == before
+
+
+@pytest.mark.parametrize("state", ["between-renames", "rollback"])
+def test_lsh_index_crash_recovery(spark, tmp_path, state):
+    """VERDICT r12 #2: the LSH band/shingle compaction swap must be
+    recoverable from every crash state without losing appended
+    generations, like the siblings."""
+    from minoan_athenaeum_spark.sources.lsh_index import (
+        append_to_minhash_index,
+        compact_minhash_index,
+        ensure_minhash_index,
+    )
+
+    sf = _docs_sf(
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "a"),
+            (11, "beta gamma delta zeta", "en", "a"),
+        ],
+    )
+    idx = ensure_minhash_index(spark, sf)
+    append_to_minhash_index(
+        spark,
+        idx,
+        spark.createDataFrame(
+            pd.DataFrame(
+                [(20, "gamma delta epsilon eta", "en", "a")],
+                columns=["doc_id", "text", "lang", "source"],
+            )
+        ),
+    )
+    for sub in ("bands", "shingles"):
+        live = os.path.join(idx, sub)
+        cols = ["bucket", "doc_id"] if sub == "bands" else ["doc_id"]
+        before = _rows(spark, live, cols)
+        assert any(t[-1] == 20 or t[0] == 20 for t in before)
+        _fabricate(live, state)
+        assert ensure_minhash_index(spark, sf) == idx
+        assert _rows(spark, live, cols) == before
+    compact_minhash_index(spark, idx)
+    for sub, cols in (("bands", ["bucket", "doc_id"]), ("shingles", ["doc_id"])):
+        live = os.path.join(idx, sub)
+        assert any(
+            t[-1] == 20 or t[0] == 20 for t in _rows(spark, live, cols)
+        )
