@@ -494,66 +494,100 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   pytest-oracled and the foreachBatch infra is untouched this
 #   round). Every retired row stays oracle-verified every round by
 #   tests/test_oracle_parity.py.
+# Round-13 WINDOW (VERDICT r12 #4 — continue the staleness rotation).
+# Forty-six swaps against the r12 window:
+#   Parity sentinels: unchanged at 4 (f1, j1, j9, theta_distinct).
+#   Modified-this-round holdovers (9 — every query this round's code
+#   changes touch, per standing policy):
+#     dedup_minhash_incremental + stream_minhash_dedup_exec (hashed
+#       shingle index layout + length prune, VERDICT r12 #3 + ADVICE
+#       array_distinct),
+#     pipeline_curation_v4/v5 + text_ccnet_buckets_indexed (NEW, rule
+#       3) + text_ccnet_ppl_buckets_log (the LM-bucket index family,
+#       VERDICT r12 #1, incl. the fit/score/bucketize refactor),
+#     pipeline_curation_v3 + stream_quality_gate_exec (warehouse-
+#       cached perceptron weights),
+#     text_bm25_index_append (append_index2 intent markers, ADVICE
+#       r12).
+#   Incoming staleness re-greens (37): the 4 remaining r1 rows
+#   (agg_distinct, agg_min_max, fn_date_parts, misc_like_family), the
+#   full r2 cohort (15: mm_binary_meta, pipeline_stratified_sample,
+#   rollup_6h_purchases, sim_label_centroid_top3, stream_sliding/
+#   static_join/tumbling_exec, text_fingerprint/lang_id/source_stats/
+#   tfidf_top_terms, tpch_q4/q12, ts_range_join, win_running_sum) and
+#   the full r3 cohort (18: dedup_components, dedup_simhash,
+#   fn_array_ops, merge_upsert_orders, misc_pivot_api,
+#   mm_fake_decode_features, pdf_grouped_map_topnorm,
+#   pipeline_pack_sequences, rollup_daily_by_type, sim_ann_ivf/
+#   lsh_topk, sim_knn_cosine_brute, stat_variance_stddev,
+#   stream_session_exec, text_quality_score, text_token_count,
+#   ts_resample_gapfill, win_row_number_topk_per_group) — after this
+#   round the oldest external green is r5, on pace for the ≤~6-round
+#   target.
+#   Retired (44, ALL r12-green; single-green-retire precedent): the 18
+#   r12 backlog burns, the 26 r12 staleness re-greens, and
+#   pipeline_dsir_select (r12-green, untouched this round).
+#   Pre-simulated ×2 SFs:
+#   bench_records/r13_window_presim_sf{0.001,0.01}.json.
 CURATED_PREFIX = [
     # SURVEY §2 parity sentinels + the reference's one optimization
     "parity_f1_filter_ops",
     "parity_j1_equijoin",
     "parity_j9_multiway_join",
     "theta_distinct_key_join",
-    # modified-this-round holdovers (backfill router; declarative fit)
+    # modified-this-round holdovers: LSH hashed layout + length prune
     "dedup_minhash_incremental",
-    "pipeline_dsir_select",
-    # final backlog burn: lakehouse/mining misc
-    "misc_association_rules",
-    "misc_dq_constraint_checks",
-    "misc_snapshot_diff",
-    "misc_surrogate_keys",
-    "misc_unpivot_melt",
-    # final backlog burn: training-data pipeline
-    "pipeline_mixing_allocation",
-    "pipeline_priority_sample",
-    "pipeline_quantile_normalize",
-    "pipeline_remove_dup_spans",
-    "pipeline_shuffle_shards",
-    "pipeline_url_blocklist_filter",
-    "pipeline_weighted_sample",
-    # final backlog burn: text analysis
-    "text_bigram_lm_score",
-    "text_chunk_sliding_window",
-    "text_lcp_adjacent",
-    "text_repetition_score",
-    "text_simpson_diversity",
-    "text_term_drift",
-    # staleness re-greens (last green r1): relational core
-    "agg_anti_join",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_having",
-    "agg_orderby_limit",
-    "agg_outer_join_coalesce",
-    "agg_rollup",
-    "agg_subquery_in",
-    "agg_tpch_q5_region_revenue",
-    "misc_arg_extremes",
-    "misc_string_agg_sorted",
-    "setop_except",
-    "setop_union_all_count",
-    # staleness re-greens: events / windows / json
-    "evt_json_extract",
-    "evt_pivot_counts",
-    "evt_sliding_window",
-    "evt_tumbling_window",
-    # staleness re-greens: scalar-function families
-    "fn_conditional",
-    "fn_date_trunc_add",
-    "fn_hash_encode",
-    "fn_map_struct",
-    "fn_math",
-    "fn_string_regex_split",
-    # staleness re-greens: dedup / sampling / lateral
-    "dedup_embedding_cosine",
-    "misc_deterministic_sample",
-    "misc_lateral_explode",
+    "stream_minhash_dedup_exec",
+    # modified-this-round holdovers: LM-bucket index family (r12 #1)
+    "pipeline_curation_v4",
+    "pipeline_curation_v5",
+    "text_ccnet_buckets_indexed",
+    "text_ccnet_ppl_buckets_log",
+    # modified-this-round holdovers: cached perceptron weights
+    "pipeline_curation_v3",
+    "stream_quality_gate_exec",
+    # modified-this-round holdover: append intent markers
+    "text_bm25_index_append",
+    # staleness re-greens (last green r1 — the final four)
+    "agg_distinct",
+    "agg_min_max",
+    "fn_date_parts",
+    "misc_like_family",
+    # staleness re-greens (last green r2)
+    "mm_binary_meta",
+    "pipeline_stratified_sample",
+    "rollup_6h_purchases",
+    "sim_label_centroid_top3",
+    "stream_sliding_exec",
+    "stream_static_join_exec",
+    "stream_tumbling_exec",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_source_stats",
+    "text_tfidf_top_terms",
+    "tpch_q12_shipmode",
+    "tpch_q4_order_priority",
+    "ts_range_join",
+    "win_running_sum",
+    # staleness re-greens (last green r3)
+    "dedup_components",
+    "dedup_simhash",
+    "fn_array_ops",
+    "merge_upsert_orders",
+    "misc_pivot_api",
+    "mm_fake_decode_features",
+    "pdf_grouped_map_topnorm",
+    "pipeline_pack_sequences",
+    "rollup_daily_by_type",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_knn_cosine_brute",
+    "stat_variance_stddev",
+    "stream_session_exec",
+    "text_quality_score",
+    "text_token_count",
+    "ts_resample_gapfill",
+    "win_row_number_topk_per_group",
 ]
 
 

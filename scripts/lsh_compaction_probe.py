@@ -12,8 +12,17 @@ the A/B work copy by patching minhash_index_path (the fingerprinted
 real index stays pristine). Prints one JSON line; the A/B row lives in
 BASELINE.md.
 
+AMPLIFICATION CHOICE: replica amplification makes every document an
+exact dup of its N copies, so the minhash serve's pair output is
+QUADRATIC in N by construction (the standing scale_probe caveat) — at
+256× the verify drowns the file-count signal this A/B exists to
+measure. Default is therefore 16× (~112k output pairs, serve in the
+sf0.1 latency band) with the generation count, not the corpus, as the
+scaled variable: the LSM read-amplification penalty is a file-count
+phenomenon (BM25 256-generation row, BASELINE.md r8).
+
 Usage: python scripts/lsh_compaction_probe.py [amplification] [generations]
-(defaults 256 and 64).
+(defaults 16 and 64).
 """
 
 from __future__ import annotations
@@ -55,7 +64,7 @@ def _serve_times(spark, out_dir: str, reps: int = 3) -> list[float]:
 
 
 def main() -> None:
-    times = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    times = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     gens = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     start_disk_guard(float(os.environ.get("SPARK_GRAFT_PROBE_MIN_FREE_GB", "3")))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -13,68 +13,66 @@ from minoan_athenaeum_spark.registry import CURATED_PREFIX, load_all
 SPECS = load_all()
 
 # One prefix member per family; the family tag it must carry.
-# r12 rotation (registry.py's round-12 window note — VERDICT r11 #1,
-# burn the FINAL 18-query backlog, and #5, the first staleness
-# re-green pass): the whole never-checked list rotates in (misc ×5,
-# pipeline ×7, text ×6) plus the 26 oldest externally-green rows (all
-# last green r1: the agg/setop relational core, the fn_* scalar
-# families, events windows/json, embedding dedup, sampling, lateral)
-# and the two queries this round's code changes modify
-# (dedup_minhash_incremental, pipeline_dsir_select). Retired members
-# (all r11-green) stay pytest-oracled every round; registry.py's
-# round-12 note lists every outgoing/incoming swap and the standing
-# staleness rule.
+# r13 rotation (registry.py's round-13 window note — VERDICT r12 #4,
+# continue the staleness rotation): the 4 remaining r1-stale rows,
+# the full r2 cohort (15) and the full r3 cohort (18) rotate in,
+# plus the nine queries this round's code changes touch (the LSH
+# hashed-shingle layout + length prune pair, the LM-bucket index
+# family's five consumers, the cached-perceptron pair, and the
+# append-marker BM25 row). Retired members (all r12-green) stay
+# pytest-oracled every round; registry.py's round-13 note lists every
+# outgoing/incoming swap and the standing staleness rule.
 FAMILY_REPRESENTATIVES = {
     "parity_f1_filter_ops": "F1",
     "parity_j1_equijoin": "J1",
     "parity_j9_multiway_join": "J9",
     "theta_distinct_key_join": "theta",
     "dedup_minhash_incremental": "incremental",
-    "pipeline_dsir_select": "dsir",
-    "misc_association_rules": "mining",
-    "misc_dq_constraint_checks": "dq",
-    "misc_snapshot_diff": "maintenance",
-    "misc_surrogate_keys": "surrogate-keys",
-    "misc_unpivot_melt": "unpivot",
-    "pipeline_mixing_allocation": "mixing",
-    "pipeline_priority_sample": "sampling",
-    "pipeline_quantile_normalize": "features",
-    "pipeline_remove_dup_spans": "substring",
-    "pipeline_shuffle_shards": "shards",
-    "pipeline_url_blocklist_filter": "filter",
-    "pipeline_weighted_sample": "scan",
-    "text_bigram_lm_score": "lm",
-    "text_chunk_sliding_window": "chunking",
-    "text_lcp_adjacent": "suffix-array",
-    "text_repetition_score": "quality",
-    "text_simpson_diversity": "diversity",
-    "text_term_drift": "drift",
-    "agg_anti_join": "anti",
-    "agg_count_distinct": "agg",
-    "agg_cube": "cube",
-    "agg_having": "agg",
-    "agg_orderby_limit": "topk",
-    "agg_outer_join_coalesce": "outer",
-    "agg_rollup": "rollup",
-    "agg_subquery_in": "subquery",
-    "agg_tpch_q5_region_revenue": "flagship",
-    "misc_arg_extremes": "argmax",
-    "misc_string_agg_sorted": "string-agg",
-    "setop_except": "setop",
-    "setop_union_all_count": "setop",
-    "evt_json_extract": "json",
-    "evt_pivot_counts": "pivot",
-    "evt_sliding_window": "window",
-    "evt_tumbling_window": "events",
-    "fn_conditional": "conditional",
-    "fn_date_trunc_add": "date",
-    "fn_hash_encode": "hash",
-    "fn_map_struct": "struct",
-    "fn_math": "math",
-    "fn_string_regex_split": "regex",
-    "dedup_embedding_cosine": "embedding",
-    "misc_deterministic_sample": "sample",
-    "misc_lateral_explode": "lateral",
+    "stream_minhash_dedup_exec": "streaming",
+    "pipeline_curation_v4": "capstone",
+    "pipeline_curation_v5": "gopher",
+    "text_ccnet_buckets_indexed": "index",
+    "text_ccnet_ppl_buckets_log": "perplexity",
+    "pipeline_curation_v3": "ml",
+    "stream_quality_gate_exec": "quality",
+    "text_bm25_index_append": "bm25",
+    "agg_distinct": "distinct",
+    "agg_min_max": "agg",
+    "fn_date_parts": "date",
+    "misc_like_family": "like",
+    "mm_binary_meta": "multimodal",
+    "pipeline_stratified_sample": "sampling",
+    "rollup_6h_purchases": "continuous-aggregate",
+    "sim_label_centroid_top3": "similarity",
+    "stream_sliding_exec": "exec",
+    "stream_static_join_exec": "join",
+    "stream_tumbling_exec": "streaming",
+    "text_fingerprint": "fingerprint",
+    "text_lang_id": "langid",
+    "text_source_stats": "agg",
+    "text_tfidf_top_terms": "tfidf",
+    "tpch_q12_shipmode": "case-agg",
+    "tpch_q4_order_priority": "exists",
+    "ts_range_join": "range-join",
+    "win_running_sum": "window",
+    "dedup_components": "components",
+    "dedup_simhash": "simhash",
+    "fn_array_ops": "array",
+    "merge_upsert_orders": "upsert",
+    "misc_pivot_api": "pivot",
+    "mm_fake_decode_features": "pandas-udf",
+    "pdf_grouped_map_topnorm": "grouped-map",
+    "pipeline_pack_sequences": "packing",
+    "rollup_daily_by_type": "rollup",
+    "sim_ann_ivf_topk": "ivf",
+    "sim_ann_lsh_topk": "ann",
+    "sim_knn_cosine_brute": "brute",
+    "stat_variance_stddev": "stats",
+    "stream_session_exec": "exec",
+    "text_quality_score": "quality",
+    "text_token_count": "text",
+    "ts_resample_gapfill": "resample",
+    "win_row_number_topk_per_group": "topk",
 }
 
 
