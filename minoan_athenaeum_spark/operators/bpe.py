@@ -17,11 +17,14 @@ never corpus-sized. Each round is:
      non-overlapping scan the reference BPE does), entirely in JVM
      array expressions — map-only, no Python.
 
-Nothing is ever collected to the driver: the learned merge table and
-all statistics stay DataFrames, so the whole train is one declarative
-plan an engine-portable DuckDB twin can replay (queries/text.py
-text_bpe_train unrolls the same rounds as chained CTEs with
-list_reduce folds).
+Driver state is MODEL-ARTIFACT-SIZED only (optimization r13): each
+round collects exactly the 1-row winning pair (TakeOrdered(1) — the
+same bounded class as the k-means centroid collects) so the merge
+inlines as literals instead of a broadcast crossJoin, and the
+per-round corpus statistics collect as two scalars from ONE fused
+aggregate. The dictionary itself never leaves the cluster, and the
+engine-portable DuckDB twin still replays the identical rounds as
+chained CTEs with list_reduce folds (queries/text.py text_bpe_train).
 """
 
 from __future__ import annotations
@@ -74,47 +77,65 @@ def best_pair(pairs: DataFrame) -> DataFrame:
     return pairs.orderBy(F.col("pair_count").desc(), "lft", "rgt").limit(1)
 
 
-def _merge_fold(acc: Column, x: Column) -> Column:
-    """Left-to-right non-overlapping merge of the broadcast (lft, rgt)
-    pair: if the accumulator's last symbol is lft and the next symbol
-    is rgt, replace the last symbol with lft||rgt; else append. A
-    just-merged symbol can't re-merge (it is no longer equal to lft),
-    which is exactly reference BPE's non-overlap scan semantics."""
-    merged_last = F.concat(
-        F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
-        F.array(F.concat(F.col("lft"), F.col("rgt"))),
-    )
-    return F.when(
-        (F.size(acc) > 0)
-        & (F.element_at(acc, -1) == F.col("lft"))
-        & (x == F.col("rgt")),
-        merged_last,
-    ).otherwise(F.concat(acc, F.array(x)))
+def _merge_fold(lft: Column, rgt: Column):
+    """Fold step for the left-to-right non-overlapping merge of the
+    (lft, rgt) pair: if the accumulator's last symbol is lft and the
+    next symbol is rgt, replace the last symbol with lft||rgt; else
+    append. A just-merged symbol can't re-merge (it is no longer equal
+    to lft), which is exactly reference BPE's non-overlap scan
+    semantics."""
+
+    def fold(acc: Column, x: Column) -> Column:
+        merged_last = F.concat(
+            F.slice(acc, 1, F.greatest(F.size(acc) - 1, F.lit(0))),
+            F.array(F.concat(lft, rgt)),
+        )
+        return F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lft) & (x == rgt),
+            merged_last,
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return fold
 
 
-def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
-    """Broadcast the 1-row best pair and fold it through every word's
-    symbol list (map-only JVM array expressions); non-toks columns
-    pass through.
-
-    Fails fast when ``best`` is empty (the corpus supports fewer merge
-    rounds than requested): the crossJoin would otherwise silently
-    empty the whole dictionary — silent data loss, not a no-op. The
-    check is one dictionary-sized job on an already-checkpointed input,
-    noise next to the round's own pair-count pass."""
-    if best.isEmpty():
+def _take_best(best: DataFrame):
+    """Collect the 1-row best pair; fail fast when it is empty (the
+    corpus supports fewer merge rounds than requested) — proceeding
+    would silently empty the whole dictionary, silent data loss, not a
+    no-op."""
+    row = best.take(1)
+    if not row:
         raise ValueError(
             "BPE merge round found no adjacent pair left to merge: "
             "n_merges exceeds the merges this corpus supports; "
             "reduce n_merges"
         )
+    return row[0]
+
+
+def apply_merge_pair(dict_df: DataFrame, lft: str, rgt: str) -> DataFrame:
+    """Fold the (lft, rgt) merge through every word's symbol list as
+    inlined literals (map-only JVM array expressions); non-toks columns
+    pass through. r13: literals replace the former 1-row broadcast
+    crossJoin — one fewer job (the broadcast build) per round and an
+    identical fold result."""
     rest = [c for c in dict_df.columns if c != "toks"]
-    return dict_df.crossJoin(F.broadcast(best.select("lft", "rgt"))).select(
+    return dict_df.select(
         F.aggregate(
-            "toks", F.expr("CAST(array() AS array<string>)"), _merge_fold
+            "toks",
+            F.expr("CAST(array() AS array<string>)"),
+            _merge_fold(F.lit(lft), F.lit(rgt)),
         ).alias("toks"),
         *rest,
     )
+
+
+def apply_merge(dict_df: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply the 1-row best-pair DataFrame's merge to the dictionary
+    (collects the single row, then :func:`apply_merge_pair`). Raises
+    ValueError when ``best`` is empty — see :func:`_take_best`."""
+    row = _take_best(best.select("lft", "rgt"))
+    return apply_merge_pair(dict_df, row["lft"], row["rgt"])
 
 
 def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
@@ -136,38 +157,46 @@ def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
     ValueError rather than silently emptying the dictionary.
     """
     # The word-freq dict is the ONE corpus-sized computation; pin it
-    # eagerly so the per-round lineages (3 outputs × n_merges rounds)
-    # re-derive only dictionary-sized work, never the corpus scan
-    # (measured: 44 s → ~4 s at sf0.01 for 6 rounds).
+    # eagerly so the per-round lineages re-derive only dictionary-sized
+    # work, never the corpus scan (measured: 44 s → ~4 s at sf0.01 for
+    # 6 rounds).
     d = initial_symbols(words).localCheckpoint(eager=True)
-    stats = []
+    rows: list[tuple] = []
     for rnd in range(1, n_merges + 1):
-        best = best_pair(pair_counts(d))
-        # checkpoint each round's dict too: without it the fold
-        # expression nests n_merges deep and Catalyst planning time
-        # (not execution) dominates the whole train
-        d = apply_merge(d, best).localCheckpoint(eager=True)
-        corpus_after = d.agg(
-            F.sum(F.size("toks") * F.col("cnt")).cast("long").alias("corpus_tokens_after")
-        )
-        vocab_after = (
-            d.select(F.explode("toks").alias("tk"))
-            .agg(F.countDistinct("tk").cast("long").alias("vocab_after"))
-        )
-        stats.append(
-            best.select(
-                F.lit(rnd).cast("int").alias("round"),
-                F.col("lft").alias("merge_left"),
-                F.col("rgt").alias("merge_right"),
-                "pair_count",
+        # ONE TakeOrdered(1) job yields the merge AND its count (r13:
+        # the former shape paid isEmpty + a broadcast build + a final
+        # union-plan recompute of best per round).
+        b = _take_best(best_pair(pair_counts(d)))
+        # checkpoint each round's dict: without it the fold expression
+        # nests n_merges deep and Catalyst planning time (not
+        # execution) dominates the whole train
+        d = apply_merge_pair(d, b["lft"], b["rgt"]).localCheckpoint(eager=True)
+        # Both corpus stats from ONE fused aggregate over the exploded
+        # dict: Σ_exploded cnt == Σ_words |toks|·cnt exactly.
+        st = (
+            d.select(F.explode("toks").alias("tk"), "cnt")
+            .agg(
+                F.sum("cnt").cast("long").alias("corpus_tokens_after"),
+                F.countDistinct("tk").cast("long").alias("vocab_after"),
             )
-            .crossJoin(F.broadcast(corpus_after))
-            .crossJoin(F.broadcast(vocab_after))
+            .collect()[0]
         )
-    out = stats[0]
-    for s in stats[1:]:
-        out = out.unionByName(s)
-    return out
+        rows.append(
+            (
+                rnd,
+                b["lft"],
+                b["rgt"],
+                int(b["pair_count"]),
+                int(st["corpus_tokens_after"]),
+                int(st["vocab_after"]),
+            )
+        )
+    spark = words.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "round int, merge_left string, merge_right string, "
+        "pair_count long, corpus_tokens_after long, vocab_after long",
+    )
 
 
 def bpe_learned_dict(words: DataFrame, n_merges: int) -> DataFrame:

@@ -47,31 +47,83 @@ def batch_perceptron_train(
     ycol: str = "y",
     iters: int = 8,
     lr: int = 1,
+    compress_max_rows: int = 65536,
 ) -> list[tuple[int, ...]]:
     """Batch perceptron over integer features. ``feats`` must have the
     label column (``+1``/``-1`` bigint) and bigint feature columns
     (include an all-ones bias column). Per round, with current weights
     w: the misclassified set is ``y·(w·x) <= 0`` and the update is
-    ``w += lr · Σ_mis y·x`` — one aggregate job per round.
+    ``w += lr · Σ_mis y·x``.
 
     Returns one tuple per round: ``(it, mistakes, w0, …, wd)`` where
     ``mistakes`` counts misclassifications at the PREVIOUS round's
     weights and ``w*`` are the weights AFTER the update — exactly the
     rows a DuckDB recursive CTE produces for the same recurrence.
+
+    Execution (optimization r13): every round's aggregate depends on
+    the feature ROW only through its value pattern, so the corpus
+    first PATTERN-COMPRESSES with one map-side-combined aggregate to
+    ``(y, x…, n)`` and, when that table is bounded
+    (≤ ``compress_max_rows`` — always true for binary rule features,
+    ≤ 2^(d+1) patterns), ALL rounds replay on the driver over the
+    compressed table with exact integer arithmetic: 1 corpus pass
+    total instead of ``iters`` passes (and one Spark job instead of
+    ``iters`` jobs, each of which re-codegens because the weights are
+    literals). Integer sums grouped-then-multiplied are bit-identical
+    to row-at-a-time sums, so the trajectory is unchanged — pinned by
+    tests/test_classifier.py's independent numpy reference and the
+    driver's recursive-CTE oracle. Unbounded feature patterns
+    (non-binary integer features) exceed the ``take`` cap and fall
+    back to the original one-aggregate-per-round loop, with the input
+    pinned for the duration.
     """
-    w = [0] * len(xcols)
-    hist: list[tuple[int, ...]] = []
-    for it in range(1, iters + 1):
-        mis = F.col(ycol) * _dot(w, xcols) <= 0
-        aggs = [
-            F.sum(F.when(mis, F.col(ycol) * F.col(c)).otherwise(0)).alias(f"g{i}")
-            for i, c in enumerate(xcols)
+    grouped = feats.groupBy(ycol, *xcols).agg(
+        F.count("*").cast("long").alias("_n")
+    )
+    head = grouped.take(compress_max_rows + 1)
+    if len(head) <= compress_max_rows:
+        pats = [
+            (
+                int(r[ycol]),
+                [int(r[c]) for c in xcols],
+                int(r["_n"]),
+            )
+            for r in head
         ]
-        aggs.append(F.sum(F.when(mis, 1).otherwise(0)).alias("m"))
-        r = feats.agg(*aggs).collect()[0]
-        w = [w[i] + lr * int(r[f"g{i}"] or 0) for i in range(len(xcols))]
-        hist.append((it, int(r["m"] or 0), *w))
-    return hist
+        w = [0] * len(xcols)
+        hist: list[tuple[int, ...]] = []
+        for it in range(1, iters + 1):
+            g = [0] * len(xcols)
+            m = 0
+            for y, x, n in pats:
+                if y * sum(wi * xi for wi, xi in zip(w, x)) <= 0:
+                    m += n
+                    for i, xi in enumerate(x):
+                        g[i] += y * xi * n
+            w = [w[i] + lr * g[i] for i in range(len(xcols))]
+            hist.append((it, m, *w))
+        return hist
+    # Fallback: unbounded pattern space — one aggregate per round over
+    # the (pinned) row-level table.
+    feats.persist()
+    try:
+        w = [0] * len(xcols)
+        hist = []
+        for it in range(1, iters + 1):
+            mis = F.col(ycol) * _dot(w, xcols) <= 0
+            aggs = [
+                F.sum(F.when(mis, F.col(ycol) * F.col(c)).otherwise(0)).alias(
+                    f"g{i}"
+                )
+                for i, c in enumerate(xcols)
+            ]
+            aggs.append(F.sum(F.when(mis, 1).otherwise(0)).alias("m"))
+            r = feats.agg(*aggs).collect()[0]
+            w = [w[i] + lr * int(r[f"g{i}"] or 0) for i in range(len(xcols))]
+            hist.append((it, int(r["m"] or 0), *w))
+        return hist
+    finally:
+        feats.unpersist()
 
 
 def logreg_train_gd(

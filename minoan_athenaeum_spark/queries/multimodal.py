@@ -20,6 +20,20 @@ from minoan_athenaeum_spark.queries._util import t
 from minoan_athenaeum_spark.registry import query
 
 
+def _docs(spark, sf_dir):
+    """Documents scan spread across the cluster before the Python
+    payload stages (optimization r13): the single-file bench corpus
+    scans as ONE partition, so every mapInPandas generate/decode pass
+    below otherwise runs as a single serial Python worker (measured:
+    mm_jpeg_decode_stats 3.6 s -> ~0.6 s at sf0.1). At 100 TB a real
+    corpus arrives as many splits already — this mirrors the minhash
+    serve's posture: never let file count serialize a map stage."""
+    return t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+
 @query(
     "mm_binary_meta",
     oracle="""
@@ -33,7 +47,7 @@ from minoan_athenaeum_spark.registry import query
 def mm_binary_meta(spark, sf_dir):
     """Opaque binary payload metadata: byte length + digest, computed on
     the binary column (JVM-side)."""
-    d = with_binary_payload(t(spark, sf_dir, "documents"))
+    d = with_binary_payload(_docs(spark, sf_dir))
     return d.select(
         "doc_id",
         F.octet_length(F.col("payload")).alias("n_bytes"),
@@ -59,7 +73,7 @@ def mm_fake_decode_features(spark, sf_dir):
     """Arrow-batched mapInPandas featurizer over binary payloads (the
     stubbed decode path — see operators/multimodal.py). Oracle recomputes
     the same byte math in SQL, verifying the whole Arrow round trip."""
-    d = with_binary_payload(t(spark, sf_dir, "documents"))
+    d = with_binary_payload(_docs(spark, sf_dir))
     return fake_decode_features(d)
 
 
@@ -98,7 +112,7 @@ def mm_ppm_decode_stats(spark, sf_dir):
     Scale shape: generate → decode → featurize is a single map-only
     pipeline of two Arrow stages; no shuffle anywhere. Compressed
     formats would slot into decode_image's dispatch unchanged."""
-    d = with_ppm_payload(t(spark, sf_dir, "documents"), width=16, height=8)
+    d = with_ppm_payload(_docs(spark, sf_dir), width=16, height=8)
     return image_channel_stats(d)
 
 
@@ -144,7 +158,7 @@ def mm_png_decode_stats(spark, sf_dir):
         with_png_payload,
     )
 
-    d = with_png_payload(t(spark, sf_dir, "documents"), width=12, height=10)
+    d = with_png_payload(_docs(spark, sf_dir), width=12, height=10)
     return image_channel_stats(d)
 
 
@@ -185,7 +199,7 @@ def mm_jpeg_decode_stats(spark, sf_dir):
         with_jpeg_payload,
     )
 
-    d = with_jpeg_payload(t(spark, sf_dir, "documents"), width=24, height=16)
+    d = with_jpeg_payload(_docs(spark, sf_dir), width=24, height=16)
     return jpeg_gray_stats(d)
 
 
@@ -226,7 +240,7 @@ def mm_wav_audio_features(spark, sf_dir):
         with_wav_payload,
     )
 
-    d = with_wav_payload(t(spark, sf_dir, "documents"))
+    d = with_wav_payload(_docs(spark, sf_dir))
     return audio_features(d)
 
 
@@ -262,7 +276,7 @@ def mm_video_frame_sample(spark, sf_dir):
         with_video_payload,
     )
 
-    d = with_video_payload(t(spark, sf_dir, "documents"))
+    d = with_video_payload(_docs(spark, sf_dir))
     return video_frame_sample_stats(d, every=2)
 
 
@@ -329,7 +343,7 @@ def mm_g711_audio_features(spark, sf_dir):
         with_g711_payload,
     )
 
-    d = with_g711_payload(t(spark, sf_dir, "documents"))
+    d = with_g711_payload(_docs(spark, sf_dir))
     return g711_features(d)
 
 
@@ -421,7 +435,7 @@ def mm_adpcm_audio_features(spark, sf_dir):
         with_adpcm_payload,
     )
 
-    d = with_adpcm_payload(t(spark, sf_dir, "documents"))
+    d = with_adpcm_payload(_docs(spark, sf_dir))
     return adpcm_features(d)
 
 
@@ -513,7 +527,7 @@ def mm_ms_adpcm_audio_features(spark, sf_dir):
         with_ms_adpcm_payload,
     )
 
-    d = with_ms_adpcm_payload(t(spark, sf_dir, "documents"))
+    d = with_ms_adpcm_payload(_docs(spark, sf_dir))
     return adpcm_features(d)
 
 
@@ -566,7 +580,7 @@ def mm_decode_quarantine(spark, sf_dir):
     aggregate — identical to the plain decode queries; quarantine adds
     a per-row try/except, no extra pass, no shuffle.
     """
-    d = with_mixed_payload(t(spark, sf_dir, "documents"))
+    d = with_mixed_payload(_docs(spark, sf_dir))
     s = image_channel_stats_quarantined(d)
     return s.groupBy("status").agg(
         F.count("*").cast("bigint").alias("n_docs"),

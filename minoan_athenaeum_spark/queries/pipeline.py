@@ -1633,9 +1633,18 @@ def _curation_downstream(gated):
     from pyspark.sql import Window as W
 
     from minoan_athenaeum_spark.operators.scan import grouped_topk_two_phase
+    from minoan_athenaeum_spark.queries._util import (
+        persist_tracked,
+        release_tracked,
+    )
 
+    release_tracked()  # house pattern: drop the previous query's pins
     b, cap, binsz = _V2_BUDGET, _V2_CAP, _V2_BIN
-    capped = (
+    # PIN the capped set (optimization r13): it feeds BOTH the source-
+    # quota branch and the hash-pick branch, so without a pin the whole
+    # upstream gate (the capstones' corpus featurize + LM tail-set
+    # anti-join) evaluates twice per run. |docs|-bounded, 3 columns.
+    capped = persist_tracked(
         gated.withColumn(
             "dup_rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
         )

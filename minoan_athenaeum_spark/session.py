@@ -80,6 +80,20 @@ def get_spark(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
             os.environ.get("SPARK_GRAFT_BLOOM_SCAN_MIN", "256MB"),
         )
+        # Let AQE re-optimize (coalesce) the output partitioning of
+        # CACHED plans too. Off (the default) every persist_tracked()
+        # aggregate materializes all initialPartitionNum=1024 shuffle
+        # partitions as real cached partitions, and every downstream
+        # stage over the cache runs 1024 near-empty tasks — measured
+        # 81 s -> 6 s cold / 2.7 s warm on pipeline_dsir_select at
+        # sf0.1 (OPTIMIZATION_r13.md). Scale-independent: it applies
+        # the same advisory-size coalescing to cached exchanges that
+        # uncached ones already get, so cluster plans keep their
+        # 100 MB-1 GB post-AQE partitions either way.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Write timestamps as INT64 micros, never legacy INT96: INT96
         # loses the unit annotation (footer-based unit detection in

@@ -416,9 +416,13 @@ def test_count_min_broadcast_cells(spark, sf_dir):
 
 def test_bpe_train_broadcast_merge(spark, sf_dir):
     p = plan_of(spark, sf_dir, "text_bpe_train")
-    # every round's 1-row best pair enters via broadcast, never SMJ
+    # r13: each round collects exactly the 1-row TakeOrdered(1) winner
+    # (merge inlined as literals — one fewer job than the former 1-row
+    # broadcast crossJoin) plus a 2-scalar stats aggregate; the
+    # returned trajectory is a bounded local table with no joins at
+    # all. SMJ anywhere would mean a round regressed to a real join.
     assert "SortMergeJoin" not in p
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "Scan ExistingRDD" in p
 
 
 def test_sorted_neighborhood_no_single_reducer_sort(spark, sf_dir):
