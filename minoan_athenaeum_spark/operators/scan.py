@@ -60,7 +60,11 @@ def global_cumsum(
     )
     local = d.withColumn("_local", F.sum(F.col(value_col)).over(w_local))
 
-    totals = local.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
+    # Per-partition totals straight off the pinned input — not over
+    # `local` (optimization r13): the total ignores the running-sum
+    # column, and aggregating d skips a second evaluation of the
+    # window-sort stage (same fix as grouped_two_phase_rank).
+    totals = d.groupBy("_pid").agg(F.sum(F.col(value_col)).alias("_ptotal"))
     w_off = (
         Window.orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -149,8 +153,13 @@ def grouped_two_phase_rank(
     #   see the SAME _pid assignment.
     w_local = Window.partitionBy("_pid", *group_cols).orderBy(*ocols)
     local = d.withColumn("_lrn", F.row_number().over(w_local))
-    counts = local.groupBy("_pid", *group_cols).agg(
-        F.max("_lrn").alias("_n")
+    # Per-(partition, group) sizes straight off the pinned input — NOT
+    # max(_lrn) over `local` (optimization r13): row_number is dense
+    # 1..n so count(*) is the same number, and counting d skips a
+    # second evaluation of the window SORT (the stage profile showed
+    # the sort stage running twice per rank; one full sort pass gone).
+    counts = d.groupBy("_pid", *group_cols).agg(
+        F.count("*").alias("_n")
     )
     w_off = (
         Window.partitionBy(*group_cols)

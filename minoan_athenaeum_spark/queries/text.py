@@ -1315,6 +1315,7 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 from minoan_athenaeum_spark.operators.intlog import (  # noqa: E402
+    log2_fixed_pandas,
     log2_lookup_cte,
     with_log2_fixed,
 )
@@ -1510,13 +1511,19 @@ def ccnet_lm_fit(withbg):
     frozen model artifact the index family persists.
 
     Quantized log2 via ONE lookup table over the union of distinct
-    count values (the oracle's xvals/lgtab shape exactly). One
-    application = one codegen unit: the 59-projection recurrence
-    costs ~2 s of Janino compile per DISTINCT plan shape, so three
-    inline applications paid ~6 s of pure compile; the single lookup
-    pays it once and L is computed once per distinct value globally
-    (|distinct counts| = O(sqrt(corpus bigrams)) — bounded, AQE
-    broadcasts the joins back)."""
+    count values (the oracle's xvals/lgtab shape exactly), computed by
+    the Arrow-vectorized intlog twin (``log2_fixed_pandas`` —
+    bit-identical to the JVM recurrence, pinned in
+    tests/test_intlog.py). The lookup is distinct-count-valued
+    (O(sqrt(corpus bigrams)) rows by Zipf — bounded; and the pandas
+    form is a distributed vectorized map either way, not a collect).
+    r13: the JVM ``with_log2_fixed`` form carried ~110 named
+    projections that appear in THREE join subtrees of this fit
+    (cbg2/cctx2/lgv), and the measured cost was driver-side — ~3.4 s
+    of analysis/optimization/codegen gap per run (job-timeline probe)
+    for expressions whose execution takes microseconds. One
+    ArrowEvalPython node replaces all of it; AQE still broadcasts the
+    lookup joins back."""
     ref = withbg.filter(F.col("lang") == "en")
     ref_bg = ref.select(F.explode("g").alias("p")).select(
         F.col("p.w0").alias("w1"), F.col("p.w1").alias("w2")
@@ -1533,7 +1540,7 @@ def ccnet_lm_fit(withbg):
         .union(vocab.select(F.col("v").alias("x")))
         .distinct()
     )
-    lgtab = with_log2_fixed(xs, "x", "lg")
+    lgtab = xs.select("x", log2_fixed_pandas()(F.col("x")).alias("lg"))
     cbg2 = (
         cbg.join(lgtab, cbg["c_bg"] + 1 == lgtab["x"])
         .select("w1", "w2", F.col("lg").alias("lg_bg"))
@@ -1848,8 +1855,11 @@ def text_bm25_search_robertson(spark, sf_dir):
     Scale shape: identical to text_bm25_search (the idf work is a
     |query terms|-row lookup); at 100 TB serve it from the posting
     index exactly like text_bm25_search_indexed — only the idf
-    expression differs."""
-    from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
+    expression differs. r13: the |terms|-row idf lookup uses the
+    Arrow intlog twin (bit-identical, tests/test_intlog.py) instead
+    of the ~110-projection JVM recurrence — the tiny table paid more
+    in plan analysis/codegen than in execution."""
+    from minoan_athenaeum_spark.operators.intlog import log2_fixed_pandas
 
     d = t(spark, sf_dir, "documents").select("doc_id", tokens().alias("toks"))
     dl = d.select("doc_id", F.size("toks").cast("double").alias("dl"))
@@ -1874,7 +1884,9 @@ def text_bm25_search_robertson(spark, sf_dir):
             * F.lit(float(1 << 20))
         ).cast("long"),
     )
-    ridf = with_log2_fixed(rx, "xr", "lgx").withColumn(
+    ridf = rx.withColumn(
+        "lgx", log2_fixed_pandas()(F.col("xr"))
+    ).withColumn(
         "idf",
         (F.col("lgx") - F.lit(20 << 24)).cast("double") / F.lit(float(1 << 24)),
     )

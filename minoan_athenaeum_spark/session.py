@@ -94,6 +94,22 @@ def get_spark(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
             os.environ.get("SPARK_GRAFT_CACHED_AQE", "true"),
         )
+        # AQE coalescing already maximizes parallelism by default
+        # (coalescePartitions.parallelismFirst=true), but the
+        # minPartitionSize floor (default 1 MB) re-serializes any
+        # CPU-DENSE stage whose shuffle is byte-small: the minhash
+        # serve's exact-Jaccard verify reads ~5 MB of hashed-shingle
+        # pairs but burns ~34 s of CPU, and the 1 MB floor capped it
+        # at 5 tasks (measured: serve 15.7 s -> 4.2 s at sf0.1 with
+        # the floor at 64 KB; ngram_jaccard 3.7 -> 2.6 s). Scale-
+        # neutral: the floor only binds when a shuffle's total bytes
+        # are under parallelism x 1 MB, which never happens at
+        # production volumes — post-AQE partitions stay advisory-sized
+        # (64 MB+) there either way.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64KB"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Write timestamps as INT64 micros, never legacy INT96: INT96
         # loses the unit annotation (footer-based unit detection in
