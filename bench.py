@@ -5,6 +5,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
+Repeat mode (optimization r14, declared — VERDICT r13 #2): this box
+suffers sporadic host-level CPU throttling episodes that inflate a
+single query execution 10-100x with no guest-visible steal signal
+(OPTIMIZATION_r13.md finding 7), so a single-execution bench total is
+noise-dominated. ``SPARK_GRAFT_BENCH_REPS=N`` (default 1 — the
+historical behavior, bit-identical timing path) executes each query's
+timed region N times inside the same JVM and reports the PER-QUERY
+MINIMUM; the JSON line gains a ``reps`` field declaring the mode.
+Every rep still computes the full query from the parquet inputs
+(nothing is cached across reps beyond what a single run already
+shares — the warehouse index artifacts and the OS page cache), and
+the contract knobs ($SPARK_GRAFT_SF_DIR, $SPARK_GRAFT_CPUS, the
+one-line JSON) are honored unchanged.
+
 Each query is executed by a full count() (runs the whole pipeline,
 skips driver-side result transfer; every headline query ends in an
 aggregate/top-k whose inputs count() must fully evaluate, so nothing
@@ -186,6 +200,7 @@ def main() -> None:
     )
 
     builders = _index_builders()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     builds: dict[str, float] = {}
     for name in HEADLINE:
@@ -194,9 +209,13 @@ def main() -> None:
             t0 = time.perf_counter()
             builders[name](spark, sf_dir)
             builds[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best: float | None = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
     spark.stop()
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -214,6 +233,8 @@ def main() -> None:
                 # one-time index materialization (pay-once per source
                 # fingerprint), reported separately from serve latency
                 "index_build_sec": builds,
+                # executions per query (per-query min reported when >1)
+                "reps": reps,
                 "sf": sf_val,
             }
         )

@@ -64,6 +64,26 @@ def release_tracked() -> None:
             pass  # session may already be stopped
 
 
+# ------------------------------------------------- scan parallelism
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to cluster parallelism ONLY when the
+    input arrives in fewer partitions than cores (optimization r14,
+    VERDICT r13 #4). The bench corpus is a single parquet file that
+    scans as ONE split, which would serialize every downstream
+    CPU-dense map stage (Arrow decode, signature hashing, regex
+    featurize) onto one task — but a 100 TB corpus arrives as many
+    splits already, and an unconditional ``repartition`` there is a
+    pure O(corpus) shuffle tax before map-only work. Checking the
+    actual split count keeps the local plan identical (the bench
+    layout still repartitions) while multi-split inputs skip the
+    Exchange entirely. ``rdd.getNumPartitions()`` plans the scan but
+    runs no job."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 # ------------------------------------------------- guarded broadcasts
 def broadcast_if_under(
     df: DataFrame,

@@ -43,7 +43,7 @@ from minoan_athenaeum_spark.operators.text import (
     stopword_hits,
     token_count,
 )
-from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.queries._util import spread_scan, t
 from minoan_athenaeum_spark.registry import query
 
 _ITERS = 12
@@ -156,9 +156,7 @@ def _features(spark, sf_dir):
     pattern-compresses in a single pass (and pins itself on its
     fallback path), and the eval/filter consumers each aggregate the
     frame exactly once."""
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_scan(t(spark, sf_dir, "documents"))
     return feature_frame(docs)
 
 

@@ -31,6 +31,7 @@ from minoan_athenaeum_spark.queries._util import (
     cached_size_bytes,
     persist_tracked,
     release_tracked,
+    spread_scan,
     t,
 )
 from minoan_athenaeum_spark.registry import query
@@ -700,9 +701,9 @@ def dedup_minhash_incremental(spark, sf_dir):
     # serialize a map stage).
     batch_sh = persist_tracked(
         shingled(
-            t(spark, sf_dir, "documents")
-            .filter(F.col("doc_id") % 10 == 0)
-            .repartition(spark.sparkContext.defaultParallelism)
+            spread_scan(
+                t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+            )
         )
     )
     # SIZE-GUARDED batch broadcasts (VERDICT r10 #3): the serve's two

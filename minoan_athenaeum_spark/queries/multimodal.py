@@ -16,7 +16,7 @@ from minoan_athenaeum_spark.operators.multimodal import (
     with_mixed_payload,
     with_ppm_payload,
 )
-from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.queries._util import spread_scan, t
 from minoan_athenaeum_spark.registry import query
 
 
@@ -25,12 +25,11 @@ def _docs(spark, sf_dir):
     payload stages (optimization r13): the single-file bench corpus
     scans as ONE partition, so every mapInPandas generate/decode pass
     below otherwise runs as a single serial Python worker (measured:
-    mm_jpeg_decode_stats 3.6 s -> ~0.6 s at sf0.1). At 100 TB a real
-    corpus arrives as many splits already — this mirrors the minhash
-    serve's posture: never let file count serialize a map stage."""
-    return t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    mm_jpeg_decode_stats 3.6 s -> ~0.6 s at sf0.1). r14 (VERDICT r13
+    #4): conditional — a 100 TB corpus arrives as many splits already,
+    and the unconditional repartition was a pure O(corpus) shuffle tax
+    there; multi-split inputs now skip the Exchange."""
+    return spread_scan(t(spark, sf_dir, "documents"))
 
 
 

@@ -19,7 +19,7 @@ from minoan_athenaeum_spark.operators.text import (
     token_count,
     tokens,
 )
-from minoan_athenaeum_spark.queries._util import t
+from minoan_athenaeum_spark.queries._util import spread_scan, t
 from minoan_athenaeum_spark.registry import query
 
 _EN = sql_list(STOPWORDS["en"])
@@ -1252,8 +1252,7 @@ def text_ccnet_ppl_buckets(spark, sf_dir):
     # broadcast job. At 100 TB this checkpoint is the featurize-once
     # layout: land the token table columnar once, serve every branch.
     d = (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
         .localCheckpoint(eager=True)
     )
@@ -1497,8 +1496,7 @@ def ccnet_tokenized(spark, sf_dir):
     from minoan_athenaeum_spark.operators.dedup import normalized
 
     return (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
         .localCheckpoint(eager=True)
     )
@@ -2001,8 +1999,7 @@ def text_kneser_ney_ppl(spark, sf_dir):
     from minoan_athenaeum_spark.operators.intlog import with_log2_fixed
 
     d = (
-        t(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(t(spark, sf_dir, "documents"))
         .select("doc_id", "lang", F.split(normalized(), " ").alias("tk"))
         .localCheckpoint(eager=True)
     )

@@ -131,24 +131,35 @@ def tpch_q14_promo_ratio(spark, sf_dir):
 )
 def tpch_q18_large_orders(spark, sf_dir):
     """Q18: large-volume orders — aggregate subquery as semi-join
-    filter, then re-join for detail. The HAVING aggregate runs first
-    (one shuffle on orderkey); its small result semi-joins the facts."""
+    filter, then enrich with order/customer detail.
+
+    Optimization r14 (guide §1.2 step 1, §2.4): the classic shape scans
+    lineitem TWICE (once for the HAVING aggregate, once re-joined for
+    the detail sum) — but the detail group (c_name, o_orderkey) is per
+    ORDER (o_orderkey is the orders primary key, c_custkey the customer
+    primary key), so the re-joined SUM(l_quantity) is exactly the ``q``
+    the HAVING aggregate already computed. Join the (tiny) filtered
+    aggregate to orders/customer instead: ONE pass over the fact table,
+    no second lineitem shuffle, no final re-aggregation exchange.
+    Decimal sums are exact, so the surviving aggregate's value is
+    bit-identical to the re-derived one; the DuckDB oracle (unchanged)
+    gates the equivalence at every SF."""
     l = t(spark, sf_dir, "lineitem")
     big = (
         l.groupBy("l_orderkey")
         .agg(F.sum(dec(F.col("l_quantity"), 12, 2)).alias("q"))
         .filter(F.col("q") > 150)
-        .select(F.col("l_orderkey").alias("big_okey"))
     )
-    o = t(spark, sf_dir, "orders").join(
-        big, F.col("o_orderkey") == F.col("big_okey"), "left_semi"
-    )
+    o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .groupBy(F.col("c_name").alias("cname"), F.col("o_orderkey").alias("okey"))
-        .agg(F.sum(dec(F.col("l_quantity"), 12, 2)).cast("double").alias("total_qty"))
+        .select(
+            F.col("c_name").alias("cname"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("q").cast("double").alias("total_qty"),
+        )
     )
 
 

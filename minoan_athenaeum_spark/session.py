@@ -22,7 +22,20 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus if cpus is not None else os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # Driver heap default 8g (optimization r14; was 48g since r1).
+    # Memory sizing is local-only (cluster posture is per-executor conf)
+    # and the oversized heap was MEASURED as the dominant cause of the
+    # r13 in-bench dedup_minhash_incremental regression: with 48g, G1
+    # grows eden to ~20 GB by mid-bench and every allocation-heavy
+    # stage (shingle arrays, OpenHashSet growth) churns tens of GB of
+    # cold pages per execution — in-bench minhash ran 92->145->252 s
+    # and 108->178->527 s (monotonically WORSE, two sessions) at 48g
+    # vs 50->16.5->7.5 s (monotonically BETTER, JIT-warm) at 8g, with
+    # calm single-core probes throughout; full-bench pair 99.7 s (8g)
+    # vs 122.3 s (48g) at REPS=2. The sf-scale local data needs far
+    # less than 8g; amplified scale probes must export
+    # SPARK_GRAFT_DRIVER_MEM explicitly (they always could).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     # Python WORKERS must be able to import this package no matter what
     # the driver's cwd is: cloudpickle serializes module-level functions
     # (the multimodal decoders' mapInPandas fns) BY REFERENCE, so a

@@ -10,6 +10,11 @@ realistically (orderkeys/custkeys stay consistent across tables).
 
 Usage:  python scripts/scale_probe.py [amplification]
 Writes one JSON line like bench.py.
+
+NOTE (r14): the session's default driver heap is now 8g (sized for the
+sf-scale local data — see session.py). Amplified probe runs need the
+old headroom back: export SPARK_GRAFT_DRIVER_MEM=48g for amplification
+>= 16.
 """
 
 from __future__ import annotations

@@ -2,6 +2,14 @@
 oracle must match DuckDB bit-for-bit at sf0.001 (the driver re-runs the
 same contract at sf0.01). Oracle-less queries must at least execute and
 return a stable schema.
+
+Split (optimization r14, VERDICT r13 #8): the FULL sweep (~500 cases)
+is behind the ``oracle_sweep`` marker, opt-in, because under this box's
+throttle episodes it can blow an external runner's timeout. The default
+run keeps ``test_oracle_smoke`` — every bench-gated headline query with
+an oracle (~50) — so a default-green suite still oracle-pins the whole
+benched surface. Close every round with the full sweep:
+``python -m pytest tests/test_oracle_parity.py -q -m oracle_sweep``.
 """
 
 from __future__ import annotations
@@ -16,6 +24,29 @@ WITH_ORACLE = sorted(n for n, s in SPECS.items() if s.oracle)
 ROWS_ONLY = sorted(n for n, s in SPECS.items() if not s.oracle)
 
 
+def _headline():
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import HEADLINE
+
+    return HEADLINE
+
+
+SMOKE = sorted(n for n in _headline() if SPECS[n].oracle)
+
+
+@pytest.mark.parametrize("name", SMOKE)
+def test_oracle_smoke(spark, sf_dir, name):
+    spec = SPECS[name]
+    problems = check_query_against_oracle(spark, sf_dir, spec.fn, spec.oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize("name", WITH_ORACLE)
 def test_oracle_match(spark, sf_dir, name):
     spec = SPECS[name]
@@ -23,6 +54,7 @@ def test_oracle_match(spark, sf_dir, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+@pytest.mark.oracle_sweep
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_executes(spark, sf_dir, name):
     spec = SPECS[name]
