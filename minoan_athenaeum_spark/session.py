@@ -123,6 +123,23 @@ def get_spark(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
             os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64KB"),
         )
+        # ContextCleaner hygiene (optimization r14): Spark frees dead
+        # RDD/broadcast/shuffle state via weak references, which only
+        # enqueue after a JVM GC — and the cleaner's own safety-net GC
+        # (spark.cleaner.periodicGC.interval) defaults to 30 MINUTES,
+        # longer than an entire bench run. A session running many
+        # queries therefore accumulates every dead localCheckpoint
+        # block, broadcast and shuffle registration until the heap
+        # happens to full-GC (G1 never did: 0 full GCs observed), and
+        # late queries pay for the garbage: in-bench minhash rep0
+        # measured 50.1 s with the default vs 19.0 s with a 2-minute
+        # interval (8g heap, calm probes, same code). 90 s keeps a
+        # multi-query session clean; single-query sessions see at most
+        # one extra concurrent GC (~100 ms on an 8g heap).
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_CLEANER_GC", "90s"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Write timestamps as INT64 micros, never legacy INT96: INT96
         # loses the unit annotation (footer-based unit detection in
