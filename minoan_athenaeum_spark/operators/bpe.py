@@ -169,8 +169,11 @@ def bpe_train_stats(words: DataFrame, n_merges: int) -> DataFrame:
         b = _take_best(best_pair(pair_counts(d)))
         # checkpoint each round's dict: without it the fold expression
         # nests n_merges deep and Catalyst planning time (not
-        # execution) dominates the whole train
-        d = apply_merge_pair(d, b["lft"], b["rgt"]).localCheckpoint(eager=True)
+        # execution) dominates the whole train. NON-eager (r14): the
+        # stats aggregate below is the round's next action anyway, so
+        # it materializes-and-checkpoints the dict as part of its own
+        # job — 3 jobs/round -> 2, identical data and lineage cut.
+        d = apply_merge_pair(d, b["lft"], b["rgt"]).localCheckpoint(eager=False)
         # Both corpus stats from ONE fused aggregate over the exploded
         # dict: Σ_exploded cnt == Σ_words |toks|·cnt exactly.
         st = (
@@ -205,5 +208,9 @@ def bpe_learned_dict(words: DataFrame, n_merges: int) -> DataFrame:
     turns corpus tokenization into a map-side join."""
     d = initial_symbols(words).localCheckpoint(eager=True)
     for _ in range(n_merges):
-        d = apply_merge(d, best_pair(pair_counts(d))).localCheckpoint(eager=True)
+        # non-eager (r14): the next round's TakeOrdered(1) — or the
+        # caller's first action on the returned lookup — materializes
+        # and checkpoints the dict as part of its own job, one fewer
+        # job per round (same saving as bpe_train_stats).
+        d = apply_merge(d, best_pair(pair_counts(d))).localCheckpoint(eager=False)
     return d.select("word", "toks")
